@@ -1,0 +1,143 @@
+"""Deterministic newline-aware sentence splitter.
+
+Mirrors the observable control flow of the reference's SentenceDetectorMENL
+(/root/reference/texoo-core/src/main/java/de/datexis/preprocess/
+SentenceDetectorMENL.java:28,64-161):
+
+- end-of-sentence candidates are ``. ! ? \\n`` (``:28``)
+- leading dots of a multi-dot run inside one whitespace chunk are skipped
+  (``:77-80``)
+- a ``\\n`` candidate always SPLITs; a ``./!/?`` candidate whose next
+  non-whitespace char is ``\\n`` never splits (the newline will, ``:86-88``)
+- a break is rejected when the sentence-so-far ends with a known
+  abbreviation (endswith semantics over both language lists, ``:211-215``)
+- the next sentence starts at the first non-whitespace char after the end
+  of the current whitespace chunk (``:92-96``)
+- with no boundary at all, the whole trimmed string is one sentence
+  (``:111-129``); a trailing non-terminated remainder becomes a final
+  sentence (``:133-161``)
+- sentence spans strip leading whitespace and trailing non-``\\n``
+  whitespace (``trimSpan``, ``:174-196``)
+
+The reference scores ``./!/?`` candidates with an OpenNLP MaxEnt model; we
+substitute deterministic rules (pinned by our fixtures, SURVEY.md §7.4):
+split only when the candidate is the last char or followed directly by
+whitespace; never inside an ellipsis run; never before a lowercase letter
+(for ``.``); never after a short standalone digit run (enumeration "1.",
+"26. Oktober" — validated by the reference's enumeration fixture,
+DocumentFactoryTest.java:122-127).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .abbrev import ends_with_abbreviation
+
+_EOS_RE = re.compile(r"[.!?\n]")
+
+
+def _first_ws(s: str, pos: int) -> int:
+    n = len(s)
+    while pos < n and not s[pos].isspace():
+        pos += 1
+    return pos
+
+
+def _first_non_ws(s: str, pos: int) -> int:
+    n = len(s)
+    while pos < n and s[pos].isspace():
+        pos += 1
+    return pos
+
+
+def _eval_split(s: str, cint: int) -> bool:
+    """Deterministic stand-in for the MaxEnt end-of-sentence decision."""
+    c = s[cint]
+    if c == ".":
+        # ellipsis / dot runs never split
+        if cint > 0 and s[cint - 1] == ".":
+            return False
+        # enumeration markers: standalone 1-2 digit run directly before the dot
+        j = cint
+        while j > 0 and s[j - 1].isdigit():
+            j -= 1
+        ndigits = cint - j
+        if 1 <= ndigits <= 2 and (j == 0 or s[j - 1].isspace()):
+            return False
+    # must be last char or followed by whitespace
+    if cint + 1 < len(s) and not s[cint + 1].isspace():
+        return False
+    if c == ".":
+        # don't split before a lowercase continuation
+        nint = _first_non_ws(s, cint + 1)
+        if nint < len(s) and s[nint].islower():
+            return False
+    return True
+
+
+def sentence_spans(text: str) -> List[Tuple[int, int]]:
+    """Return (begin, end) spans of sentences in ``text``."""
+    s = text
+    n = len(s)
+    enders = [m.start() for m in _EOS_RE.finditer(s)]
+    positions: List[int] = []
+    index = 0
+
+    for i, cint in enumerate(enders):
+        fws = _first_ws(s, cint + 1)
+        if s[cint] != "\n" and i + 1 < len(enders) and enders[i + 1] < fws:
+            continue
+        if positions and cint < positions[-1]:
+            continue
+
+        if s[cint] == "\n":
+            split = True
+        else:
+            split = _eval_split(s, cint)
+            nint = _first_non_ws(s, cint + 1)
+            if nint < n and s[nint] == "\n":
+                split = False
+
+        if split and not ends_with_abbreviation(s[index : cint + 1]):
+            if index != cint:
+                if s[cint] != "\n":
+                    positions.append(_first_non_ws(s, _first_ws(s, cint + 1)))
+                else:
+                    positions.append(_first_non_ws(s, cint + 1))
+            index = cint + 1
+
+    if not positions:
+        begin, end = 0, n
+        while begin < n and s[begin].isspace():
+            begin += 1
+        while end > 0 and s[end - 1].isspace():
+            end -= 1
+        return [(begin, end)] if end - begin > 0 else []
+
+    spans: List[Tuple[int, int]] = []
+    starts = positions
+    bounds = [0] + starts
+    segments = list(zip(bounds[:-1], bounds[1:]))
+    if starts[-1] != n:  # leftover tail
+        segments.append((starts[-1], n))
+    for begin, end in segments:
+        b, e = _trim_span(s, begin, end)
+        if e - b > 0:
+            spans.append((b, e))
+    return spans
+
+
+def _trim_span(s: str, begin: int, end: int) -> Tuple[int, int]:
+    """Strip leading whitespace and trailing non-newline whitespace
+    (SentenceDetectorMENL.java:174-196)."""
+    b = begin
+    while b < end and s[b].isspace():
+        b += 1
+    e = end
+    while e > begin and s[e - 1].isspace() and s[e - 1] != "\n":
+        e -= 1
+    if b > e:
+        return begin, begin
+    return b, e
