@@ -1,0 +1,212 @@
+"""SECTOR section heuristics + segmentation/NER eval tests."""
+
+import numpy as np
+import pytest
+
+from texoo_ray.core.document import Newlines, segment_text
+from texoo_ray.core.evaluation import (
+    calculate_k,
+    masses_array,
+    mention_match_counts,
+    pk,
+    positions_array,
+    prf1,
+    window_diff,
+)
+from texoo_ray.core.features import sentence_embedding
+from texoo_ray.core.sections import (
+    bemd_deviation,
+    detect_edges,
+    deviation,
+    directional_context,
+    emd_deviation,
+    gaussian_smooth,
+    sections_from_edges,
+    sections_from_newlines,
+    sections_from_target_labels,
+)
+
+PARA_TEXT = (
+    "The heart pumps blood. It beats every second. Cardiac muscle is strong.\n"
+    "Stocks fell on Monday. Markets were volatile. Traders sold shares quickly.\n"
+    "The recipe needs flour. Mix the dough well. Bake for thirty minutes.\n"
+)
+
+
+def make_doc():
+    return segment_text(PARA_TEXT, Newlines.KEEP)
+
+
+class TestNewlineSections:
+    def test_paragraph_sections(self):
+        """applySectionsFromNewlines: one section per newline-closed run."""
+        doc = make_doc()
+        secs = sections_from_newlines(doc.sentences, doc.end)
+        assert len(secs) == 3
+        # contiguous, covering the document
+        assert secs[0]["begin"] == doc.begin
+        assert secs[-1]["end"] == doc.end
+        for a, b in zip(secs, secs[1:]):
+            assert a["end"] <= b["begin"]
+
+    def test_no_newline_tail(self):
+        doc = segment_text("One sentence. Two sentence.", Newlines.KEEP)
+        secs = sections_from_newlines(doc.sentences, doc.end)
+        assert len(secs) == 1
+        assert secs[0]["end"] == doc.end
+
+    def test_empty(self):
+        assert sections_from_newlines([], None) == []
+
+
+class TestEdges:
+    def test_detect_edges_local_maxima(self):
+        dev = np.array([0.0, 0.1, 0.9, 0.1, 0.2, 0.8, 0.3])
+        edges = detect_edges(dev)
+        assert edges.tolist() == [1, 0, 1, 0, 0, 1, 0]
+
+    def test_first_always_edge(self):
+        dev = np.zeros(4)
+        assert detect_edges(dev)[0] == 1
+
+    def test_fixed_count(self):
+        dev = np.array([0.0, 0.1, 0.9, 0.1, 0.2, 0.8, 0.3])
+        edges = detect_edges(dev, count=2)  # N-1 = 1 peak picked
+        assert edges[0] == 1
+        assert edges.sum() == 2
+        assert edges[2] == 1  # highest peak
+
+    def test_fixed_count_fills_by_magnitude(self):
+        dev = np.array([0.0, 0.5, 0.6, 0.7, 0.8])  # monotone: no interior peaks
+        edges = detect_edges(dev, count=3)
+        assert edges[0] == 1
+        assert edges.sum() == 3  # filled from highest magnitudes (idx 4, 3)
+        assert edges[4] == 1 and edges[3] == 1
+
+    def test_none(self):
+        assert detect_edges(None) is None
+
+
+class TestSectionsFromEdges:
+    def test_basic(self):
+        doc = make_doc()
+        n = len(doc.sentences)
+        edges = np.zeros(n)
+        edges[0] = 1
+        edges[3] = 1
+        edges[6] = 1
+        secs = sections_from_edges(doc.sentences, edges, doc.end)
+        assert len(secs) == 3
+        assert secs[0]["begin"] == doc.sentences[0].begin
+        assert secs[1]["begin"] == doc.sentences[3].begin
+        assert secs[2]["end"] == doc.sentences[-1].end
+
+    def test_single_sentence(self):
+        doc = segment_text("Only one sentence here.", Newlines.KEEP)
+        secs = sections_from_edges(doc.sentences, None, doc.end)
+        assert len(secs) == 1
+
+    def test_empty_doc(self):
+        assert sections_from_edges([], None) == []
+
+
+class TestEmbeddingDeviation:
+    def test_emd_deterministic_and_shaped(self):
+        doc = make_doc()
+        emb = np.stack([sentence_embedding(s.tokens) for s in doc.sentences])
+        dev1 = emd_deviation(emb)
+        dev2 = emd_deviation(emb.copy())
+        assert dev1 is not None
+        assert dev1.shape == (len(doc.sentences),)
+        assert np.allclose(dev1, dev2)
+        assert dev1[0] == 0.0
+
+    def test_emd_single_sentence_none(self):
+        assert emd_deviation(np.ones((1, 8))) is None
+
+    def test_bemd_pipeline(self):
+        doc = make_doc()
+        emb = np.stack([sentence_embedding(s.tokens) for s in doc.sentences])
+        fw, bw = directional_context(emb)
+        dev = bemd_deviation(fw, bw)
+        assert dev is not None and dev.shape[0] == emb.shape[0]
+        edges = detect_edges(dev)
+        secs = sections_from_edges(doc.sentences, edges, doc.end)
+        assert len(secs) >= 1
+        assert secs[0]["begin"] == doc.begin
+        assert secs[-1]["end"] == doc.end
+
+    def test_gaussian_smooth_weights(self):
+        m = np.eye(3)
+        sm = gaussian_smooth(m, 1.0)
+        # row t is the gaussian kernel centred at t
+        assert sm[0, 0] > sm[0, 1] > sm[0, 2]
+        assert sm[1, 0] == pytest.approx(sm[1, 2])
+
+    def test_deviation_identical_rows_zero(self):
+        m = np.ones((4, 8))
+        assert np.allclose(deviation(m), 0.0)
+
+
+class TestMaxStrategy:
+    def test_label_switch(self):
+        doc = make_doc()
+        n = len(doc.sentences)
+        labels = ["heart", "market", "recipe"]
+        lm = np.eye(3)
+        preds = np.zeros((n, 3))
+        for i in range(n):
+            preds[i, i // 3] = 1.0
+        secs = sections_from_target_labels(doc.sentences, preds, lm, labels, k=1)
+        assert [s["label"] for s in secs] == labels
+        assert len(secs) == 3
+
+
+class TestSegmentationEval:
+    def test_positions_masses_round_trip(self):
+        pos = positions_array([3, 6, 3, 2, 4])
+        assert masses_array(pos) == [3, 6, 3, 2, 4]
+
+    def test_pk_perfect(self):
+        ref = positions_array([3, 3, 3])
+        assert pk(ref, ref, 2) == 0.0
+        assert window_diff(ref, ref, 2) == 0.0
+
+    def test_pk_known_value(self):
+        ref = positions_array([2, 3])
+        hyp = positions_array([5])
+        k = 2
+        # windows (t, t+2) over 5 positions: 3 windows; ref disagrees where
+        # boundary inside window
+        val = pk(ref, hyp, k)
+        assert 0.0 < val <= 1.0
+
+    def test_two_sentence_special_case(self):
+        assert pk([1, 2], [1, 1], 2) == 1.0
+        assert pk([1, 2], [1, 2], 2) == 0.0
+        assert window_diff([1, 1], [1, 2], 2) == 1.0
+
+    def test_single_sentence(self):
+        assert pk([1], [1], 2) == 0.0
+
+    def test_calculate_k(self):
+        assert calculate_k([4, 4, 4]) == 2
+        assert calculate_k([10, 10]) == 5
+        assert calculate_k([1]) == 2
+        assert calculate_k([]) == 2
+
+
+class TestNerEval:
+    def test_strong_weak(self):
+        gold = [{"begin": 0, "end": 5}, {"begin": 10, "end": 15}]
+        pred = [{"begin": 0, "end": 5}, {"begin": 11, "end": 15}]
+        tp, ng, npred = mention_match_counts(gold, pred, weak=False)
+        assert (tp, ng, npred) == (1, 2, 2)
+        tp_w, _, _ = mention_match_counts(gold, pred, weak=True)
+        assert tp_w == 2
+        m = prf1(tp, ng, npred)
+        assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+    def test_empty(self):
+        assert mention_match_counts([], [], weak=False) == (0, 0, 0)
+        assert prf1(0, 0, 0) == {"precision": 0.0, "recall": 0.0, "f1": 0.0}
