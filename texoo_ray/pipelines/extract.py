@@ -1,0 +1,96 @@
+"""Flagship extraction pipeline.
+
+Ray shape (SURVEY.md §3.1):
+
+    read_parquet(turns)
+      -> map_batches(ExtractStage, batch_format="pyarrow", concurrency=N)
+      -> sort(["conv_id", "turn_idx"])        # stable turn ordering
+      -> write_parquet(out_dir)               # partitioned, resumable
+
+The sort is the only wide operation; everything else is embarrassingly
+per-row. ``(conv_id, turn_idx)`` is unique by construction, so ordering is
+total and independent of block boundaries (SURVEY.md §7.4). Skewed
+conversations cost nothing here because the pipeline is per-turn; only
+conversation-level group operations (pipelines.conversations) need salting.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from ..stages.extract import ExtractStage
+
+# Drop the bulkiest intermediate columns before the ordering shuffle, like
+# the reference clears cached vectors before serialization (Span.java:154-159).
+SHUFFLE_DROP_COLUMNS = ("tags", "clean_text")
+
+
+def default_concurrency() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus - 2)
+
+
+def extract_turns(
+    ds,
+    *,
+    newlines: str = "keep",
+    strip: bool = True,
+    gazetteer_terms: Optional[Sequence[str]] = None,
+    section_method: str = "nl",
+    batch_size: int = 256,
+    concurrency: Optional[int] = None,
+):
+    """Attach extraction columns to a turns Dataset (lazy)."""
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(
+        ExtractStage,
+        fn_constructor_kwargs=dict(
+            newlines=newlines,
+            strip=strip,
+            gazetteer_terms=list(gazetteer_terms) if gazetteer_terms else None,
+            section_method=section_method,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def ordered(ds):
+    """Restore stable turn ordering (north rule): total sort on the unique
+    key (conv_id, turn_idx)."""
+    return ds.sort(["conv_id", "turn_idx"])
+
+
+def run_extract(
+    input_path,
+    out_dir: str,
+    *,
+    columns: Optional[Sequence[str]] = None,
+    sort_output: bool = True,
+    drop_heavy: bool = True,
+    **kwargs,
+) -> int:
+    """read -> extract -> (sort) -> write; returns row count."""
+    import ray.data
+
+    ds = ray.data.read_parquet(input_path, columns=list(columns) if columns else None)
+    ds = extract_turns(ds, **kwargs)
+    if drop_heavy:
+        keep_drop = [c for c in SHUFFLE_DROP_COLUMNS if c in ds.schema().names]
+        if keep_drop:
+            ds = ds.drop_columns(keep_drop)
+    if sort_output:
+        ds = ordered(ds)
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ds.write_parquet(out_dir)
+    import pyarrow.dataset as pads
+
+    return pads.dataset(out_dir).count_rows()

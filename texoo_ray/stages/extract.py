@@ -1,0 +1,326 @@
+"""Per-turn extraction stages (segment / tag / match / section) for Ray Data.
+
+Each stage is a callable class intended for
+``ds.map_batches(Stage(...), batch_format="pyarrow", concurrency=N)`` —
+construction cost (compiled regexes, gazetteer automaton, feature tagger)
+is paid once per actor, mirroring the reference's process-singleton models
+(DocumentFactory.java:39-87 -> actor ``__init__``, SURVEY.md §2.5).
+
+``ExtractStage`` fuses the full per-turn chain (markup strip -> language
+detect -> segment -> feature-tag -> CRF repair -> mention decode ->
+gazetteer -> sections) in ONE pass so intermediate token/tag columns never
+hit the object store — the fused form is what the flagship pipeline and
+the benchmark run. The unfused stages exist for composability and for
+conformance tests of each operator in isolation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.document import Document, Newlines, segment_text
+from ..core.langid import detect_language
+from ..core.markup import strip_markup
+from ..core.matching import Gazetteer, MatchingStrategy
+from ..core.mentions import mentions_from_bioes
+from ..core.sections import (
+    bemd_deviation,
+    detect_edges,
+    directional_context,
+    emd_deviation,
+    sections_from_edges,
+    sections_from_newlines,
+)
+from ..core.features import sentence_embedding
+from ..core.tagger import FeatureTagger
+from ..core.tags import bioes_to_bio2
+from . import schema
+
+
+def _append(batch: pa.Table, name: str, array: pa.Array) -> pa.Table:
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, array)
+
+
+class SegmentStage:
+    """requires: ``text`` — attaches: ``clean_text``, ``lang``,
+    ``sentences``, ``tokens``, ``reconstructed`` (for invariant checks).
+
+    Per-turn equivalent of DocumentFactory.fromText
+    (DocumentFactory.java:219-267) preceded by markup strip.
+    """
+
+    def __init__(
+        self,
+        newlines: str = "keep",
+        strip: bool = True,
+        text_col: str = "text",
+        attach_reconstructed: bool = False,
+    ):
+        self.newlines = Newlines(newlines)
+        self.strip = strip
+        self.text_col = text_col
+        self.attach_reconstructed = attach_reconstructed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        clean: List[str] = []
+        langs: List[str] = []
+        sent_col: List[list] = []
+        tok_col: List[list] = []
+        recon: List[str] = []
+        for raw in texts:
+            raw = raw or ""
+            t = strip_markup(raw) if self.strip else raw
+            clean.append(t)
+            langs.append(detect_language(t))
+            doc = segment_text(t, self.newlines)
+            sents, toks = schema.doc_to_row_lists(doc)
+            sent_col.append(sents)
+            tok_col.append(toks)
+            if self.attach_reconstructed:
+                recon.append(doc.text())
+        batch = _append(batch, "clean_text", pa.array(clean, pa.string()))
+        batch = _append(batch, "lang", pa.array(langs, pa.string()))
+        batch = _append(batch, "sentences", pa.array(sent_col, schema.SENTENCE_TYPE))
+        batch = _append(batch, "tokens", pa.array(tok_col, schema.TOKEN_TYPE))
+        if self.attach_reconstructed:
+            batch = _append(batch, "reconstructed", pa.array(recon, pa.string()))
+        return batch
+
+
+class TagStage:
+    """requires: ``tokens``, ``lang`` — attaches: ``tags``.
+
+    Deterministic feature tagger + CRF repair per sentence; one tagger per
+    language, routed per row like GenericMentionAnnotator.java:64-78 (both
+    models co-resident in the actor; no shuffle)."""
+
+    def __init__(self):
+        self.taggers = {"en": FeatureTagger("en"), "de": FeatureTagger("de")}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tok_lists = batch["tokens"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(tok_lists)
+        tag_col: List[list] = []
+        for toks, lang in zip(tok_lists, langs):
+            doc = schema.row_to_doc(toks)
+            tagger = self.taggers.get(lang or "en", self.taggers["en"])
+            labels, confs = tagger.tag_sentences(doc.sentences)
+            bio2 = bioes_to_bio2(labels)
+            tag_col.append(
+                [
+                    {"bio2": b2, "bioes": be, "type": "GENERIC" if be != "O" else "", "confidence": c}
+                    for b2, be, c in zip(bio2, labels, confs)
+                ]
+            )
+        return _append(batch, "tags", pa.array(tag_col, schema.TAG_TYPE))
+
+
+class MentionDecodeStage:
+    """requires: ``tokens``, ``tags`` — attaches: ``mentions`` (PRED).
+
+    Stateless decode of BIO2 runs (MentionAnnotation.annotateFromTags)."""
+
+    def __init__(self, source: str = "PRED"):
+        self.source = source
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tok_lists = batch["tokens"].to_pylist()
+        tag_lists = batch["tags"].to_pylist()
+        out: List[list] = []
+        for toks, tags in zip(tok_lists, tag_lists):
+            doc = schema.row_to_doc(toks)
+            labels = [t["bio2"] for t in tags]
+            confs = [t["confidence"] for t in tags]
+            types = [t["type"] or None for t in tags]
+            out.append(
+                mentions_from_bio2_rows(doc, labels, types, confs, self.source)
+            )
+        return _append(batch, "mentions", pa.array(out, schema.MENTION_TYPE))
+
+
+def mentions_from_bio2_rows(doc: Document, labels, types, confs, source: str) -> List[dict]:
+    from ..core.mentions import mentions_from_bio2
+
+    return mentions_from_bio2(
+        [s.tokens for s in doc.sentences],
+        labels,
+        types=types,
+        confidences=confs,
+        source=source,
+    )
+
+
+class GazetteerStage:
+    """requires: ``clean_text`` (or ``text``), ``tokens`` — attaches/extends:
+    ``mentions`` with SILVER matches (MatchingAnnotator semantics).
+
+    The term list ships to each actor once via the constructor args (Ray
+    serializes the stage object per actor, not per batch); for very large
+    dictionaries pass ``terms_ref`` (a ``ray.put`` ObjectRef) instead.
+    """
+
+    def __init__(
+        self,
+        terms: Optional[Sequence[str]] = None,
+        terms_ref=None,
+        strategy: str = "case_sensitive",
+        mention_type: str = "GENERIC",
+        min_word_length: int = 3,
+        text_col: str = "clean_text",
+    ):
+        if terms is None and terms_ref is not None:
+            import ray
+
+            terms = ray.get(terms_ref)
+        self.gaz = Gazetteer(
+            terms or [],
+            MatchingStrategy(strategy),
+            mention_type=mention_type,
+            min_word_length=min_word_length,
+        )
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text_col = self.text_col if self.text_col in batch.column_names else "text"
+        texts = batch[text_col].to_pylist()
+        tok_lists = batch["tokens"].to_pylist()
+        existing = (
+            batch["mentions"].to_pylist()
+            if "mentions" in batch.column_names
+            else [[] for _ in texts]
+        )
+        out: List[list] = []
+        for text, toks, prev in zip(texts, tok_lists, existing):
+            doc = schema.row_to_doc(toks)
+            matches = self.gaz.annotate(text or "", doc.tokens())
+            out.append((prev or []) + matches)
+        return _append(batch, "mentions", pa.array(out, schema.MENTION_TYPE))
+
+
+class SectionStage:
+    """requires: ``tokens`` — attaches: ``sections``.
+
+    method: "nl" | "emd" | "bemd" (SectorAnnotator.SegmentationMethod,
+    :69-77). EMD/BEMD run over deterministic hashed sentence embeddings
+    (stand-in for the learned SECTOR embeddings, SURVEY.md §2.11)."""
+
+    def __init__(self, method: str = "nl", embedding_dim: int = 64):
+        assert method in ("nl", "emd", "bemd")
+        self.method = method
+        self.dim = embedding_dim
+
+    def _sections_for(self, doc: Document) -> List[dict]:
+        if not doc.sentences:
+            return []
+        if self.method == "nl":
+            return sections_from_newlines(doc.sentences, doc.end)
+        emb = np.stack([sentence_embedding(s.tokens, self.dim) for s in doc.sentences])
+        if self.method == "emd":
+            dev = emd_deviation(emb)
+        else:
+            fw, bw = directional_context(emb)
+            dev = bemd_deviation(fw, bw) if emb.shape[0] >= 2 else None
+        edges = detect_edges(dev)
+        return sections_from_edges(doc.sentences, edges, doc.end)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tok_lists = batch["tokens"].to_pylist()
+        out = [self._sections_for(schema.row_to_doc(toks)) for toks in tok_lists]
+        return _append(batch, "sections", pa.array(out, schema.SECTION_TYPE))
+
+
+class ExtractStage:
+    """Fused flagship stage — requires ``text``; attaches ``clean_text``,
+    ``lang``, ``sentences``, ``tokens``, ``tags``, ``mentions``,
+    ``sections``, ``n_sentences``, ``n_tokens``, ``n_mentions``.
+
+    One Python pass per turn; equivalent to
+    SegmentStage >> TagStage >> MentionDecodeStage >> GazetteerStage >>
+    SectionStage but without materializing intermediates (verified
+    equivalent in tests/test_stages.py).
+    """
+
+    def __init__(
+        self,
+        newlines: str = "keep",
+        strip: bool = True,
+        gazetteer_terms: Optional[Sequence[str]] = None,
+        gazetteer_ref=None,
+        section_method: str = "nl",
+        text_col: str = "text",
+    ):
+        self.segment = SegmentStage(newlines=newlines, strip=strip, text_col=text_col)
+        self.taggers = {"en": FeatureTagger("en"), "de": FeatureTagger("de")}
+        if gazetteer_terms is None and gazetteer_ref is not None:
+            import ray
+
+            gazetteer_terms = ray.get(gazetteer_ref)
+        self.gaz = (
+            Gazetteer(gazetteer_terms, MatchingStrategy.CASE_SENSITIVE)
+            if gazetteer_terms
+            else None
+        )
+        self.sections = SectionStage(method=section_method)
+        self.newlines = Newlines(newlines)
+        self.strip = strip
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        clean_c: List[str] = []
+        lang_c: List[str] = []
+        sent_c: List[list] = []
+        tok_c: List[list] = []
+        tag_c: List[list] = []
+        men_c: List[list] = []
+        sec_c: List[list] = []
+        for raw in texts:
+            raw = raw or ""
+            text = strip_markup(raw) if self.strip else raw
+            lang = detect_language(text)
+            doc = segment_text(text, self.newlines)
+            sents, toks = schema.doc_to_row_lists(doc)
+            tagger = self.taggers.get(lang or "en", self.taggers["en"])
+            labels, confs = tagger.tag_sentences(doc.sentences)
+            bio2 = bioes_to_bio2(labels)
+            tags = [
+                {"bio2": b2, "bioes": be, "type": "GENERIC" if be != "O" else "", "confidence": c}
+                for b2, be, c in zip(bio2, labels, confs)
+            ]
+            mentions = mentions_from_bioes(
+                [s.tokens for s in doc.sentences],
+                labels,
+                confidences=confs,
+                source="PRED",
+            )
+            if self.gaz is not None:
+                mentions = mentions + self.gaz.annotate(text, doc.tokens())
+            secs = self.sections._sections_for(doc)
+            clean_c.append(text)
+            lang_c.append(lang)
+            sent_c.append(sents)
+            tok_c.append(toks)
+            tag_c.append(tags)
+            men_c.append(mentions)
+            sec_c.append(secs)
+        batch = _append(batch, "clean_text", pa.array(clean_c, pa.string()))
+        batch = _append(batch, "lang", pa.array(lang_c, pa.string()))
+        batch = _append(batch, "sentences", pa.array(sent_c, schema.SENTENCE_TYPE))
+        batch = _append(batch, "tokens", pa.array(tok_c, schema.TOKEN_TYPE))
+        batch = _append(batch, "tags", pa.array(tag_c, schema.TAG_TYPE))
+        batch = _append(batch, "mentions", pa.array(men_c, schema.MENTION_TYPE))
+        batch = _append(batch, "sections", pa.array(sec_c, schema.SECTION_TYPE))
+        batch = _append(
+            batch, "n_sentences", pa.array([len(x) for x in sent_c], pa.int32())
+        )
+        batch = _append(batch, "n_tokens", pa.array([len(x) for x in tok_c], pa.int32()))
+        batch = _append(
+            batch, "n_mentions", pa.array([len(x) for x in men_c], pa.int32())
+        )
+        return batch
