@@ -1,44 +1,460 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the texoo_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives DuckDB-equivalent SQL for every
+SQL-expressible query (same column names; integer-dominant outputs so the
+value hash is stable). Ray is initialised by the driver — nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Turn-based pipelines run over the deterministic synthetic transcript
+corpus (texoo_ray.sources.turns, seed 42) scaled per sf_dir; it is
+generated on first use and cached under /tmp/texoo_turns. The TPC-H-ish
+tables (documents/events/embeddings) back the SQL-checked operators.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from texoo_ray.sources.fixtures import GAZETTEER_TERMS
+from texoo_ray.sources.turns import turns_table
+
+_TURN_CONVS = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000}
+_TURNS_CACHE = os.environ.get("TEXOO_TURNS_CACHE", "/tmp/texoo_turns")
+_SEED = 42
+
+
+def ensure_turns(sf_dir: str) -> str:
+    """Generate (once) and return the path of the synthetic turns parquet
+    for the given sf directory."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
+    n_convs = _TURN_CONVS.get(tag, 120)
+    out_dir = os.path.join(_TURNS_CACHE, "%s-v1" % tag)
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        import ray
+
+        os.makedirs(out_dir, exist_ok=True)
+        if ray.is_initialized() and n_convs >= 2000:
+            from texoo_ray.sources.turns import write_turns_corpus
+
+            write_turns_corpus(out_dir, n_convs, seed=_SEED, num_files=64)
+        else:
+            tbl = turns_table(0, n_convs, seed=_SEED)
+            pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, table + ".parquet"),
+        columns=list(columns) if columns else None,
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: read sf0.001 turns -> fused extraction -> stable order."""
+    import ray.data
+
+    from texoo_ray.pipelines.extract import extract_turns, ordered
+
+    turns_dir = ensure_turns("/root/testdata/sf0.001")
+    ds = ray.data.read_parquet(turns_dir)
+    out = ordered(
+        extract_turns(
+            ds, gazetteer_terms=GAZETTEER_TERMS, concurrency=2, batch_size=128
+        )
+    )
+    return out.select_columns(
+        ["conv_id", "turn_idx", "role", "lang", "n_sentences", "n_tokens", "n_mentions"]
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def _q_extract_turns(sf_dir: str):
+    import ray.data
+
+    from texoo_ray.pipelines.extract import extract_turns, ordered
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    out = ordered(
+        extract_turns(ds, gazetteer_terms=GAZETTEER_TERMS, batch_size=256)
+    )
+    return out.select_columns(
+        ["conv_id", "turn_idx", "role", "lang", "n_sentences", "n_tokens", "n_mentions"]
+    )
+
+
+def _q_turn_sections_bemd(sf_dir: str):
+    import ray.data
+
+    from texoo_ray.pipelines.extract import extract_turns, ordered
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    out = extract_turns(ds, section_method="bemd", batch_size=256)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_sections": pa.array(
+                    [len(s) for s in batch["sections"].to_pylist()], pa.int32()
+                ),
+            }
+        )
+
+    return ordered(out.map_batches(counts, batch_format="pyarrow"))
+
+
+def _q_conv_stats(sf_dir: str):
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import conversation_stats
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    return conversation_stats(ds).sort("conv_id")
+
+
+def _q_concat_conversations(sf_dir: str):
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import concat_conversations
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    return concat_conversations(ds).sort("conv_id")
+
+
+def _q_doc_tokenize(sf_dir: str):
+    """Full segmentation over the documents table. The corpus is
+    single-space ASCII words, so n_tokens == word count and n_sentences == 1
+    — an end-to-end SQL check of the segmenter."""
+    from texoo_ray.stages.extract import SegmentStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = SegmentStage(newlines="keep", strip=False)(batch)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_sentences": pa.array(
+                    [len(s) for s in out["sentences"].to_pylist()], pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    [len(t) for t in out["tokens"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_doc_roundtrip(sf_dir: str):
+    """Whitespace-exact reconstruction invariant as a SQL-checkable query."""
+    from texoo_ray.core.document import Newlines, segment_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        ok = []
+        for t in batch["text"].to_pylist():
+            doc = segment_text(t or "", Newlines.KEEP)
+            ok.append(doc.text() == (t or "").rstrip())
+        return pa.table({"doc_id": batch["doc_id"], "ok": pa.array(ok, pa.bool_())})
+
+    return ds.map_batches(run, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_doc_quality(sf_dir: str):
+    from texoo_ray.stages.text_stats import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_stats, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_chars_q", "n_words", "n_digits", "n_upper", "n_alpha"]
+    ).sort("doc_id")
+
+
+def _q_token_count_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from texoo_ray.stages.text_stats import token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(token_counts, batch_format="pyarrow")
+    return (
+        out.groupby("lang")
+        .aggregate(
+            Sum("n_ws_tokens", alias_name="sum_ws_tokens"),
+            Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"),
+            Count(alias_name="n_docs"),
+        )
+        .sort("lang")
+    )
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from texoo_ray.stages.text_stats import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from texoo_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).sort("doc_id")
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from texoo_ray.stages.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(ds).sort("doc_id")
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from texoo_ray.stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds).sort("doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from texoo_ray.stages.text_stats import language_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(language_id, batch_format="pyarrow")
+    return out.groupby("pred_lang").aggregate(Count(alias_name="n_docs")).sort("pred_lang")
+
+
+def _q_top_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def _q_vocab_top100(sf_dir: str):
+    """Vocabulary build: flat tokens -> per-batch partial counts ->
+    groupby(word) -> top-100 (BagOfWordsEncoder vocab aggregation shape)."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z0-9]+")
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = {}
+        for t in batch["text"].to_pylist():
+            for w in word_re.findall((t or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return out.sort(["cnt", "word"], descending=[True, False]).limit(100)
+
+
+def _q_events_hourly(sf_dir: str):
+    from texoo_ray.pipelines.analytics import hourly_windows
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return hourly_windows(ds).sort(["event_type", "window_start"])
+
+
+def _q_events_sessions(sf_dir: str):
+    from texoo_ray.pipelines.analytics import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds).sort("user_id")
+
+
+def _knn_query_vector(sf_dir: str) -> np.ndarray:
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_pylist()
+    qi = ids.index(min(ids))
+    return np.asarray(tbl["embedding"][qi].as_py(), dtype=np.float64)
+
+
+def _q_knn_top10(sf_dir: str):
+    from texoo_ray.stages.knn import brute_force_topk
+
+    q = _knn_query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(ds, q, k=10)
+    tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    rank = pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64))
+    return pa.table({"rank": rank, "vec_id": tbl["vec_id"]})
+
+
+def _q_knn_lsh(sf_dir: str):
+    from texoo_ray.stages.knn import lsh_topk
+
+    q = _knn_query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = lsh_topk(ds, q, k=10)
+    df = top.to_pandas()
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df[["rank", "vec_id"]]
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from texoo_ray.stages.multimodal import MediaFeatureStage, synthetic_media_table
+
+    n = 200 if "0.001" in sf_dir else 1000
+    ds = ray.data.from_arrow(synthetic_media_table(n))
+    out = ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs=dict(decode="fake"),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    return out.select_columns(["media_id", "media_type", "payload_bytes"]).sort(
+        "media_id"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship transcript extraction (non-SQL; pytest holds the oracle)
+        "extract_turns": _q_extract_turns,
+        "turn_sections_bemd": _q_turn_sections_bemd,
+        "conv_stats": _q_conv_stats,
+        "concat_conversations": _q_concat_conversations,
+        # SQL-checked operators over the registered tables
+        "doc_tokenize": _q_doc_tokenize,
+        "doc_roundtrip": _q_doc_roundtrip,
+        "doc_quality": _q_doc_quality,
+        "token_count_by_lang": _q_token_count_by_lang,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "top_docs": _q_top_docs,
+        "vocab_top100": _q_vocab_top100,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "knn_top10": _q_knn_top10,
+        # approximate / heuristic (rows-only)
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "lang_id": _q_lang_id,
+        "knn_lsh": _q_knn_lsh,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_tokenize": """
+            SELECT doc_id,
+                   1::BIGINT AS n_sentences,
+                   len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_roundtrip": """
+            SELECT doc_id, true AS ok FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_q,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_words,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
+            FROM documents ORDER BY doc_id
+        """,
+        "token_count_by_lang": """
+            SELECT lang,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS sum_ws_tokens,
+                   sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS sum_bpe_tokens,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "top_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "vocab_top100": """
+            SELECT word, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                  FROM documents)
+            GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(value) AS sum_value
+            FROM events GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   (1 + sum(CASE WHEN prev_ts IS NOT NULL
+                                  AND ts - prev_ts > INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events) t
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "knn_top10": """
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT row_number() OVER (
+                     ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                              e.vec_id ASC
+                   )::BIGINT AS rank,
+                   e.vec_id
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
+    }

@@ -1,0 +1,74 @@
+"""Stream-shaped analytics over the events table (ordered, partitioned log).
+
+Ray Data has no event-time windows; tumbling windows are
+``GROUP BY (key, time_bucket)`` and sessions are a per-key sorted scan in
+``map_groups`` (ray_guide: streaming-shaped workloads). Both have exact
+SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hourly_windows(ds):
+    """Tumbling 1h windows per event_type:
+    Dataset[(event_type, window_start, n_events, sum_value)].
+
+    Partial per batch (vectorized floor to hour + within-batch groupby),
+    then a small global aggregate — the shuffle carries one row per
+    (type, hour) per block.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": hours,
+                "n_events": pa.array([1] * len(batch), pa.int64()),
+                "sum_value": batch["value"],
+            }
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+
+def sessionize(ds, gap_minutes: int = 30):
+    """Session windows per user: Dataset[(user_id, n_sessions, n_events)].
+
+    groupby(user_id) -> in-group ts sort -> gap scan. Sessions split when
+    the gap to the previous event exceeds ``gap_minutes``.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff()
+        n_sessions = int(1 + (gaps > gap).sum()) if len(df) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(df)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -1,0 +1,105 @@
+"""Conversation-level operators: ordering restore, per-conversation stats,
+skew-aware grouping.
+
+The reference gets conversation/document grouping for free from its
+in-memory object model; here it is an explicit shuffle keyed by
+``conv_id`` (SURVEY.md §2.6). Two shapes:
+
+- **aggregate** (preferred): per-batch PARTIAL aggregation by conv_id ->
+  small ``groupby(conv_id).aggregate(...)`` — the shuffle moves one row
+  per conversation per block, so skewed conversations cost nothing.
+- **map_groups** (when in-group order matters): ``sort_within`` documents
+  the salted variant for pathological conversations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def conversation_stats(ds, id_col: str = "conv_id"):
+    """Dataset[(conv_id, n_turns, n_user, n_assistant, n_tool, first_ts,
+    last_ts)] via partial-per-batch + global aggregate."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col, "role", "ts"]).to_pandas()
+        g = df.groupby(id_col, sort=False)
+        out = pd.DataFrame(
+            {
+                "n_turns": g.size(),
+                "n_user": g["role"].apply(lambda r: int((r == "user").sum())),
+                "n_assistant": g["role"].apply(lambda r: int((r == "assistant").sum())),
+                "n_tool": g["role"].apply(lambda r: int((r == "tool").sum())),
+                "first_ts": g["ts"].min(),
+                "last_ts": g["ts"].max(),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_user", alias_name="n_user"),
+            Sum("n_assistant", alias_name="n_assistant"),
+            Sum("n_tool", alias_name="n_tool"),
+            Min("first_ts", alias_name="first_ts"),
+            Max("last_ts", alias_name="last_ts"),
+        )
+    )
+
+
+def concat_conversations(ds, max_turns_per_group: int = 10000):
+    """Per-conversation turn-ordered concatenation:
+    Dataset[(conv_id, n_turns, transcript)].
+
+    Uses groupby(conv_id).map_groups with an in-group turn_idx sort (the
+    north rule's ordering restore). ``max_turns_per_group`` caps
+    pathological conversations: beyond the cap the transcript is truncated
+    (recorded in ``truncated``) instead of OOMing a worker — the
+    per-partition size cap from BASELINE.json's north_star.
+    """
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("turn_idx")
+        truncated = len(df) > max_turns_per_group
+        if truncated:
+            df = df.iloc[:max_turns_per_group]
+        joined = "\n".join(
+            "%s: %s" % (r, t or "") for r, t in zip(df["role"], df["text"])
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": [df["conv_id"].iloc[0]],
+                "n_turns": [len(df)],
+                "truncated": [truncated],
+                "transcript": [joined],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+def salted_repartition(ds, key: str = "conv_id", salt_buckets: int = 16):
+    """Attach a salt column for two-stage aggregation over hot keys:
+    groupby((key, salt)) partials -> groupby(key) merge (SURVEY.md §7.3)."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if "turn_idx" in batch.column_names:
+            salt = pa.array(
+                [int(i) % salt_buckets for i in batch["turn_idx"].to_pylist()],
+                pa.int32(),
+            )
+        else:
+            salt = pa.array(
+                [hash(v) % salt_buckets for v in batch[key].to_pylist()], pa.int32()
+            )
+        return batch.append_column("salt", salt)
+
+    return ds.map_batches(add_salt, batch_format="pyarrow")

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the point of these implementations):
+
+- **exact**: content-hash per batch (vectorized), then PARTIAL aggregation
+  inside each batch (one row per distinct hash per batch) before the
+  global ``groupby(hash)`` — the shuffle moves one row per distinct text
+  per block instead of one per row.
+- **minhash**: signatures are computed per batch with numpy (k permutations
+  via multiply-shift over crc32 shingle hashes); LSH bands explode to
+  (band, band_hash) rows; the ``groupby`` on band buckets yields candidate
+  groups; clusters form by min-label propagation (no driver union-find).
+- **simhash**: 64-bit signature; near-dup candidates share one of 4
+  16-bit sub-bands (hamming distance <= 3 guarantee via pigeonhole).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# deterministic multiply-shift parameters for k minhash "permutations"
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def shingles(text: str, n: int = 3) -> np.ndarray:
+    """crc32 hashes of word n-gram shingles (lowercased)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return np.zeros(0, dtype=np.int64)
+    return np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64)
+
+
+def minhash_signature(text: str, k: int = 64, seed: int = 42) -> np.ndarray:
+    """k-wide minhash signature (int64). Empty text -> all -1 sentinel."""
+    sh = shingles(text)
+    if sh.size == 0:
+        return np.full(k, -1, dtype=np.int64)
+    a, b = _PERMS.setdefault((k, seed), _perm_params(k, seed))
+    # (k, S) multiply-shift in int64 with a Mersenne-prime modulus
+    vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+_PERMS: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity (candidate verification)."""
+    sa, sb = set(shingles(a, n).tolist()), set(shingles(b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams+bigrams."""
+    words = _WORD_RE.findall(text.lower())
+    feats = words + [" ".join(p) for p in zip(words, words[1:])]
+    if not feats:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for f in feats:
+        h = np.uint64(
+            int.from_bytes(
+                hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+        )
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- Ray pipelines ---------------------------------------------------------
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: returns Dataset[(doc_id, dup_count)] — the surviving
+    (minimum) id and group size per distinct text.
+
+    Shape: vectorized hash + per-batch partial (min id, count) per hash ->
+    groupby(hash).aggregate(Min, Sum). Equivalent SQL:
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM t GROUP BY text.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        agg: Dict[str, Tuple[int, int]] = {}
+        for t, i in zip(texts, ids):
+            h = hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+            if h in agg:
+                mn, c = agg[h]
+                agg[h] = (min(mn, i), c + 1)
+            else:
+                agg[h] = (i, 1)
+        return pa.table(
+            {
+                "text_hash": list(agg.keys()),
+                "min_id": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "cnt": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("min_id", alias_name="doc_id"), Sum("cnt", alias_name="dup_count"))
+    )
+    return out.select_columns(["doc_id", "dup_count"])
+
+
+def minhash_bands(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+):
+    """Explode each doc into (band, band_hash, doc_id) LSH bucket rows."""
+    rows_per_band = k // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        b_col: List[int] = []
+        h_col: List[str] = []
+        i_col: List[int] = []
+        for t, i in zip(texts, ids):
+            sig = minhash_signature(t or "", k)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                b_col.append(b)
+                h_col.append(h)
+                i_col.append(i)
+        return pa.table(
+            {
+                "band": pa.array(b_col, pa.int32()),
+                "band_hash": pa.array(h_col, pa.string()),
+                id_col: pa.array(i_col, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def minhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+):
+    """Near-dup clustering via MinHash LSH.
+
+    Returns Dataset[(doc_id, cluster_id)] where cluster_id is the minimum
+    doc_id reachable through shared band buckets (1-hop min-label
+    propagation per bucket, then a per-doc min — catches the dominant
+    duplicate-pair/group case without driver-side union-find; chains longer
+    than one hop converge by re-running the propagation).
+    """
+    from ray.data.aggregate import Min
+
+    buckets = minhash_bands(ds, text_col, id_col, k, bands)
+
+    def bucket_min(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        mn = min(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "bucket_min": pa.array([mn] * len(ids), pa.int64()),
+            }
+        )
+
+    labeled = buckets.groupby(["band", "band_hash"]).map_groups(
+        bucket_min, batch_format="pyarrow"
+    )
+    out = labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))
+    return out
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """SimHash near-dup candidates: docs sharing any 16-bit quarter of the
+    64-bit signature cluster to the minimum doc_id of the bucket."""
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        band_c: List[int] = []
+        key_c: List[int] = []
+        id_c: List[int] = []
+        for t, i in zip(texts, ids):
+            sig = simhash64(t or "")
+            for b in range(4):
+                band_c.append(b)
+                key_c.append((sig >> (16 * b)) & 0xFFFF)
+                id_c.append(i)
+        return pa.table(
+            {
+                "band": pa.array(band_c, pa.int32()),
+                "key": pa.array(key_c, pa.int64()),
+                id_col: pa.array(id_c, pa.int64()),
+            }
+        )
+
+    def bucket_min(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        mn = min(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "bucket_min": pa.array([mn] * len(ids), pa.int64()),
+            }
+        )
+
+    labeled = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_min, batch_format="pyarrow")
+    )
+    return labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))

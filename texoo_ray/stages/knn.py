@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: numpy matmul per batch against a broadcast query
+  matrix (``ray.put`` once, read per actor) + per-batch partial top-k ->
+  tiny global top-k. The baseline and the exact answer.
+- ``lsh_topk``: random-hyperplane LSH bucketing; only candidate buckets are
+  scored. The scale path when the corpus is huge and recall < 1 is fine.
+
+Mirrors the reference's InMemoryIndex cosine top-k contract
+(InMemoryIndex.java:497-558: normalized matrix, cosine scores, k best).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float32)
+    offsets = np.asarray(arr.offsets)
+    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(-1, dim) if dim else np.zeros((len(batch), 0), np.float32)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: scores each batch against the broadcast queries."""
+
+    def __init__(self, queries_ref=None, queries: Optional[np.ndarray] = None, vec_col: str = "embedding"):
+        if queries is None:
+            import ray
+
+            queries = ray.get(queries_ref)
+        self.q = _normalize(np.asarray(queries, dtype=np.float32))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = m @ self.q.T  # (rows, n_queries)
+        best_q = np.argmax(sims, axis=1).astype(np.int32)
+        best_s = sims[np.arange(sims.shape[0]), best_q].astype(np.float64)
+        out = batch.drop_columns([self.vec_col])
+        out = out.append_column("query_idx", pa.array(best_q))
+        out = out.append_column("score", pa.array(best_s))
+        return out
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+):
+    """Exact cosine top-k for ONE query vector: per-batch partial top-k,
+    then global sort+limit over <= k rows per block."""
+    qn = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        sims = m @ qn
+        keep = min(k, len(sims))
+        if keep == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        idx = np.argpartition(-sims, keep - 1)[:keep]
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[idx]
+        return pa.table({id_col: pa.array(ids), "score": pa.array(sims[idx])})
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 2,
+):
+    """Approximate top-k: random-hyperplane signatures; score only rows
+    whose signature is within ``probe_hamming`` bits of the query's."""
+    q = np.asarray(query, dtype=np.float64).reshape(-1)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, q.shape[0])
+    q_bits = (planes @ q > 0).astype(np.int64)
+    q_sig = int(sum(int(b) << i for i, b in enumerate(q_bits)))
+    qn = _normalize(q.reshape(1, -1))[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        sigs_bits = (m @ planes.T > 0).astype(np.uint8)
+        sigs = np.zeros(len(m), dtype=np.int64)
+        for b in range(n_planes):
+            sigs |= sigs_bits[:, b].astype(np.int64) << b
+        ham = np.zeros(len(m), dtype=np.int64)
+        x = sigs ^ q_sig
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - 1)
+        mask = ham <= probe_hamming
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        mm = _normalize(m[mask])
+        sims = mm @ qn
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[mask]
+        keep = min(k, len(sims))
+        idx = np.argpartition(-sims, keep - 1)[:keep]
+        return pa.table({id_col: pa.array(ids[idx]), "score": pa.array(sims[idx])})
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
