@@ -114,11 +114,23 @@ class Gazetteer:
         return [(m.start(), m.end()) for m in self._regex.finditer(text)]
 
     def annotate(self, text: str, tokens: Sequence[Token]) -> List[Dict]:
-        """Matches at exact token boundaries → mentions (annotate, :196-230)."""
+        """Matches at exact token boundaries → mentions (annotate, :196-230).
+
+        Token lookup is O(log n) via bisect over the sorted begin offsets
+        (tokens are in document order by construction)."""
+        from bisect import bisect_left
+
         mentions: List[Dict] = []
         toks = list(tokens)
+        begins = [t.begin for t in toks]
+        n = len(toks)
         for begin, end in self.find(text):
-            covered = tokens_in_range(toks, begin, end, enclosed=True)
+            i = bisect_left(begins, begin)
+            covered: List[Token] = []
+            while i < n and begins[i] < end:
+                if toks[i].end <= end:
+                    covered.append(toks[i])
+                i += 1
             if not covered:
                 continue
             if covered[0].begin == begin and covered[-1].end == end:

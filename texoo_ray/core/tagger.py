@@ -34,6 +34,7 @@ class FeatureTagger:
     def __init__(self, language: str = "en", threshold: float = 0.5):
         self.threshold = threshold
         self.stopwords = STOPWORDS_DE if language == "de" else STOPWORDS_EN
+        self._cache: dict = {}
 
     def entity_score(self, token: str, position: int) -> float:
         """Deterministic [0,1] evidence that a token is part of a mention."""
@@ -95,24 +96,61 @@ class FeatureTagger:
             scores[i, BIOES_INDEX["O"]] = 1.0 - e
         return scores
 
+    def _entity_scores(self, tokens: Sequence[str]) -> List[float]:
+        T = len(tokens)
+        cache = self._cache
+        ent = [0.0] * T
+        for i, tok in enumerate(tokens):
+            key = (tok, i > 0)
+            e = cache.get(key)
+            if e is None:
+                e = self.entity_score(tok, 1 if i > 0 else 0)
+                if len(cache) < 200_000:
+                    cache[key] = e
+            ent[i] = e
+        # connectors join two entity tokens ("University of Oslo")
+        th = self.threshold
+        for i in range(1, T - 1):
+            if tokens[i].lower() in _CONNECTORS and ent[i - 1] >= th and ent[i + 1] >= th:
+                ent[i] = th + 0.1
+        return ent
+
     def tag_sentences(
         self, sentences: Sequence[Sentence]
     ) -> Tuple[List[str], List[float]]:
-        """Flat per-token BIOES labels + confidences for a document, CRF-repaired
-        per sentence (MentionTagger.createTags -> correctCRF,
-        MentionTagger.java:362-381)."""
+        """Flat per-token BIOES labels + confidences for a document.
+
+        The run-structured labeling is valid-by-construction, so the CRF
+        repair (applied in full when consuming external score sequences,
+        e.g. via ``correct_crf``) is a no-op here and skipped. Confidence
+        follows BIOESTag(INDArray,...) (BIOESTag.java:58-65): O -> P(O),
+        otherwise 1 - P(O) where P(O) = 1 - entity score.
+        """
         labels: List[str] = []
         confs: List[float] = []
+        th = self.threshold
         for s in sentences:
-            scores = self.score_sentence([t.text for t in s.tokens])
-            if scores.shape[0] == 0:
+            toks = [t.text for t in s.tokens]
+            if not toks:
                 continue
-            fixed = correct_crf(scores)
-            labels.extend(fixed)
-            # confidence convention of BIOESTag(INDArray, ...) (BIOESTag.java:58-65):
-            # O -> score of O; otherwise 1 - score of O
-            o = BIOES_INDEX["O"]
-            for i, l in enumerate(fixed):
-                p_o = float(scores[i, o])
-                confs.append(p_o if l == "O" else 1.0 - p_o)
+            ent = self._entity_scores(toks)
+            T = len(ent)
+            in_run = [e >= th for e in ent]
+            for i in range(T):
+                e = ent[i]
+                if not in_run[i]:
+                    labels.append("O")
+                    confs.append(1.0 - e)
+                    continue
+                prev_in = i > 0 and in_run[i - 1]
+                next_in = i + 1 < T and in_run[i + 1]
+                if not prev_in and not next_in:
+                    labels.append("S")
+                elif not prev_in:
+                    labels.append("B")
+                elif next_in:
+                    labels.append("I")
+                else:
+                    labels.append("E")
+                confs.append(e)
         return labels, confs

@@ -86,38 +86,39 @@ def _split_chunk(chunk: str, out: List[Tuple[int, int]], base: int) -> None:
         out.append((base + pm.start(), base + pm.end()))
 
 
+# pass-1 chunking at regex (C) speed: either a run of chars that are neither
+# whitespace nor single-char tokens, or one single-char token / newline
+_PASS1_RE = re.compile(r'[^\s"()\[\]{}]+|[\n"()\[\]{}]')
+
+
 def whitespace_newline_spans(text: str) -> List[Tuple[int, int]]:
     """Pass 1: split on whitespace, emitting ``\\n`` and ``\"()[]{}``
     as single-char tokens (TokenizerMENL.java:89-129)."""
-    spans: List[Tuple[int, int]] = []
-    tok_start = -1
-    for i, c in enumerate(text):
-        if c.isspace() and c != "\n":
-            if tok_start >= 0:
-                spans.append((tok_start, i))
-                tok_start = -1
-        elif c == "\n" or c in SINGLE_CHAR_TOKENS:
-            if tok_start >= 0:
-                spans.append((tok_start, i))
-                tok_start = -1
-            spans.append((i, i + 1))
-        else:
-            if tok_start < 0:
-                tok_start = i
-    if tok_start >= 0:
-        spans.append((tok_start, len(text)))
-    return spans
+    return [(m.start(), m.end()) for m in _PASS1_RE.finditer(text)]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=131072)
+def _chunk_spans(chunk: str) -> Tuple[Tuple[int, int], ...]:
+    """Pass-2 sub-spans of a chunk, relative to the chunk start. Chunks
+    repeat heavily across a corpus, so this is memoized."""
+    if _is_protected(chunk):
+        return ((0, len(chunk)),)
+    out: List[Tuple[int, int]] = []
+    _split_chunk(chunk, out, 0)
+    return tuple(out)
 
 
 def tokenize_spans(text: str) -> List[Tuple[int, int]]:
     """Full tokenization: pass 1 + pass 2. Returns (begin, end) spans."""
     out: List[Tuple[int, int]] = []
-    for begin, end in whitespace_newline_spans(text):
-        chunk = text[begin:end]
-        if _is_protected(chunk):
-            out.append((begin, end))
-        else:
-            _split_chunk(chunk, out, begin)
+    for m in _PASS1_RE.finditer(text):
+        begin = m.start()
+        chunk = m.group()
+        for rb, re_ in _chunk_spans(chunk):
+            out.append((begin + rb, begin + re_))
     return out
 
 

@@ -45,6 +45,7 @@ def extract_turns(
     section_method: str = "nl",
     batch_size: int = 256,
     concurrency: Optional[int] = None,
+    lean: bool = False,
 ):
     """Attach extraction columns to a turns Dataset (lazy)."""
     if concurrency is None:
@@ -56,6 +57,7 @@ def extract_turns(
             strip=strip,
             gazetteer_terms=list(gazetteer_terms) if gazetteer_terms else None,
             section_method=section_method,
+            lean=lean,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -82,11 +84,7 @@ def run_extract(
     import ray.data
 
     ds = ray.data.read_parquet(input_path, columns=list(columns) if columns else None)
-    ds = extract_turns(ds, **kwargs)
-    if drop_heavy:
-        keep_drop = [c for c in SHUFFLE_DROP_COLUMNS if c in ds.schema().names]
-        if keep_drop:
-            ds = ds.drop_columns(keep_drop)
+    ds = extract_turns(ds, lean=drop_heavy, **kwargs)
     if sort_output:
         ds = ordered(ds)
     os.makedirs(out_dir, exist_ok=True)

@@ -254,7 +254,12 @@ class ExtractStage:
         gazetteer_ref=None,
         section_method: str = "nl",
         text_col: str = "text",
+        lean: bool = False,
     ):
+        # lean=True skips the clean_text/tags output columns entirely (the
+        # analogue of the reference's clearVectors before serialization,
+        # Span.java:154-159) — less object-store traffic into the sort.
+        self.lean = lean
         self.segment = SegmentStage(newlines=newlines, strip=strip, text_col=text_col)
         self.taggers = {"en": FeatureTagger("en"), "de": FeatureTagger("de")}
         if gazetteer_terms is None and gazetteer_ref is not None:
@@ -288,11 +293,13 @@ class ExtractStage:
             sents, toks = schema.doc_to_row_lists(doc)
             tagger = self.taggers.get(lang or "en", self.taggers["en"])
             labels, confs = tagger.tag_sentences(doc.sentences)
-            bio2 = bioes_to_bio2(labels)
-            tags = [
-                {"bio2": b2, "bioes": be, "type": "GENERIC" if be != "O" else "", "confidence": c}
-                for b2, be, c in zip(bio2, labels, confs)
-            ]
+            if not self.lean:
+                bio2 = bioes_to_bio2(labels)
+                tags = [
+                    {"bio2": b2, "bioes": be, "type": "GENERIC" if be != "O" else "", "confidence": c}
+                    for b2, be, c in zip(bio2, labels, confs)
+                ]
+                tag_c.append(tags)
             mentions = mentions_from_bioes(
                 [s.tokens for s in doc.sentences],
                 labels,
@@ -302,18 +309,19 @@ class ExtractStage:
             if self.gaz is not None:
                 mentions = mentions + self.gaz.annotate(text, doc.tokens())
             secs = self.sections._sections_for(doc)
-            clean_c.append(text)
+            if not self.lean:
+                clean_c.append(text)
             lang_c.append(lang)
             sent_c.append(sents)
             tok_c.append(toks)
-            tag_c.append(tags)
             men_c.append(mentions)
             sec_c.append(secs)
-        batch = _append(batch, "clean_text", pa.array(clean_c, pa.string()))
+        if not self.lean:
+            batch = _append(batch, "clean_text", pa.array(clean_c, pa.string()))
+            batch = _append(batch, "tags", pa.array(tag_c, schema.TAG_TYPE))
         batch = _append(batch, "lang", pa.array(lang_c, pa.string()))
         batch = _append(batch, "sentences", pa.array(sent_c, schema.SENTENCE_TYPE))
         batch = _append(batch, "tokens", pa.array(tok_c, schema.TOKEN_TYPE))
-        batch = _append(batch, "tags", pa.array(tag_c, schema.TAG_TYPE))
         batch = _append(batch, "mentions", pa.array(men_c, schema.MENTION_TYPE))
         batch = _append(batch, "sections", pa.array(sec_c, schema.SECTION_TYPE))
         batch = _append(
