@@ -1,0 +1,248 @@
+"""Tests for dedup, knn, text stats, analytics, CoNLL reader, lineage."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from texoo_ray.sources.conll import parse_conll
+from texoo_ray.stages.dedup import (
+    hamming64,
+    jaccard_ngrams,
+    minhash_signature,
+    simhash64,
+)
+from texoo_ray.stages.multimodal import MediaFeatureStage, synthetic_media_table
+from texoo_ray.stages.text_stats import (
+    content_hash,
+    fingerprint,
+    quality_stats,
+    token_counts,
+)
+
+CONLL_SAMPLE = """-DOCSTART- -X- O O
+
+EU NNP B-ORG
+rejects VBZ O
+German JJ B-MISC
+call NN O
+. . O
+
+Peter NNP B-PER
+Blackburn NNP I-PER
+
+-DOCSTART- -X- O O
+
+BRUSSELS NNP B-LOC
+1996-08-22 CD O
+Madrid NNP I-LOC
+"""
+
+
+class TestConll:
+    def test_parse(self):
+        docs = parse_conll(CONLL_SAMPLE)
+        assert len(docs) == 2
+        d0 = docs[0]
+        assert d0["text"].startswith("EU rejects German call.")
+        texts = [m["text"] for m in d0["mentions"]]
+        assert texts == ["EU", "German", "Peter Blackburn"]
+        types = [m["type"] for m in d0["mentions"]]
+        assert types == ["ORG", "MISC", "PER"]
+        assert all(m["source"] == "GOLD" for m in d0["mentions"])
+
+    def test_i_after_o_coerced(self):
+        """'I-LOC' with no open LOC run becomes B-LOC (createTag :211-252)."""
+        d1 = parse_conll(CONLL_SAMPLE)[1]
+        texts = [m["text"] for m in d1["mentions"]]
+        assert texts == ["BRUSSELS", "Madrid"]
+        assert [m["type"] for m in d1["mentions"]] == ["LOC", "LOC"]
+
+    def test_sentence_breaks(self):
+        d0 = parse_conll(CONLL_SAMPLE)[0]
+        assert len(d0["sentences"]) == 2
+
+    def test_spacing_rules(self):
+        d0 = parse_conll(CONLL_SAMPLE)[0]
+        assert "call." in d0["text"]  # no space before '.'
+
+
+class TestDedupPrimitives:
+    def test_minhash_similarity(self):
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+        c = "completely different content about stock markets and finance news"
+        sa, sb, sc = (minhash_signature(x) for x in (a, b, c))
+        sim_ab = float(np.mean(sa == sb))
+        sim_ac = float(np.mean(sa == sc))
+        assert sim_ab > 0.5 > sim_ac
+
+    def test_minhash_deterministic(self):
+        assert np.array_equal(minhash_signature("abc def ghi"), minhash_signature("abc def ghi"))
+
+    def test_jaccard(self):
+        assert jaccard_ngrams("a b c d", "a b c d") == 1.0
+        assert jaccard_ngrams("a b c d", "x y z w") == 0.0
+        assert jaccard_ngrams("", "") == 1.0
+        assert 0 < jaccard_ngrams("a b c d e", "a b c d f") < 1
+
+    def test_simhash(self):
+        a = simhash64("the quick brown fox jumps over the lazy dog")
+        b = simhash64("the quick brown fox jumps over the lazy cat")
+        c = simhash64("stock markets fell sharply on monday morning")
+        assert hamming64(a, b) < hamming64(a, c)
+        assert simhash64("") == 0
+
+
+class TestTextStats:
+    def test_quality(self):
+        batch = pa.table({"doc_id": [1], "text": ["Ab1 cd!  x"]})
+        out = quality_stats(batch)
+        assert out["n_chars_q"][0].as_py() == 10
+        assert out["n_words"][0].as_py() == 3
+        assert out["n_digits"][0].as_py() == 1
+        assert out["n_upper"][0].as_py() == 1
+        assert out["n_alpha"][0].as_py() == 5
+
+    def test_token_counts(self):
+        batch = pa.table({"text": ["hello, world! x2"]})
+        out = token_counts(batch)
+        assert out["n_ws_tokens"][0].as_py() == 3
+        # hello , world ! x2 -> 5 BPE-ish tokens
+        assert out["n_bpe_tokens"][0].as_py() == 5
+
+    def test_fingerprint_ws_insensitive(self):
+        b1 = fingerprint(pa.table({"text": ["Hello   World"]}))
+        b2 = fingerprint(pa.table({"text": ["hello world"]}))
+        assert b1["fingerprint"][0].as_py() == b2["fingerprint"][0].as_py()
+
+    def test_content_hash_exact(self):
+        b1 = content_hash(pa.table({"text": ["abc"]}))
+        b2 = content_hash(pa.table({"text": ["abc "]}))
+        assert b1["text_hash"][0].as_py() != b2["text_hash"][0].as_py()
+
+
+class TestMultimodal:
+    def test_stub_guard(self):
+        with pytest.raises(NotImplementedError):
+            MediaFeatureStage(decode="real")
+
+    def test_fake_features_deterministic(self):
+        tbl = synthetic_media_table(8)
+        s = MediaFeatureStage()
+        o1, o2 = s(tbl), s(tbl)
+        assert o1["features"].to_pylist() == o2["features"].to_pylist()
+        assert all(len(f) == 32 for f in o1["features"].to_pylist())
+        assert o1["payload_bytes"].to_pylist() == [
+            len(p) for p in tbl["payload"].to_pylist()
+        ]
+
+
+class TestRayOps:
+    def test_exact_dedup_finds_dups(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import exact_dedup
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": ["aa", "bb", "aa", "cc", "bb"],
+            }
+        )
+        out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [1, 2, 4]
+        assert out["dup_count"].tolist() == [2, 2, 1]
+
+    def test_minhash_dedup_clusters_near_dups(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import minhash_dedup
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [base, base + " indeed", "unrelated text about finance and markets entirely"],
+            }
+        )
+        out = minhash_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert cl[1] == 1 and cl[2] == 1  # near-dups share the min-id cluster
+        assert cl[3] == 3
+
+    def test_brute_force_topk(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.knn import brute_force_topk
+
+        rng = np.random.RandomState(0)
+        vecs = rng.randn(50, 8).astype(np.float32)
+        vecs[7] = vecs[3] * 2.0  # same direction as row 3
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        out = brute_force_topk(ray.data.from_arrow(tbl), vecs[3], k=3).to_pandas()
+        assert set(out["vec_id"].tolist()[:2]) == {3, 7}
+
+    def test_hourly_windows_and_sessions(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import hourly_windows, sessionize
+
+        ts = pd.to_datetime(
+            ["2025-01-01 10:05", "2025-01-01 10:55", "2025-01-01 12:00",
+             "2025-01-01 10:10", "2025-01-01 11:10"]
+        )
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "event_type": ["a", "a", "a", "b", "b"],
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        hw = hourly_windows(ray.data.from_arrow(tbl)).to_pandas()
+        a10 = hw[(hw["event_type"] == "a") & (hw["window_start"].dt.hour == 10)]
+        assert a10["n_events"].iloc[0] == 2 and a10["sum_value"].iloc[0] == 3.0
+        se = sessionize(ray.data.from_arrow(tbl)).to_pandas().set_index("user_id")
+        assert se.loc[1, "n_sessions"] == 3  # 50min and 65min gaps both split
+        assert se.loc[2, "n_sessions"] == 2
+
+
+class TestLineage:
+    def test_resume_skips_completed(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from texoo_ray.state.lineage import collect_metrics, run_resumable
+
+        src = tmp_path / "src"
+        src.mkdir()
+        files = []
+        for i in range(4):
+            p = str(src / f"in-{i}.parquet")
+            pq.write_table(pa.table({"x": pa.array([i * 10 + j for j in range(5)], pa.int64())}), p)
+            files.append(p)
+
+        calls = {"n": 0}
+
+        def pipeline(ds):
+            calls["n"] += 1
+            return ds.map_batches(lambda b: b, batch_format="pyarrow")
+
+        out = str(tmp_path / "out")
+        r1 = run_resumable(files, out, pipeline, num_partitions=2)
+        assert r1 == {"partitions": 2, "skipped": 0, "rows": 20}
+        n_first = calls["n"]
+        r2 = run_resumable(files, out, pipeline, num_partitions=2)
+        assert r2["skipped"] == 2 and r2["rows"] == 20
+        assert calls["n"] == n_first  # nothing recomputed
+        m = collect_metrics(out)
+        assert m["partitions"] == 2 and m["rows"] == 20
