@@ -1,0 +1,138 @@
+"""Tests for the entity-linking lookup-join and the BoW/Bloom encoders."""
+
+import pyarrow as pa
+import pytest
+
+from texoo_ray.stages.encoders import (
+    BagOfWordsEncoder,
+    BloomFilter,
+    build_bloom,
+    build_vocab,
+)
+from texoo_ray.stages.linker import (
+    KnowledgeBase,
+    LinkerStage,
+    jaro_winkler,
+    normalize_name,
+)
+from texoo_ray.stages import schema
+
+KB = [
+    ("Q60", "New York City"),
+    ("Q937", "Albert Einstein"),
+    ("Q7186", "Marie Curie"),
+    ("Q90", "Paris"),
+]
+
+
+class TestJaroWinkler:
+    def test_identity(self):
+        assert jaro_winkler("abc", "abc") == 1.0
+
+    def test_empty(self):
+        assert jaro_winkler("", "abc") == 0.0
+
+    def test_known_value(self):
+        # classic example: MARTHA vs MARHTA = 0.9611
+        assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-4)
+
+    def test_ordering(self):
+        assert jaro_winkler("new york", "new york city") > jaro_winkler(
+            "new york", "paris"
+        )
+
+
+class TestKB:
+    def test_exact(self):
+        kb = KnowledgeBase(KB)
+        assert kb.link("New York City") == ("Q60", "New York City", 1.0)
+
+    def test_normalized(self):
+        kb = KnowledgeBase(KB)
+        assert kb.link("  new  YORK city ")[0] == "Q60"
+
+    def test_fuzzy(self):
+        kb = KnowledgeBase(KB)
+        hit = kb.link("Albert Einstien")  # typo
+        assert hit is not None and hit[0] == "Q937"
+
+    def test_miss(self):
+        kb = KnowledgeBase(KB)
+        assert kb.link("Unrelated Thing") is None
+
+    def test_accent_folding(self):
+        kb = KnowledgeBase([("Q1", "Löser")])
+        assert normalize_name("Löser") == normalize_name("Loser")
+        assert kb.link("Loser")[0] == "Q1"
+
+
+class TestLinkerStage:
+    def test_attach_refs(self):
+        mentions = [
+            [
+                {"begin": 0, "end": 13, "text": "New York City", "type": "LOC",
+                 "confidence": 1.0, "source": "PRED"},
+                {"begin": 20, "end": 27, "text": "nothing", "type": "GENERIC",
+                 "confidence": 1.0, "source": "PRED"},
+            ]
+        ]
+        batch = pa.table(
+            {"doc_id": pa.array([1], pa.int64()),
+             "mentions": pa.array(mentions, schema.MENTION_TYPE)}
+        )
+        out = LinkerStage(kb_entries=KB)(batch)
+        linked = out["linked_mentions"][0].as_py()
+        assert linked[0]["ref_id"] == "Q60" and linked[0]["ref_score"] == 1.0
+        assert linked[1]["ref_id"] == ""
+
+
+class TestBloom:
+    def test_membership(self):
+        bf = BloomFilter()
+        for w in ("alpha", "beta", "gamma"):
+            bf.add(w)
+        assert "alpha" in bf and "beta" in bf
+        assert "delta" not in bf  # with 4096 bits / 3 words, no false positive
+
+    def test_merge(self):
+        a, b = BloomFilter(), BloomFilter()
+        a.add("one")
+        b.add("two")
+        m = a.merge(b)
+        assert "one" in m and "two" in m
+
+    def test_serialization(self):
+        bf = BloomFilter()
+        bf.add("persist")
+        bf2 = BloomFilter.from_bytes(bf.to_bytes())
+        assert "persist" in bf2
+
+    def test_encode(self):
+        bf = BloomFilter()
+        v = bf.encode("hello world")
+        assert v.sum() <= 10 and v.sum() > 0
+
+
+class TestVocabBuild:
+    def test_build_and_encode(self, ray_session):
+        import ray.data
+
+        tbl = pa.table(
+            {"text": ["apple banana apple", "banana cherry", "apple the the"]}
+        )
+        vocab = build_vocab(ray.data.from_arrow(tbl), min_freq=1, max_size=10)
+        assert vocab[0] == "apple"  # count 4... apple=4? apple:3 banana:2
+        assert "the" not in vocab  # stopword
+        enc = BagOfWordsEncoder(vocab)
+        v = enc.encode("apple cherry unknown")
+        assert v[enc.index["apple"]] == 1.0
+        assert v[enc.index["cherry"]] == 1.0
+        assert enc.is_unknown("zzz")
+
+    def test_build_bloom_distributed(self, ray_session):
+        import ray.data
+
+        tbl = pa.table({"text": ["aa bb", "cc dd"]})
+        bf = build_bloom(ray.data.from_arrow(tbl).repartition(2))
+        for w in ("aa", "bb", "cc", "dd"):
+            assert w in bf
