@@ -331,6 +331,121 @@ def _q_knn_lsh(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_link_mentions(sf_dir: str):
+    """Extraction + entity-linking lookup-join against a fixture KB
+    (broadcast small side, no shuffle)."""
+    import ray.data
+
+    from texoo_ray.pipelines.extract import extract_turns
+    from texoo_ray.sources.fixtures import ENTITY_TERMS
+    from texoo_ray.stages.linker import LinkerStage
+
+    kb = [("E%03d" % i, t) for i, t in enumerate(ENTITY_TERMS)]
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    ds = extract_turns(ds, gazetteer_terms=GAZETTEER_TERMS, batch_size=256)
+    ds = ds.map_batches(
+        LinkerStage,
+        fn_constructor_kwargs=dict(kb_entries=kb),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        linked = batch["linked_mentions"].to_pylist()
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_mentions": pa.array([len(l) for l in linked], pa.int32()),
+                "n_linked": pa.array(
+                    [sum(1 for m in l if m["ref_id"]) for l in linked], pa.int32()
+                ),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow").sort(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def _q_ner_eval(sf_dir: str):
+    """Distributed NER eval: gazetteer matches as GOLD vs feature-tagger
+    PRED; per-turn partial counts -> global P/R/F1 (one row)."""
+    import pandas as pd
+    import ray.data
+
+    from texoo_ray.pipelines.evaluate import ner_eval
+    from texoo_ray.stages.extract import (
+        GazetteerStage,
+        MentionDecodeStage,
+        SegmentStage,
+        TagStage,
+    )
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+
+    class Prep:
+        def __init__(self):
+            self.seg = SegmentStage(newlines="keep", strip=True)
+            self.tag = TagStage()
+            self.dec = MentionDecodeStage()
+            self.gaz = GazetteerStage(terms=GAZETTEER_TERMS, text_col="clean_text")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = self.dec(self.tag(self.seg(batch)))
+            pred = b["mentions"]
+            b = b.drop_columns(["mentions"])
+            b = self.gaz(b)  # gazetteer alone -> gold
+            b = b.rename_columns(
+                [c if c != "mentions" else "gold_mentions" for c in b.column_names]
+            )
+            return b.append_column("mentions", pred)
+
+    ds = ds.map_batches(Prep, batch_format="pyarrow", batch_size=256, concurrency=2)
+    res = ner_eval(ds)
+    return pd.DataFrame(
+        [
+            {
+                "n_gold": res["n_gold"],
+                "n_pred": res["n_pred"],
+                "strong_f1": res["strong"]["f1"],
+                "weak_f1": res["weak"]["f1"],
+            }
+        ]
+    )
+
+
+def _q_segmentation_eval(sf_dir: str):
+    """Mean Pk/WindowDiff of BEMD segmentation vs the NL reference
+    segmentation over multi-paragraph turns (one row)."""
+    import pandas as pd
+    import ray.data
+
+    from texoo_ray.pipelines.evaluate import segmentation_eval
+    from texoo_ray.stages.extract import SectionStage, SegmentStage
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+
+    class Prep:
+        def __init__(self):
+            self.seg = SegmentStage(newlines="keep", strip=True)
+            self.nl = SectionStage(method="nl")
+            self.bemd = SectionStage(method="bemd")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = self.seg(batch)
+            b = self.nl(b)
+            b = b.rename_columns(
+                [c if c != "sections" else "sections_ref" for c in b.column_names]
+            )
+            return self.bemd(b)
+
+    ds = ds.map_batches(Prep, batch_format="pyarrow", batch_size=256, concurrency=2)
+    res = segmentation_eval(ds)
+    return pd.DataFrame([res])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -369,6 +484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "knn_top10": _q_knn_top10,
+        # linking + distributed eval (rows-only)
+        "link_mentions": _q_link_mentions,
+        "ner_eval": _q_ner_eval,
+        "segmentation_eval": _q_segmentation_eval,
         # approximate / heuristic (rows-only)
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

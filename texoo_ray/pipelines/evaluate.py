@@ -1,0 +1,111 @@
+"""Distributed evaluation: NER P/R/F1 and segmentation Pk/WindowDiff.
+
+Counters are computed per turn inside ``map_batches`` (both gold and pred
+live on the row — the reference's gold↔pred matching is row-local too,
+MentionAnnotatorEval) and reduced with a global sum; only a handful of
+numbers cross the wire (SURVEY.md §2.7 partial+final pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+
+from ..core.evaluation import (
+    calculate_k,
+    masses_array,
+    mention_match_counts,
+    pk,
+    positions_array,
+    prf1,
+    window_diff,
+)
+
+
+def ner_eval(ds, gold_col: str = "gold_mentions", pred_col: str = "mentions") -> Dict:
+    """Corpus P/R/F1 (strong and weak) from per-turn mention columns."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tp_s = tp_w = ng = np_ = 0
+        for gold, pred in zip(batch[gold_col].to_pylist(), batch[pred_col].to_pylist()):
+            gold = gold or []
+            pred = pred or []
+            s, g, p = mention_match_counts(gold, pred, weak=False)
+            w, _, _ = mention_match_counts(gold, pred, weak=True)
+            tp_s += s
+            tp_w += w
+            ng += g
+            np_ += p
+        return pa.table(
+            {
+                "tp_strong": pa.array([tp_s], pa.int64()),
+                "tp_weak": pa.array([tp_w], pa.int64()),
+                "n_gold": pa.array([ng], pa.int64()),
+                "n_pred": pa.array([np_], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    import pandas as pd
+
+    df = parts.to_pandas().sum()
+    strong = prf1(int(df["tp_strong"]), int(df["n_gold"]), int(df["n_pred"]))
+    weak = prf1(int(df["tp_weak"]), int(df["n_gold"]), int(df["n_pred"]))
+    return {
+        "n_gold": int(df["n_gold"]),
+        "n_pred": int(df["n_pred"]),
+        "strong": strong,
+        "weak": weak,
+    }
+
+
+def _section_lengths(sentences: List[dict], sections: List[dict]) -> List[int]:
+    """Sentence count per section (sections are contiguous sentence ranges)."""
+    out = []
+    for sec in sections:
+        n = sum(1 for s in sentences if sec["begin"] <= s["begin"] and s["end"] <= sec["end"])
+        if n:
+            out.append(n)
+    return out
+
+
+def segmentation_eval(
+    ds, ref_col: str = "sections_ref", hyp_col: str = "sections", sent_col: str = "sentences"
+) -> Dict:
+    """Mean Pk / WindowDiff over documents (k = half mean ref segment
+    length per doc, SegmentationEvaluation.calculateK)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_sum = wd_sum = 0.0
+        n = 0
+        for sents, ref, hyp in zip(
+            batch[sent_col].to_pylist(),
+            batch[ref_col].to_pylist(),
+            batch[hyp_col].to_pylist(),
+        ):
+            if not sents or not ref or not hyp:
+                continue
+            ref_pos = positions_array(_section_lengths(sents, ref))
+            hyp_pos = positions_array(_section_lengths(sents, hyp))
+            if len(ref_pos) != len(hyp_pos) or len(ref_pos) < 2:
+                continue
+            k = calculate_k(masses_array(ref_pos))
+            pk_sum += pk(ref_pos, hyp_pos, k)
+            wd_sum += window_diff(ref_pos, hyp_pos, k)
+            n += 1
+        return pa.table(
+            {
+                "pk_sum": pa.array([pk_sum], pa.float64()),
+                "wd_sum": pa.array([wd_sum], pa.float64()),
+                "n_docs": pa.array([n], pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = max(int(df["n_docs"]), 1)
+    return {
+        "n_docs": int(df["n_docs"]),
+        "mean_pk": float(df["pk_sum"]) / n,
+        "mean_window_diff": float(df["wd_sum"]) / n,
+    }
