@@ -59,22 +59,22 @@ def ensure_bench_corpus() -> str:
 def run_headline(turns_dir: str) -> dict:
     import ray.data
 
-    from texoo_ray.pipelines.extract import extract_turns, ordered
+    from texoo_ray.pipelines.extract import (
+        configure_shuffle,
+        extract_turns,
+        ordered_by_conversation,
+    )
     from texoo_ray.sources.fixtures import GAZETTEER_TERMS
 
     out_dir = "/tmp/texoo_bench_out/headline"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
 
-    # Shuffle tuning: keep the sort's partition count ~2x the CPU count —
-    # with the default block splitting the 64-file corpus becomes 256
-    # blocks and the sort exchanges 256x256 tiny objects (measured 2.5x
-    # slower at 32 cpus). Push-based shuffle pipelines the merge.
-    from ray.data.context import ShuffleStrategy
-
-    ctx = ray.data.DataContext.get_current()
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    num_blocks = max(48, 2 * NUM_CPUS)
+    # Hash-shuffle ordering exchange (groupby(conv_id) + in-group sort)
+    # with CPU headroom for the shuffle aggregators; block count a
+    # multiple of the actor pool so the last wave isn't mostly idle.
+    concurrency = configure_shuffle(NUM_CPUS)
+    num_blocks = max(48, 4 * concurrency)
 
     # warm page cache (untimed read) so we measure compute + shuffle
     warm = ray.data.read_parquet(turns_dir).count()
@@ -85,10 +85,10 @@ def run_headline(turns_dir: str) -> dict:
         ds,
         gazetteer_terms=GAZETTEER_TERMS,
         batch_size=512,
-        concurrency=max(2, NUM_CPUS - 2),
+        concurrency=concurrency,
         lean=True,
     )
-    ds = ordered(ds)
+    ds = ordered_by_conversation(ds, num_partitions=64)
     ds.write_parquet(out_dir)
     wall = time.time() - t0
     return {"turns": warm, "sec": round(wall, 3), "turns_per_sec": round(warm / wall, 1)}

@@ -71,6 +71,50 @@ def ordered(ds):
     return ds.sort(["conv_id", "turn_idx"])
 
 
+def ordered_by_conversation(ds, num_partitions: int = 64):
+    """The north rule's literal shape — ``groupby(conv_id)`` exchange +
+    in-group ``turn_idx`` sort — as a hash repartition on ``conv_id``
+    followed by one vectorized per-block sort.
+
+    Cheaper than the global range sort at scale: no sample pass, no
+    sorted-run merge in the reduce (Ray's SortReduce spent ~230 CPU-s
+    merging nested Arrow runs on the 2.8M-turn bench vs ~30 CPU-s for
+    per-block ``Table.sort_by``). Each conversation lands wholly in one
+    output block, sorted by turn within; cross-block order is by
+    conv-hash, deterministic. Requires the hash shuffle strategy
+    (``configure_shuffle``); falls back to the global sort otherwise.
+    """
+    import pyarrow as pa
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        return ordered(ds)
+
+    def sort_block(b: pa.Table) -> pa.Table:
+        return b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+    return ds.repartition(num_partitions, keys=["conv_id"]).map_batches(
+        sort_block, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def configure_shuffle(num_cpus: int):
+    """Set the hash shuffle strategy with CPU headroom for its aggregator
+    actors; returns the extract-stage concurrency to use. The aggregators
+    need schedulable slots next to the extract actor pool — without
+    headroom the exchange starves (measured: hung at concurrency=cpus-2)."""
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    aggregators = max(2, num_cpus // 5)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = aggregators
+    return max(2, num_cpus - aggregators)
+
+
 def run_extract(
     input_path,
     out_dir: str,
