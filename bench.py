@@ -63,6 +63,7 @@ def run_headline(turns_dir: str) -> dict:
         configure_shuffle,
         extract_turns,
         ordered_by_conversation,
+        restore_shuffle,
     )
     from texoo_ray.sources.fixtures import GAZETTEER_TERMS
 
@@ -71,26 +72,30 @@ def run_headline(turns_dir: str) -> dict:
         shutil.rmtree(out_dir)
 
     # Hash-shuffle ordering exchange (groupby(conv_id) + in-group sort)
-    # with CPU headroom for the shuffle aggregators; block count a
-    # multiple of the actor pool so the last wave isn't mostly idle.
-    concurrency = configure_shuffle(NUM_CPUS)
+    # with a bounded aggregator CPU budget; block count a multiple of the
+    # actor pool so the last wave isn't mostly idle. The strategy is
+    # scoped to the headline — queries run under the default strategy.
+    concurrency, prev_shuffle = configure_shuffle(NUM_CPUS, num_partitions=64)
     num_blocks = max(48, 4 * concurrency)
 
     # warm page cache (untimed read) so we measure compute + shuffle
     warm = ray.data.read_parquet(turns_dir).count()
 
-    t0 = time.time()
-    ds = ray.data.read_parquet(turns_dir, override_num_blocks=num_blocks)
-    ds = extract_turns(
-        ds,
-        gazetteer_terms=GAZETTEER_TERMS,
-        batch_size=512,
-        concurrency=concurrency,
-        lean=True,
-    )
-    ds = ordered_by_conversation(ds, num_partitions=64)
-    ds.write_parquet(out_dir)
-    wall = time.time() - t0
+    try:
+        t0 = time.time()
+        ds = ray.data.read_parquet(turns_dir, override_num_blocks=num_blocks)
+        ds = extract_turns(
+            ds,
+            gazetteer_terms=GAZETTEER_TERMS,
+            batch_size=512,
+            concurrency=concurrency,
+            lean=True,
+        )
+        ds = ordered_by_conversation(ds, num_partitions=64)
+        ds.write_parquet(out_dir)
+        wall = time.time() - t0
+    finally:
+        restore_shuffle(prev_shuffle)
     return {"turns": warm, "sec": round(wall, 3), "turns_per_sec": round(warm / wall, 1)}
 
 

@@ -1,0 +1,71 @@
+"""Skew handling: salted two-stage aggregation and per-group size caps."""
+
+import pyarrow as pa
+
+
+def test_salted_two_stage_aggregation(ray_session):
+    """Hot-key aggregation: groupby((key, salt)) partials then merge —
+    results equal the direct aggregate (SURVEY.md §7.3)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from texoo_ray.pipelines.conversations import salted_repartition
+
+    rows = {"conv_id": [], "turn_idx": [], "x": []}
+    for c, n in (("hot", 500), ("cold-a", 5), ("cold-b", 8)):
+        for i in range(n):
+            rows["conv_id"].append(c)
+            rows["turn_idx"].append(i)
+            rows["x"].append(i % 7)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "x": pa.array(rows["x"], pa.int64()),
+        }
+    )
+    ds = salted_repartition(ray.data.from_arrow(tbl), salt_buckets=4)
+    stage1 = ds.groupby(["conv_id", "salt"]).aggregate(Sum("x", alias_name="x"))
+    out = (
+        stage1.groupby("conv_id")
+        .aggregate(Sum("x", alias_name="sum_x"))
+        .to_pandas()
+        .set_index("conv_id")["sum_x"]
+    )
+    import pandas as pd
+
+    direct = (
+        tbl.to_pandas().groupby("conv_id")["x"].sum()
+    )
+    assert out.sort_index().tolist() == direct.sort_index().tolist()
+
+
+def test_concat_conversations_cap(ray_session):
+    """Pathological conversations are truncated at the cap, not OOMed."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import concat_conversations
+
+    rows = {
+        "conv_id": ["big"] * 50 + ["small"] * 3,
+        "turn_idx": list(range(50)) + list(range(3)),
+        "role": ["user"] * 53,
+        "text": ["t"] * 53,
+    }
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": pa.array(rows["role"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+        }
+    )
+    out = (
+        concat_conversations(ray.data.from_arrow(tbl), max_turns_per_group=10)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert out.loc["big", "n_turns"] == 10
+    assert bool(out.loc["big", "truncated"]) is True
+    assert out.loc["small", "n_turns"] == 3
+    assert bool(out.loc["small", "truncated"]) is False

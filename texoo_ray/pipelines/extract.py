@@ -27,13 +27,16 @@ SHUFFLE_DROP_COLUMNS = ("tags", "clean_text")
 
 
 def default_concurrency() -> int:
+    """Actor-pool size that leaves CPU slots for shuffle aggregators and
+    plain tasks — an actor pool that fills every core deadlocks next to a
+    hash-shuffle exchange (see configure_shuffle)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, cpus - 2)
+    return max(2, cpus - max(2, cpus // 5) - max(1, cpus // 8))
 
 
 def extract_turns(
@@ -100,19 +103,44 @@ def ordered_by_conversation(ds, num_partitions: int = 64):
     )
 
 
-def configure_shuffle(num_cpus: int):
-    """Set the hash shuffle strategy with CPU headroom for its aggregator
-    actors; returns the extract-stage concurrency to use. The aggregators
-    need schedulable slots next to the extract actor pool — without
-    headroom the exchange starves (measured: hung at concurrency=cpus-2)."""
+def configure_shuffle(num_cpus: int, num_partitions: int = 64):
+    """Enable the hash shuffle strategy with a bounded CPU budget for its
+    aggregator actors; returns the extract-stage concurrency to use.
+
+    Two deadlock modes observed without this:
+    - the aggregator pool's CPU demand defaults to 0.0625 x partitions
+      (e.g. 12.5 CPUs for a 200-partition groupby) — infeasible on small
+      clusters, the exchange never schedules;
+    - an actor pool that fills every remaining CPU starves the plain
+      read/write tasks.
+    So: cap aggregator CPUs to ~cpus/5 via the per-partition override and
+    leave >=1 slot for tasks. Call ``restore_shuffle`` after the ordering
+    exchange — other pipelines (groupbys with default partition counts)
+    should run under the default sort-based strategy.
+    """
     import ray.data
     from ray.data.context import ShuffleStrategy
 
     ctx = ray.data.DataContext.get_current()
-    aggregators = max(2, num_cpus // 5)
+    agg_budget = max(2, num_cpus // 5)
+    prev = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.max_hash_shuffle_aggregators = aggregators
-    return max(2, num_cpus - aggregators)
+    ctx.max_hash_shuffle_aggregators = agg_budget
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+        agg_budget / float(num_partitions)
+    )
+    task_reserve = max(1, num_cpus // 8)
+    concurrency = max(2, num_cpus - agg_budget - task_reserve)
+    return concurrency, prev
+
+
+def restore_shuffle(prev) -> None:
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override) = prev
 
 
 def run_extract(
@@ -136,3 +164,26 @@ def run_extract(
     import pyarrow.dataset as pads
 
     return pads.dataset(out_dir).count_rows()
+
+
+def run_extract_resumable(
+    input_files,
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+    sort_output: bool = True,
+    **kwargs,
+):
+    """Checkpointed flagship run: per-partition lineage manifests, atomic
+    rename, completed partitions skipped on rerun (state/lineage.py)."""
+    from ..state.lineage import run_resumable
+
+    def pipeline(ds):
+        out = extract_turns(ds, **kwargs)
+        if sort_output:
+            out = ordered_by_conversation(out)
+        return out
+
+    return run_resumable(
+        list(input_files), out_dir, pipeline, num_partitions=num_partitions
+    )
