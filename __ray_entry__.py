@@ -548,7 +548,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,
                    count(*)::BIGINT AS n_events,
-                   sum(value) AS sum_value
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,

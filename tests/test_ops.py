@@ -210,7 +210,7 @@ class TestRayOps:
         )
         hw = hourly_windows(ray.data.from_arrow(tbl)).to_pandas()
         a10 = hw[(hw["event_type"] == "a") & (hw["window_start"].dt.hour == 10)]
-        assert a10["n_events"].iloc[0] == 2 and a10["sum_value"].iloc[0] == 3.0
+        assert a10["n_events"].iloc[0] == 2 and a10["sum_value_cents"].iloc[0] == 300
         se = sessionize(ray.data.from_arrow(tbl)).to_pandas().set_index("user_id")
         assert se.loc[1, "n_sessions"] == 3  # 50min and 65min gaps both split
         assert se.loc[2, "n_sessions"] == 2

@@ -41,7 +41,7 @@ def hourly_windows(ds):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(
@@ -49,6 +49,16 @@ def hourly_windows(ds):
             Sum("sum_value", alias_name="sum_value"),
         )
     )
+
+    # Fixed-point the float aggregate: partial-sum order differs from a
+    # serial sum (and even float rounding differs between engines), so the
+    # comparable output is integer cents. The event values are 2-decimal.
+    def stable(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["sum_value"], 100.0), 0), pa.int64())
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(i, "sum_value_cents", cents)
+
+    return out.map_batches(stable, batch_format="pyarrow")
 
 
 def sessionize(ds, gap_minutes: int = 30):

@@ -122,16 +122,20 @@ def configure_shuffle(num_cpus: int, num_partitions: int = 64):
     from ray.data.context import ShuffleStrategy
 
     ctx = ray.data.DataContext.get_current()
-    agg_budget = max(2, num_cpus // 5)
     prev = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override)
+    if num_cpus < 4:
+        # not enough slots for actors + aggregators + tasks; the caller's
+        # ordered_by_conversation falls back to the global sort
+        return max(1, num_cpus - 1), prev
+    agg_budget = max(1, (num_cpus + 2) // 5)  # 4->1, 8->2, 32->6
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = agg_budget
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
         agg_budget / float(num_partitions)
     )
-    task_reserve = max(1, num_cpus // 8)
-    concurrency = max(2, num_cpus - agg_budget - task_reserve)
+    task_reserve = max(1, num_cpus // 16)
+    concurrency = max(1, num_cpus - agg_budget - task_reserve)
     return concurrency, prev
 
 
