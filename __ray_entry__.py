@@ -446,6 +446,57 @@ def _q_segmentation_eval(sf_dir: str):
     return pd.DataFrame([res])
 
 
+def _q_wiki727_eval(sf_dir: str):
+    """Wiki727-style corpus reader -> segmentation (BEMD) -> Pk/WindowDiff
+    vs the GOLD marker sections (one row). Fixture files are generated
+    deterministically under /tmp (seeded by conversation text bank)."""
+    import random
+
+    import pandas as pd
+
+    from texoo_ray.pipelines.evaluate import segmentation_eval
+    from texoo_ray.sources.fixtures import WORD_BANK
+    from texoo_ray.sources.segmentation_corpora import read_wiki727
+    from texoo_ray.stages.extract import SectionStage, SegmentStage
+
+    n_files = 20 if "0.001" in sf_dir else 80
+    fix_dir = os.path.join("/tmp/texoo_wiki727", "%d" % n_files)
+    marker = os.path.join(fix_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(fix_dir, exist_ok=True)
+        for fi in range(n_files):
+            r = random.Random(4200 + fi)
+            lines = []
+            for si in range(r.randint(2, 5)):
+                lines.append("========,1,%s %s." % (
+                    r.choice(WORD_BANK).capitalize(), r.choice(WORD_BANK)))
+                for _ in range(r.randint(2, 6)):
+                    n_words = r.randint(5, 12)
+                    words = [r.choice(WORD_BANK) for _ in range(n_words)]
+                    lines.append(" ".join(words).capitalize() + ".")
+            with open(os.path.join(fix_dir, "doc-%03d.txt" % fi), "w") as f:
+                f.write("\n".join(lines))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    paths = sorted(
+        os.path.join(fix_dir, p) for p in os.listdir(fix_dir) if p.endswith(".txt")
+    )
+    ds = read_wiki727(paths)
+
+    class Prep:
+        def __init__(self):
+            self.seg = SegmentStage(newlines="keep", strip=False)
+            self.bemd = SectionStage(method="bemd")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self.bemd(self.seg(batch))
+
+    ds = ds.map_batches(Prep, batch_format="pyarrow", batch_size=64, concurrency=2)
+    res = segmentation_eval(ds, ref_col="gold_sections", hyp_col="sections")
+    return pd.DataFrame([res])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -488,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_mentions": _q_link_mentions,
         "ner_eval": _q_ner_eval,
         "segmentation_eval": _q_segmentation_eval,
+        "wiki727_eval": _q_wiki727_eval,
         # approximate / heuristic (rows-only)
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

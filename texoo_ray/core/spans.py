@@ -13,7 +13,7 @@ from typing import Iterable, List, Optional, Sequence
 from .abbrev import SKIP_SPACE_AFTER, SKIP_SPACE_BEFORE
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     """Atomic span; ``text`` is stored, not sliced (Token.java:15-57)."""
 
@@ -29,7 +29,7 @@ class Token:
         return not self.text
 
 
-@dataclass
+@dataclass(slots=True)
 class Sentence:
     """Span owning tokens; begin/end derive from first/last token
     (Sentence.java:98-113)."""

@@ -61,10 +61,13 @@ def ner_eval(ds, gold_col: str = "gold_mentions", pred_col: str = "mentions") ->
 
 
 def _section_lengths(sentences: List[dict], sections: List[dict]) -> List[int]:
-    """Sentence count per section (sections are contiguous sentence ranges)."""
+    """Sentence count per section. A sentence belongs to the section
+    containing its begin offset (sections are disjoint and ordered; a
+    sentence's trailing newline may lie between sections, so containment
+    of the full span would undercount)."""
     out = []
     for sec in sections:
-        n = sum(1 for s in sentences if sec["begin"] <= s["begin"] and s["end"] <= sec["end"])
+        n = sum(1 for s in sentences if sec["begin"] <= s["begin"] < sec["end"])
         if n:
             out.append(n)
     return out
