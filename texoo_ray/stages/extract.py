@@ -206,14 +206,32 @@ class GazetteerStage:
 class SectionStage:
     """requires: ``tokens`` — attaches: ``sections``.
 
-    method: "nl" | "emd" | "bemd" (SectorAnnotator.SegmentationMethod,
-    :69-77). EMD/BEMD run over deterministic hashed sentence embeddings
-    (stand-in for the learned SECTOR embeddings, SURVEY.md §2.11)."""
+    method: "nl" | "max" | "emd" | "bemd"
+    (SectorAnnotator.SegmentationMethod, :69-77). EMD/BEMD run over
+    deterministic hashed sentence embeddings (stand-in for the learned
+    SECTOR embeddings, SURVEY.md §2.11); MAX classifies each sentence
+    against a label table (hashed label-name embeddings standing in for
+    the trained HeadingEncoder vocab) and opens a section when the
+    running-mean label leaves the sentence's top-k (:408-437)."""
 
-    def __init__(self, method: str = "nl", embedding_dim: int = 64):
-        assert method in ("nl", "emd", "bemd")
+    def __init__(
+        self,
+        method: str = "nl",
+        embedding_dim: int = 64,
+        labels: Optional[Sequence[str]] = None,
+        top_k: int = 2,
+    ):
+        assert method in ("nl", "max", "emd", "bemd")
         self.method = method
         self.dim = embedding_dim
+        self.top_k = top_k
+        self.labels = list(labels) if labels else ["intro", "body", "detail", "outro"]
+        if method == "max":
+            from ..core.features import hashed_ngram_vector
+
+            self.label_matrix = np.stack(
+                [hashed_ngram_vector(l, embedding_dim) for l in self.labels]
+            )
 
     def _sections_for(self, doc: Document) -> List[dict]:
         if not doc.sentences:
@@ -221,6 +239,12 @@ class SectionStage:
         if self.method == "nl":
             return sections_from_newlines(doc.sentences, doc.end)
         emb = np.stack([sentence_embedding(s.tokens, self.dim) for s in doc.sentences])
+        if self.method == "max":
+            from ..core.sections import sections_from_target_labels
+
+            return sections_from_target_labels(
+                doc.sentences, emb, self.label_matrix, self.labels, k=self.top_k
+            )
         if self.method == "emd":
             dev = emd_deviation(emb)
         else:
