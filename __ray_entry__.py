@@ -286,6 +286,18 @@ def _q_vocab_top100(sf_dir: str):
     return out.sort(["cnt", "word"], descending=[True, False]).limit(100)
 
 
+_RETRIEVAL_TERMS = ("table", "shuffle", "window")
+
+
+def _q_retrieval_topk(sf_dir: str):
+    """Ranked term-match retrieval (Query/Result analogue) with an exact
+    SQL oracle: top-10 docs by word-boundary query-term occurrences."""
+    from texoo_ray.stages.retrieval import term_match_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_match_topk(ds, _RETRIEVAL_TERMS, k=10)
+
+
 def _q_events_hourly(sf_dir: str):
     from texoo_ray.pipelines.analytics import hourly_windows
 
@@ -535,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "knn_top10": _q_knn_top10,
+        "retrieval_topk": _q_retrieval_topk,
         # linking + distributed eval (rows-only)
         "link_mentions": _q_link_mentions,
         "ner_eval": _q_ner_eval,
@@ -614,6 +627,13 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events) t
             GROUP BY user_id ORDER BY user_id
+        """,
+        "retrieval_topk": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\\b(?:table|shuffle|window)\\b'))::BIGINT AS score
+            FROM documents
+            WHERE len(regexp_extract_all(lower(text), '\\b(?:table|shuffle|window)\\b')) > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "knn_top10": """
             WITH q AS (
