@@ -26,6 +26,19 @@ import pyarrow as pa
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
+
+def _join_partitions(cap: int = 64) -> int:
+    """Join partition count sized to the cluster: the join's aggregator
+    pool reserves ~0.0625 CPU per partition, so a fixed large count
+    starves small clusters (observed hang at 4 cpus with 32 partitions)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(4, min(cap, cpus * 2))
+
 # deterministic multiply-shift parameters for k minhash "permutations"
 _MERSENNE = (1 << 61) - 1
 
@@ -167,7 +180,7 @@ def minhash_bands(
                 i_col.append(i)
         return pa.table(
             {
-                "band": pa.array(b_col, pa.int32()),
+                "band": pa.array(b_col, pa.int64()),
                 "band_hash": pa.array(h_col, pa.string()),
                 id_col: pa.array(i_col, pa.int64()),
             }
@@ -190,26 +203,24 @@ def minhash_dedup(
     propagation per bucket, then a per-doc min — catches the dominant
     duplicate-pair/group case without driver-side union-find; chains longer
     than one hop converge by re-running the propagation).
+
+    Fully vectorized: bucket minima via groupby-aggregate, label
+    propagation via a hash join on the bucket key — no per-group Python
+    (millions of tiny buckets at corpus scale would make map_groups the
+    bottleneck).
     """
     from ray.data.aggregate import Min
 
     buckets = minhash_bands(ds, text_col, id_col, k, bands)
-
-    def bucket_min(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        mn = min(ids)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "bucket_min": pa.array([mn] * len(ids), pa.int64()),
-            }
-        )
-
-    labeled = buckets.groupby(["band", "band_hash"]).map_groups(
-        bucket_min, batch_format="pyarrow"
+    mins = buckets.groupby(["band", "band_hash"]).aggregate(
+        Min(id_col, alias_name="bucket_min")
     )
-    out = labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))
-    return out
+    labeled = buckets.join(
+        mins, "inner", num_partitions=_join_partitions(), on=("band", "band_hash")
+    )
+    return labeled.groupby(id_col).aggregate(
+        Min("bucket_min", alias_name="cluster_id")
+    )
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -231,25 +242,19 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                 id_c.append(i)
         return pa.table(
             {
-                "band": pa.array(band_c, pa.int32()),
+                "band": pa.array(band_c, pa.int64()),
                 "key": pa.array(key_c, pa.int64()),
                 id_col: pa.array(id_c, pa.int64()),
             }
         )
 
-    def bucket_min(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        mn = min(ids)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "bucket_min": pa.array([mn] * len(ids), pa.int64()),
-            }
-        )
-
-    labeled = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_min, batch_format="pyarrow")
+    buckets = ds.map_batches(explode, batch_format="pyarrow")
+    mins = buckets.groupby(["band", "key"]).aggregate(
+        Min(id_col, alias_name="bucket_min")
     )
-    return labeled.groupby(id_col).aggregate(Min("bucket_min", alias_name="cluster_id"))
+    labeled = buckets.join(
+        mins, "inner", num_partitions=_join_partitions(), on=("band", "key")
+    )
+    return labeled.groupby(id_col).aggregate(
+        Min("bucket_min", alias_name="cluster_id")
+    )
