@@ -112,6 +112,8 @@ def run_queries() -> dict:
         "events_sessions",
         "knn_top10",
         "doc_quality",
+        "retrieval_topk",
+        "doc_tokenize",
     ]
     out = {}
     for name in picks:

