@@ -87,7 +87,7 @@ def run_headline(turns_dir: str) -> dict:
         ds = extract_turns(
             ds,
             gazetteer_terms=GAZETTEER_TERMS,
-            batch_size=512,
+            batch_size=1024,
             concurrency=concurrency,
             lean=True,
         )
