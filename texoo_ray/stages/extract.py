@@ -328,11 +328,17 @@ class ExtractStage:
         section_method: str = "nl",
         text_col: str = "text",
         lean: bool = False,
+        resolve_mentions: bool = False,
     ):
         # lean=True skips the clean_text/tags output columns entirely (the
         # analogue of the reference's clearVectors before serialization,
         # Span.java:154-159) — less object-store traffic into the sort.
         self.lean = lean
+        # resolve_mentions=True de-overlaps tagger(PRED) + gazetteer(SILVER)
+        # mentions by source priority (AnnotationHelpers analogue); default
+        # off to preserve both sources on the row like the reference keeps
+        # per-source annotation maps (Span.java:55).
+        self.resolve_mentions = resolve_mentions
         self.segment = SegmentStage(newlines=newlines, strip=strip, text_col=text_col)
         self.taggers = {"en": FeatureTagger("en"), "de": FeatureTagger("de")}
         if gazetteer_terms is None and gazetteer_ref is not None:
@@ -381,6 +387,10 @@ class ExtractStage:
             )
             if self.gaz is not None:
                 mentions = mentions + self.gaz.annotate(text, doc.tokens())
+            if self.resolve_mentions and mentions:
+                from ..core.annotations import resolve_sources
+
+                mentions = resolve_sources(mentions, priority=("SILVER", "PRED"))
             secs = self.sections._sections_for(doc)
             if not self.lean:
                 clean_c.append(text)
