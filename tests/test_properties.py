@@ -1,0 +1,111 @@
+"""Property-based invariants (hypothesis) for the conformance core.
+
+These encode the reference's test contracts (FIXTURES.md §2) over
+arbitrary text, not just fixtures: whitespace-exact reconstruction,
+offset monotonicity, tag-sequence validity, decode/encode round-trip.
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from texoo_ray.core.document import Newlines, segment_text
+from texoo_ray.core.mentions import bioes_tags_from_mentions, mentions_from_bioes
+from texoo_ray.core.tags import bio2_to_bioes, bioes_to_bio2, is_correct_bioes
+from texoo_ray.core.tagger import FeatureTagger
+
+# text with whitespace, newlines, punctuation, unicode letters, digits
+text_strategy = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Ps", "Pe", "Zs"),
+        whitelist_characters="\n\t .!?()[]\"'-äöüß",
+        max_codepoint=0x2FF,
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_reconstruction_invariant(text):
+    """KEEP reconstruction == text with non-newline whitespace as spaces,
+    truncated at the last token (DocumentFactoryTest round-trip)."""
+    doc = segment_text(text, Newlines.KEEP)
+    recon = doc.text()
+    expected = re.sub(r"[^\S\n]", " ", text)
+    # reconstruction pads from doc.begin (Document.getText reconstructs
+    # from getBegin(), dropping leading whitespace before the first token)
+    window = expected[doc.begin : doc.begin + len(recon)]
+    assert window == recon
+    assert expected[doc.begin + len(recon):].strip() == ""
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_offsets_monotonic_and_sliceable(text):
+    doc = segment_text(text, Newlines.KEEP)
+    expected = re.sub(r"[^\S\n]", " ", text)
+    prev_end = 0
+    for t in doc.tokens():
+        assert 0 <= t.begin < t.end <= len(text)
+        assert t.begin >= prev_end
+        prev_end = t.end
+        # token text equals the (whitespace-normalized) slice
+        assert expected[t.begin : t.end] == t.text or t.text == "\n"
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_strategy)
+def test_discard_drops_all_newlines(text):
+    doc = segment_text(text, Newlines.DISCARD)
+    assert all(t.text != "\n" for t in doc.tokens())
+    assert "\n" not in doc.text()
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_strategy)
+def test_tagger_emits_valid_bioes(text):
+    doc = segment_text(text, Newlines.KEEP)
+    tagger = FeatureTagger("en")
+    labels, confs = tagger.tag_sentences(doc.sentences)
+    assert len(labels) == len(confs) == doc.count_tokens()
+    # validity per sentence
+    i = 0
+    for s in doc.sentences:
+        seg = labels[i : i + len(s.tokens)]
+        assert is_correct_bioes(seg), seg
+        i += len(s.tokens)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["B", "I", "O"]), max_size=30))
+def test_bio2_bioes_round_trip(labels):
+    valid_bio2 = all(
+        not (b == "I" and (i == 0 or labels[i - 1] == "O"))
+        for i, b in enumerate(labels)
+    )
+    bioes = bio2_to_bioes(labels)
+    back = bioes_to_bio2(bioes)
+    if valid_bio2:
+        # valid BIO2 -> valid BIOES, exact round-trip (invalid I-after-O
+        # inputs map to invalid BIOES in the reference too,
+        # BIO2Tag.convertToBIOES:224-253)
+        assert is_correct_bioes(bioes)
+        assert back == labels
+
+
+@settings(max_examples=80, deadline=None)
+@given(text_strategy)
+def test_mention_decode_encode_round_trip(text):
+    """Tag -> mention -> tag is identity on the tagger's output."""
+    doc = segment_text(text, Newlines.KEEP)
+    tagger = FeatureTagger("en")
+    labels, confs = tagger.tag_sentences(doc.sentences)
+    sentences = [s.tokens for s in doc.sentences]
+    mentions = mentions_from_bioes(sentences, labels, confidences=confs)
+    for m in mentions:
+        assert 0 <= m["begin"] < m["end"]
+    # re-encode per sentence and compare to the BIO2 form of the labels
+    flat_tokens = doc.tokens()
+    back = bioes_tags_from_mentions(flat_tokens, mentions)
+    assert bioes_to_bio2(back) == bioes_to_bio2(list(labels))
