@@ -29,12 +29,16 @@ def conversation_stats(ds, id_col: str = "conv_id"):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([id_col, "role", "ts"]).to_pandas()
         g = df.groupby(id_col, sort=False)
+        roles = pd.crosstab(df[id_col], df["role"])
+        for r in ("user", "assistant", "tool"):
+            if r not in roles.columns:
+                roles[r] = 0
         out = pd.DataFrame(
             {
                 "n_turns": g.size(),
-                "n_user": g["role"].apply(lambda r: int((r == "user").sum())),
-                "n_assistant": g["role"].apply(lambda r: int((r == "assistant").sum())),
-                "n_tool": g["role"].apply(lambda r: int((r == "tool").sum())),
+                "n_user": roles["user"],
+                "n_assistant": roles["assistant"],
+                "n_tool": roles["tool"],
                 "first_ts": g["ts"].min(),
                 "last_ts": g["ts"].max(),
             }

@@ -21,11 +21,6 @@ from typing import Optional, Sequence
 
 from ..stages.extract import ExtractStage
 
-# Drop the bulkiest intermediate columns before the ordering shuffle, like
-# the reference clears cached vectors before serialization (Span.java:154-159).
-SHUFFLE_DROP_COLUMNS = ("tags", "clean_text")
-
-
 def default_concurrency() -> int:
     """Actor-pool size that leaves CPU slots for shuffle aggregators and
     plain tasks — an actor pool that fills every core deadlocks next to a
