@@ -114,11 +114,17 @@ def _chunk_spans(chunk: str) -> Tuple[Tuple[int, int], ...]:
 def tokenize_spans(text: str) -> List[Tuple[int, int]]:
     """Full tokenization: pass 1 + pass 2. Returns (begin, end) spans."""
     out: List[Tuple[int, int]] = []
+    append = out.append
+    chunk_spans = _chunk_spans
     for m in _PASS1_RE.finditer(text):
-        begin = m.start()
         chunk = m.group()
-        for rb, re_ in _chunk_spans(chunk):
-            out.append((begin + rb, begin + re_))
+        spans = chunk_spans(chunk)
+        begin = m.start()
+        if len(spans) == 1:  # common case: unsplit word
+            append((begin, begin + len(chunk)))
+        else:
+            for rb, re_ in spans:
+                append((begin + rb, begin + re_))
     return out
 
 
