@@ -305,6 +305,13 @@ def _q_events_hourly(sf_dir: str):
     return hourly_windows(ds).sort(["event_type", "window_start"])
 
 
+def _q_events_sliding(sf_dir: str):
+    from texoo_ray.pipelines.analytics import sliding_windows
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return sliding_windows(ds, 60, 30).sort(["event_type", "window_start"])
+
+
 def _q_events_sessions(sf_dir: str):
     from texoo_ray.pipelines.analytics import sessionize
 
@@ -545,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": _q_top_docs,
         "vocab_top100": _q_vocab_top100,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "knn_top10": _q_knn_top10,
         "retrieval_topk": _q_retrieval_topk,
@@ -615,6 +623,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_sliding": """
+            WITH assigned AS (
+              SELECT event_type,
+                     to_timestamp(epoch(date_trunc('hour', ts))
+                       + CASE WHEN extract(minute FROM ts) >= 30 THEN 1800 ELSE 0 END
+                       - j.j * 1800)::TIMESTAMP AS window_start
+              FROM events, (SELECT unnest([0, 1]) AS j) j
+            )
+            SELECT event_type, window_start, count(*)::BIGINT AS n_events
+            FROM assigned GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,
         "events_sessions": """

@@ -61,6 +61,47 @@ def hourly_windows(ds):
     return out.map_batches(stable, batch_format="pyarrow")
 
 
+def sliding_windows(ds, size_minutes: int = 60, stride_minutes: int = 30):
+    """Sliding windows per event_type:
+    Dataset[(event_type, window_start, n_events)].
+
+    Each event lands in ``size/stride`` windows; the per-batch transform
+    emits one (type, window_start) partial count per window assignment,
+    then a small global aggregate. Integer outputs (SQL-reproducible)."""
+    assert size_minutes % stride_minutes == 0
+    from ray.data.aggregate import Sum
+
+    k = size_minutes // stride_minutes
+    stride_us = stride_minutes * 60 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        ts = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
+        base = (ts // stride_us) * stride_us
+        frames = []
+        for j in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": batch["event_type"].to_pandas(),
+                        "window_start": base - j * stride_us,
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["event_type", "window_start"], sort=False).size().reset_index(name="n_events")
+        g["window_start"] = g["window_start"].astype("datetime64[us]")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """Session windows per user: Dataset[(user_id, n_sessions, n_events)].
 
