@@ -234,6 +234,13 @@ def _q_dedup_minhash(sf_dir: str):
     return minhash_dedup(ds).sort("doc_id")
 
 
+def _q_dedup_embedding(sf_dir: str):
+    from texoo_ray.stages.dedup import embedding_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup(ds, threshold=0.9).sort("vec_id")
+
+
 def _q_dedup_simhash(sf_dir: str):
     from texoo_ray.stages.dedup import simhash_dedup
 
@@ -564,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate / heuristic (rows-only)
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
         "media_features": _q_media_features,

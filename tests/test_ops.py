@@ -246,3 +246,30 @@ class TestLineage:
         assert calls["n"] == n_first  # nothing recomputed
         m = collect_metrics(out)
         assert m["partitions"] == 2 and m["rows"] == 20
+
+
+class TestEmbeddingDedup:
+    def test_clusters_same_direction_vectors(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from texoo_ray.stages.dedup import embedding_dedup
+
+        rng = np.random.RandomState(1)
+        vecs = rng.randn(20, 16).astype(np.float32)
+        vecs[5] = vecs[2] * 1.7            # exact duplicate direction
+        vecs[9] = vecs[2] + rng.randn(16).astype(np.float32) * 0.01  # near-dup
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        out = embedding_dedup(ray.data.from_arrow(tbl), threshold=0.95).to_pandas()
+        cl = dict(zip(out["vec_id"], out["cluster_id"]))
+        assert cl[5] == cl[2] == 2
+        assert cl[9] == 2
+        # unrelated vectors stay singleton
+        assert cl[0] == 0 and cl[1] == 1
+        assert len(out) == 20

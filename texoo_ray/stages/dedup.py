@@ -117,6 +117,73 @@ def hamming64(a: int, b: int) -> int:
 # --- Ray pipelines ---------------------------------------------------------
 
 
+def embedding_dedup(
+    ds,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+):
+    """Embedding-cosine near-dup clustering.
+
+    Random-hyperplane LSH bucket per vector (vectorized per batch), then
+    exact pairwise cosine inside each bucket (buckets are tiny: 2^n_planes
+    buckets); pairs >= threshold cluster to the minimum id, finalized by a
+    per-id min aggregate. Returns Dataset[(id, cluster_id)]. Near-dup
+    pairs almost always agree on all hyperplane signs, so recall loss is
+    the usual LSH tradeoff (raise n_planes for precision of bucketing,
+    lower for recall).
+    """
+    from ray.data.aggregate import Min
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        offsets = np.asarray(col.offsets)
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 1
+        m = flat.reshape(-1, dim)
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(n_planes, dim)
+        bits = (m @ planes.T > 0).astype(np.int64)
+        sig = np.zeros(len(m), dtype=np.int64)
+        for b in range(n_planes):
+            sig |= bits[:, b] << b
+        return pa.table(
+            {
+                "sig": pa.array(sig),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def cluster_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        vecs = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn = vecs / np.maximum(norms, 1e-12)
+        sims = vn @ vn.T
+        labels = ids.copy()
+        # min-label propagation within the bucket until fixpoint
+        adj = sims >= threshold
+        for _ in range(len(ids)):
+            new = labels.copy()
+            for i in range(len(ids)):
+                new[i] = labels[adj[i]].min()
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        return pa.table({id_col: pa.array(ids), "bucket_cluster": pa.array(labels)})
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    labeled = buckets.groupby("sig").map_groups(cluster_bucket, batch_format="pyarrow")
+    return labeled.groupby(id_col).aggregate(
+        Min("bucket_cluster", alias_name="cluster_id")
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: returns Dataset[(doc_id, dup_count)] — the surviving
     (minimum) id and group size per distinct text.
