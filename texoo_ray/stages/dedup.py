@@ -27,10 +27,12 @@ import pyarrow as pa
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def _join_partitions(cap: int = 64) -> int:
+def _join_partitions(cap: int = 16) -> int:
     """Join partition count sized to the cluster: the join's aggregator
     pool reserves ~0.0625 CPU per partition, so a fixed large count
-    starves small clusters (observed hang at 4 cpus with 32 partitions)."""
+    starves small clusters (observed hang at 4 cpus with 32 partitions).
+    The default cap suits test-scale inputs; corpus-scale runs should
+    raise it so each partition stays within worker memory."""
     import ray
 
     try:
