@@ -121,3 +121,47 @@ class TestRawTextReader:
         assert df["doc_id"].tolist() == ["a.txt", "b.txt"]  # empty skipped
         assert df["title"][0] == "Title line"
         assert df["text"][0] == "Body text here."
+
+
+class TestWikiSection:
+    DOC = {
+        "id": "Q123",
+        "type": "disease",
+        "title": "Dementia",
+        "abstract": "About dementia.",
+        "text": "Symptoms include memory loss. Treatment involves therapy.",
+        "annotations": [
+            {"class": "SectionAnnotation", "source": "GOLD", "begin": 0,
+             "length": 29, "sectionHeading": "Signs | Symptoms",
+             "sectionLabel": "disease.symptom"},
+            {"class": "SectionAnnotation", "source": "GOLD", "begin": 30,
+             "length": 27, "sectionHeading": "Treatment",
+             "sectionLabel": "disease.treatment"},
+        ],
+    }
+
+    def test_parse_array_payload(self):
+        import json
+
+        from texoo_ray.sources.wikisection import parse_wikisection_docs
+
+        docs = parse_wikisection_docs(json.dumps([self.DOC, {"id": "e", "text": "  "}]))
+        assert len(docs) == 1  # empty doc skipped (WikiSectionReader.java:40-41)
+        d = docs[0]
+        assert d["doc_id"] == "Q123"
+        secs = d["gold_sections"]
+        assert [(s["begin"], s["end"]) for s in secs] == [(0, 29), (30, 57)]
+        assert secs[0]["label"] == "disease.symptom"
+        assert secs[0]["heading"] == "Signs | Symptoms"
+        assert d["text"][secs[1]["begin"]:secs[1]["end"]] == "Treatment involves therapy."
+
+    def test_ray_reader(self, ray_session, tmp_path):
+        import json
+
+        from texoo_ray.sources.wikisection import read_wikisection
+
+        p = tmp_path / "wikisection_en_test.json"
+        p.write_text(json.dumps([self.DOC]))
+        df = read_wikisection([str(p)]).to_pandas()
+        assert len(df) == 1
+        assert df["gold_sections"][0][0]["label"] == "disease.symptom"
