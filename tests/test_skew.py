@@ -69,3 +69,26 @@ def test_concat_conversations_cap(ray_session):
     assert bool(out.loc["big", "truncated"]) is True
     assert out.loc["small", "n_turns"] == 3
     assert bool(out.loc["small", "truncated"]) is False
+
+
+def test_heavy_tail_conversations_end_to_end(ray_session):
+    """A conversation ~70x the median flows through extract + ordering
+    with per-conversation integrity and order preserved (north-star skew
+    requirement)."""
+    import ray
+    import ray.data
+
+    from texoo_ray.pipelines.extract import extract_turns, ordered_by_conversation
+    from texoo_ray.sources.turns import turns_table
+
+    tbl = turns_table(0, 40, seed=42, mean_turns=48)  # heavy tail
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    ds = extract_turns(ds, batch_size=256, concurrency=2, lean=True)
+    out = ordered_by_conversation(ds, 8)  # falls back to sort w/o hash ctx
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    total = sum(b.num_rows for b in blocks)
+    assert total == tbl.num_rows
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src = tbl.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert df["conv_id"].tolist() == src["conv_id"].tolist()
+    assert df["turn_idx"].tolist() == src["turn_idx"].tolist()
