@@ -336,12 +336,14 @@ def _knn_query_vector(sf_dir: str) -> np.ndarray:
 
 
 def _q_knn_top10(sf_dir: str):
+    import ray
+
     from texoo_ray.stages.knn import brute_force_topk
 
     q = _knn_query_vector(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     top = brute_force_topk(ds, q, k=10)
-    tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    tbl = pa.concat_tables(ray.get(ref) for ref in top.to_arrow_refs())
     rank = pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64))
     return pa.table({"rank": rank, "vec_id": tbl["vec_id"]})
 

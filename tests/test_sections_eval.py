@@ -195,6 +195,12 @@ class TestSegmentationEval:
         assert calculate_k([1]) == 2
         assert calculate_k([]) == 2
 
+    def test_calculate_k_java_round(self):
+        # mean 5 -> mean/2 = 2.5: Java Math.round gives 3 where Python's
+        # banker's round() would give 2 (SegmentationEvaluation.calculateK)
+        assert calculate_k([5, 5]) == 3
+        assert calculate_k([7]) == 4  # 3.5 -> 4
+
 
 class TestNerEval:
     def test_strong_weak(self):

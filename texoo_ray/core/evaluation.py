@@ -112,8 +112,12 @@ def window_diff(reference: Sequence[int], hypothesis: Sequence[int], k: int) -> 
 
 def calculate_k(masses: Sequence[int]) -> int:
     """Preferred window size = half the mean segment length, min 2
-    (SegmentationEvaluation.calculateK, :175-188)."""
+    (SegmentationEvaluation.calculateK, :175-188). Uses Java Math.round
+    semantics (floor(x + 0.5)) — Python's round() is banker's rounding and
+    yields k=2 where the reference yields k=3 for mean/2 == 2.5."""
+    import math
+
     if not masses:
         return 2
     mean = sum(masses) / len(masses)
-    return max(int(round(mean / 2.0)), 2)
+    return max(int(math.floor(mean / 2.0 + 0.5)), 2)

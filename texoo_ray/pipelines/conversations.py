@@ -101,8 +101,14 @@ def salted_repartition(ds, key: str = "conv_id", salt_buckets: int = 16):
                 pa.int32(),
             )
         else:
+            # stable hash: builtin hash() of str is randomized per process
+            # (PYTHONHASHSEED), which would assign different salts across
+            # Ray workers and across runs.
+            import zlib
+
             salt = pa.array(
-                [hash(v) % salt_buckets for v in batch[key].to_pylist()], pa.int32()
+                [zlib.crc32(str(v).encode("utf-8")) % salt_buckets for v in batch[key].to_pylist()],
+                pa.int32(),
             )
         return batch.append_column("salt", salt)
 

@@ -82,16 +82,19 @@ def segmentation_eval(
     def partial(batch: pa.Table) -> pa.Table:
         pk_sum = wd_sum = 0.0
         n = 0
+        skipped = 0
         for sents, ref, hyp in zip(
             batch[sent_col].to_pylist(),
             batch[ref_col].to_pylist(),
             batch[hyp_col].to_pylist(),
         ):
             if not sents or not ref or not hyp:
+                skipped += 1
                 continue
             ref_pos = positions_array(_section_lengths(sents, ref))
             hyp_pos = positions_array(_section_lengths(sents, hyp))
             if len(ref_pos) != len(hyp_pos) or len(ref_pos) < 2:
+                skipped += 1
                 continue
             k = calculate_k(masses_array(ref_pos))
             pk_sum += pk(ref_pos, hyp_pos, k)
@@ -102,6 +105,7 @@ def segmentation_eval(
                 "pk_sum": pa.array([pk_sum], pa.float64()),
                 "wd_sum": pa.array([wd_sum], pa.float64()),
                 "n_docs": pa.array([n], pa.int64()),
+                "n_skipped": pa.array([skipped], pa.int64()),
             }
         )
 
@@ -109,6 +113,7 @@ def segmentation_eval(
     n = max(int(df["n_docs"]), 1)
     return {
         "n_docs": int(df["n_docs"]),
+        "n_skipped": int(df["n_skipped"]),
         "mean_pk": float(df["pk_sum"]) / n,
         "mean_window_diff": float(df["wd_sum"]) / n,
     }

@@ -74,7 +74,7 @@ def brute_force_topk(
         if keep == 0:
             return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
         idx = np.argpartition(-sims, keep - 1)[:keep]
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[idx]
+        ids = np.asarray(batch[id_col], dtype=np.int64)[idx]
         return pa.table({id_col: pa.array(ids), "score": pa.array(sims[idx])})
 
     partial = ds.map_batches(score, batch_format="pyarrow")
@@ -119,7 +119,7 @@ def lsh_topk(
             return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
         mm = _normalize(m[mask])
         sims = mm @ qn
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[mask]
+        ids = np.asarray(batch[id_col], dtype=np.int64)[mask]
         keep = min(k, len(sims))
         idx = np.argpartition(-sims, keep - 1)[:keep]
         return pa.table({id_col: pa.array(ids[idx]), "score": pa.array(sims[idx])})
