@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
 
 Scale notes (the point of these implementations):
 
@@ -8,21 +9,32 @@ Scale notes (the point of these implementations):
   per block instead of one per row.
 - **minhash**: signatures are computed per batch with numpy (k permutations
   via multiply-shift over crc32 shingle hashes); LSH bands explode to
-  (band, band_hash) rows; the ``groupby`` on band buckets yields candidate
-  groups; clusters form by min-label propagation (no driver union-find).
-- **simhash**: 64-bit signature; near-dup candidates share one of 4
-  16-bit sub-bands (hamming distance <= 3 guarantee via pigeonhole).
+  (band, band_hash) rows; bucket candidates are VERIFIED (band collisions
+  alone are not duplicates) and clusters form by iterated min-label
+  propagation over the verified edge set — a distributed connected
+  components restricted to edge endpoints, no driver union-find.
+- **simhash**: 64-bit signature; docs sharing one of 4 16-bit quarters are
+  only *candidates* (pigeonhole for hamming <= 3); every candidate pair is
+  verified with the full 64-bit hamming distance before clustering.
+- **embedding**: hyperplane-LSH bucketing with a row-count-derived plane
+  count, exact cosine inside buckets (vectorized), salted sub-split for
+  overfull buckets.
+
+All cluster ids are the minimum doc id reachable through verified
+near-duplicate pairs (transitive closure via ``cluster_from_edges``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -94,17 +106,18 @@ def simhash64(text: str) -> int:
     feats = words + [" ".join(p) for p in zip(words, words[1:])]
     if not feats:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for f in feats:
-        h = np.uint64(
+    hs = np.array(
+        [
             int.from_bytes(
                 hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(), "little"
             )
-        )
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
+            for f in feats
+        ],
+        dtype=np.uint64,
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (F, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
@@ -116,7 +129,202 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
+def _list_matrix(col, dtype=np.int64) -> np.ndarray:
+    """(n, k) matrix view of a fixed-width list<...> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=dtype)
+    offsets = np.asarray(col.offsets)
+    k = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 1
+    return flat.reshape(-1, k)
+
+
 # --- Ray pipelines ---------------------------------------------------------
+
+
+def _norm(schema: pa.Schema):
+    """Decorator: make a per-batch fn robust to Ray's hash-join emitting
+    SCHEMA-LESS empty blocks for empty partitions (observed on Ray 2.49:
+    a 0-column block flows through groupby/select and makes the next
+    join fail with "No match ... for key field"). ``schema`` must be the
+    fn's output schema; empty/columnless inputs map to a typed empty."""
+
+    def deco(fn):
+        empty = schema.empty_table()
+
+        def wrapped(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return empty
+            return fn(b)
+
+        return wrapped
+
+    return deco
+
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+# edge sets at or below this size are solved in one worker task (32 MB of
+# int64 pairs); larger near-dup graphs take the iterative distributed path
+_SMALL_EDGE_LIMIT = 2_000_000
+
+
+def _compact(ds):
+    """Materialize a dataset and rebuild it from its non-empty blocks.
+
+    Ray's hash join (2.49) emits SCHEMA-LESS empty blocks for empty hash
+    partitions (the aggregator's ArrowBlockBuilder receives no typed
+    shards); if such a block reaches ANOTHER join's aggregator, pyarrow
+    fails with "No match or multiple matches for key field". map_batches
+    can't repair them (empty blocks bypass the UDF), so join->join chains
+    compact in between. Only component-subset-sized intermediates
+    (candidate pairs, edges, labels) pass through here — never the
+    corpus. Returns None when the dataset has no rows at all."""
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+def cluster_from_edges(all_ids, edges, id_col: str = "doc_id", max_iters: int = 8):
+    """Distributed transitive closure: min-label propagation over a
+    verified near-duplicate edge set, iterated to a fixpoint.
+
+    ``all_ids``: Dataset[(id_col,)], one row per document.
+    ``edges``: Dataset[(src, dst)] of verified pairs (any orientation).
+    Returns Dataset[(id_col, cluster_id)] where cluster_id is the minimum
+    id of the doc's connected component.
+
+    Shape: propagation runs ONLY over edge endpoints (the near-dup
+    component subset — tiny vs the corpus); every other doc keeps its own
+    id via one final left-outer join. Each round is two hash joins plus a
+    groupby-min over that subset; convergence is detected with a single
+    scalar aggregate (labels only ever decrease, so an unchanged
+    sum(label) is a fixpoint) — no driver-side union-find, nothing
+    corpus-sized materialized.
+    """
+    from ray.data.aggregate import Count, Min
+
+    edges = _compact(edges)
+    if edges is None:
+        return all_ids.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "cluster_id": b[id_col]}),
+            batch_format="pyarrow",
+        )
+
+    id_schema = pa.schema([("id", pa.int64())])
+    lab_schema = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+    out_schema = pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())])
+
+    # symmetrize once: each round then needs a SINGLE join (msg to src from
+    # dst's label covers both directions)
+    @_norm(_EDGE_SCHEMA)
+    def symmetrize(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks().cast(pa.int64())
+        dst = b["dst"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([src, dst]),
+                "dst": pa.concat_arrays([dst, src]),
+            }
+        )
+
+    sym = _compact(edges.map_batches(symmetrize, batch_format="pyarrow"))
+    n_edges = sym.count()
+
+    if n_edges <= _SMALL_EDGE_LIMIT:
+        # The verified edge set fits one worker block (2M pairs = 32 MB):
+        # solve components in a SINGLE task with vectorized min-label
+        # relaxation — one coalesced block, zero join rounds. The corpus
+        # itself never flows through here, only the near-dup subgraph.
+        @_norm(lab_schema)
+        def solve(b: pa.Table) -> pa.Table:
+            src = np.asarray(b["src"], dtype=np.int64)
+            dst = np.asarray(b["dst"], dtype=np.int64)
+            ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+            s_idx, d_idx = inv[: len(src)], inv[len(src) :]
+            labels = ids.copy()
+            while True:
+                new = labels.copy()
+                np.minimum.at(new, s_idx, labels[d_idx])
+                if np.array_equal(new, labels):
+                    break
+                labels = new
+            return pa.table({"id": pa.array(ids), "label": pa.array(labels)})
+
+        labels = _compact(
+            sym.repartition(1).map_batches(
+                solve, batch_format="pyarrow", batch_size=None
+            )
+        )
+    else:
+        # distributed fallback: iterative min-label message passing
+        P = max(2, min(_join_partitions(), 1 + n_edges // 10_000))
+        endpoints = (
+            sym.map_batches(
+                _norm(id_schema)(lambda b: pa.table({"id": b["src"]})),
+                batch_format="pyarrow",
+            )
+            .groupby("id")
+            .aggregate(Count(alias_name="_n"))
+        )
+        labels = _compact(
+            endpoints.map_batches(
+                _norm(lab_schema)(lambda b: pa.table({"id": b["id"], "label": b["id"]})),
+                batch_format="pyarrow",
+            )
+        )
+
+        prev_sum = None
+        for _ in range(max_iters):
+            mv = sym.join(labels, "inner", P, on=("dst",), right_on=("id",))
+            msgs = mv.map_batches(
+                _norm(lab_schema)(
+                    lambda b: pa.table({"id": b["src"], "label": b["label"]})
+                ),
+                batch_format="pyarrow",
+            )
+            labels = _compact(
+                labels.union(msgs)
+                .groupby("id")
+                .aggregate(Min("label", alias_name="label"))
+            )
+            s = labels.sum("label")
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+
+    out = all_ids.join(
+        labels, "left_outer", _join_partitions(), on=(id_col,), right_on=("id",)
+    )
+
+    @_norm(out_schema)
+    def finish(b: pa.Table) -> pa.Table:
+        lab = pc.coalesce(pc.cast(b["label"], pa.int64()), b[id_col])
+        return pa.table({id_col: b[id_col], "cluster_id": lab})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def embedding_dedup(
@@ -124,31 +332,36 @@ def embedding_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 12,
+    n_planes: Optional[int] = None,
+    n_rows: Optional[int] = None,
     seed: int = 42,
+    max_bucket: int = 4096,
 ):
     """Embedding-cosine near-dup clustering.
 
     Random-hyperplane LSH bucket per vector (vectorized per batch), then
-    exact pairwise cosine inside each bucket (buckets are tiny: 2^n_planes
-    buckets); pairs >= threshold cluster to the minimum id, finalized by a
-    per-id min aggregate. Returns Dataset[(id, cluster_id)]. Near-dup
-    pairs almost always agree on all hyperplane signs, so recall loss is
-    the usual LSH tradeoff (raise n_planes for precision of bucketing,
-    lower for recall).
+    exact pairwise cosine inside each bucket; pairs >= threshold cluster
+    to the minimum id, finalized by a per-id min aggregate. Returns
+    Dataset[(id, cluster_id)].
+
+    ``n_planes`` defaults to the SCALE.md rule n_planes ~ log2(rows/10^3)
+    (expected bucket population ~1000), derived from ``n_rows`` or
+    ``ds.count()`` (metadata-only on a parquet read). Buckets that still
+    exceed ``max_bucket`` rows (hot direction / skew) are deterministically
+    sub-split with extra hyperplanes before the O(b^2) pairwise step, so
+    per-bucket cost is bounded by max_bucket^2. In-bucket clustering is a
+    vectorized masked adjacency-min iteration (no per-row Python).
     """
     from ray.data.aggregate import Min
 
+    if n_planes is None:
+        n = n_rows if n_rows is not None else ds.count()
+        n_planes = int(min(24, max(8, math.ceil(math.log2(max(n, 2) / 1000.0 + 1)) + 8)))
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        col = batch[vec_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = np.asarray(col.values, dtype=np.float64)
-        offsets = np.asarray(col.offsets)
-        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 1
-        m = flat.reshape(-1, dim)
+        m = _list_matrix(batch[vec_col], dtype=np.float64)
         rng = np.random.RandomState(seed)
-        planes = rng.randn(n_planes, dim)
+        planes = rng.randn(n_planes, m.shape[1])
         bits = (m @ planes.T > 0).astype(np.int64)
         sig = np.zeros(len(m), dtype=np.int64)
         for b in range(n_planes):
@@ -161,22 +374,43 @@ def embedding_dedup(
             }
         )
 
+    def _minlabel(ids: np.ndarray, adj: np.ndarray) -> np.ndarray:
+        labels = ids.astype(np.int64).copy()
+        big = np.iinfo(np.int64).max
+        while True:
+            m = np.where(adj, labels[None, :], big).min(axis=1)
+            new = np.minimum(labels, m)
+            if np.array_equal(new, labels):
+                return labels
+            labels = new
+
     def cluster_bucket(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
-        vecs = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        vecs = _list_matrix(group[vec_col], dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         vn = vecs / np.maximum(norms, 1e-12)
-        sims = vn @ vn.T
-        labels = ids.copy()
-        # min-label propagation within the bucket until fixpoint
-        adj = sims >= threshold
-        for _ in range(len(ids)):
-            new = labels.copy()
-            for i in range(len(ids)):
-                new[i] = labels[adj[i]].min()
-            if np.array_equal(new, labels):
-                break
-            labels = new
+        labels = ids.astype(np.int64).copy()
+
+        def run(idx: np.ndarray) -> None:
+            sub = vn[idx]
+            adj = (sub @ sub.T) >= threshold
+            labels[idx] = _minlabel(ids[idx], adj)
+
+        if len(ids) > max_bucket:
+            # salted sub-split: extra deterministic hyperplanes bound the
+            # pairwise step at max_bucket^2 (recall tradeoff identical to
+            # raising n_planes, but applied only to the hot bucket)
+            k_extra = int(math.ceil(math.log2(len(ids) / max_bucket))) + 1
+            rng = np.random.RandomState(seed + 1)
+            planes = rng.randn(k_extra, vecs.shape[1])
+            bits = (vecs @ planes.T > 0).astype(np.int64)
+            sub_sig = np.zeros(len(ids), dtype=np.int64)
+            for b in range(k_extra):
+                sub_sig |= bits[:, b] << b
+            for s in np.unique(sub_sig):
+                run(np.nonzero(sub_sig == s)[0])
+        else:
+            run(np.arange(len(ids)))
         return pa.table({id_col: pa.array(ids), "bucket_cluster": pa.array(labels)})
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
@@ -223,6 +457,34 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return out.select_columns(["doc_id", "dup_count"])
 
 
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 64):
+    """Dataset[(id, sig: binary of k*8 bytes)] — one signature per doc.
+
+    Binary (not list<int64>) so signatures can ride through hash joins as
+    payload columns (Arrow's acero join rejects nested types) and shuffle
+    without offset overhead; decode with ``_sig_matrix``."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = [
+            np.ascontiguousarray(minhash_signature(t or "", k)).tobytes()
+            for t in texts
+        ]
+        return pa.table(
+            {id_col: batch[id_col], "sig": pa.array(sigs, pa.binary())}
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _sig_matrix(col, k: int) -> np.ndarray:
+    """(n, k) int64 matrix from a binary signature column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = b"".join(col.to_pylist())
+    return np.frombuffer(buf, dtype=np.int64).reshape(-1, k)
+
+
 def minhash_bands(
     ds,
     text_col: str = "text",
@@ -231,22 +493,29 @@ def minhash_bands(
     bands: int = 16,
 ):
     """Explode each doc into (band, band_hash, doc_id) LSH bucket rows."""
+    sigs = minhash_signatures(ds, text_col, id_col, k)
+    return _bands_from_signatures(sigs, id_col, k, bands)
+
+
+def _bands_from_signatures(sigs, id_col: str, k: int, bands: int):
     rows_per_band = k // bands
+    assert k % bands == 0
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_pylist()
+        mat = _sig_matrix(batch["sig"], k)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
         b_col: List[int] = []
         h_col: List[str] = []
         i_col: List[int] = []
-        for t, i in zip(texts, ids):
-            sig = minhash_signature(t or "", k)
+        for r in range(mat.shape[0]):
             for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                chunk = mat[r, b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(
+                    np.ascontiguousarray(chunk).tobytes(), digest_size=8
+                ).hexdigest()
                 b_col.append(b)
                 h_col.append(h)
-                i_col.append(i)
+                i_col.append(int(ids[r]))
         return pa.table(
             {
                 "band": pa.array(b_col, pa.int64()),
@@ -255,7 +524,7 @@ def minhash_bands(
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return sigs.map_batches(explode, batch_format="pyarrow")
 
 
 def minhash_dedup(
@@ -264,66 +533,232 @@ def minhash_dedup(
     id_col: str = "doc_id",
     k: int = 64,
     bands: int = 16,
+    threshold: float = 0.5,
+    verify: str = "signature",
+    max_iters: int = 8,
 ):
-    """Near-dup clustering via MinHash LSH.
+    """Near-dup clustering via MinHash LSH with candidate verification.
 
-    Returns Dataset[(doc_id, cluster_id)] where cluster_id is the minimum
-    doc_id reachable through shared band buckets (1-hop min-label
-    propagation per bucket, then a per-doc min — catches the dominant
-    duplicate-pair/group case without driver-side union-find; chains longer
-    than one hop converge by re-running the propagation).
+    Returns Dataset[(doc_id, cluster_id)]; cluster_id is the minimum
+    doc_id of the doc's verified near-duplicate component (full transitive
+    closure via ``cluster_from_edges`` — multi-hop chains converge).
 
-    Fully vectorized: bucket minima via groupby-aggregate, label
-    propagation via a hash join on the bucket key — no per-group Python
-    (millions of tiny buckets at corpus scale would make map_groups the
-    bottleneck).
+    Band-bucket collisions only *generate candidates*; every candidate
+    pair (doc, bucket-min rep) is verified before clustering:
+
+    - ``verify="signature"`` (default, the scale path): estimated Jaccard
+      = fraction of equal minhash components between the two signatures
+      (64 components -> stderr ~0.06); pairs below ``threshold`` are
+      dropped. Costs two hash joins of the lean (id, sig) table — never
+      re-ships text.
+    - ``verify="exact"``: joins the raw texts back and filters by
+      ``jaccard_ngrams`` >= threshold. Two full-text shuffles; meant for
+      high-precision runs on smaller corpora.
+
+    Shapes: the signature table is computed once and kept (512 B/doc —
+    checkpoint it via state.lineage at corpus scale instead of
+    ``materialize``); the band shuffle carries only (band, hash, id);
+    singleton buckets are dropped before the join; candidate edges are
+    deduped across bands before verification.
     """
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count, Min
 
-    buckets = minhash_bands(ds, text_col, id_col, k, bands)
-    mins = buckets.groupby(["band", "band_hash"]).aggregate(
-        Min(id_col, alias_name="bucket_min")
+    P = _join_partitions()
+    sigs = minhash_signatures(ds, text_col, id_col, k).materialize()
+    bands_ds = _bands_from_signatures(sigs, id_col, k, bands)
+    mins = (
+        bands_ds.groupby(["band", "band_hash"])
+        .aggregate(Min(id_col, alias_name="bucket_min"), Count(alias_name="bucket_n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
+        )
     )
-    labeled = buckets.join(
-        mins, "inner", num_partitions=_join_partitions(), on=("band", "band_hash")
+    pair_schema = pa.schema([(id_col, pa.int64()), ("bucket_min", pa.int64())])
+    cand = bands_ds.join(mins, "inner", P, on=("band", "band_hash"))
+    cand = cand.map_batches(
+        _norm(pair_schema)(
+            lambda b: pa.table(
+                {id_col: b[id_col], "bucket_min": b["bucket_min"]}
+            ).filter(pc.not_equal(b[id_col], b["bucket_min"]))
+        ),
+        batch_format="pyarrow",
     )
-    return labeled.groupby(id_col).aggregate(
-        Min("bucket_min", alias_name="cluster_id")
+    # dedupe (doc, rep) pairs across bands so verification runs once/pair
+    cand = (
+        cand.groupby([id_col, "bucket_min"])
+        .aggregate(Count(alias_name="_nb"))
+        .map_batches(
+            _norm(pair_schema)(
+                lambda b: pa.table({id_col: b[id_col], "bucket_min": b["bucket_min"]})
+            ),
+            batch_format="pyarrow",
+        )
     )
+    cand = _compact(cand)
+    all_ids = sigs.select_columns([id_col])
+    if cand is None:
+        import ray.data
+
+        return cluster_from_edges(
+            all_ids, ray.data.from_arrow(_EDGE_SCHEMA.empty_table()), id_col, max_iters
+        )
+
+    if verify == "exact":
+        texts = ds.select_columns([id_col, text_col])
+        t1 = texts.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "_text_src": b[text_col]}),
+            batch_format="pyarrow",
+        )
+        t2 = texts.map_batches(
+            lambda b: pa.table({"_id2": b[id_col], "_text_dst": b[text_col]}),
+            batch_format="pyarrow",
+        )
+        e = cand.join(t1, "inner", P, on=(id_col,))
+        e = _compact(e)
+        e = e.join(t2, "inner", P, on=("bucket_min",), right_on=("_id2",)) if e is not None else None
+
+        @_norm(_EDGE_SCHEMA)
+        def check_exact(b: pa.Table) -> pa.Table:
+            keep = [
+                jaccard_ngrams(s or "", d or "") >= threshold
+                for s, d in zip(b["_text_src"].to_pylist(), b["_text_dst"].to_pylist())
+            ]
+            t = b.filter(pa.array(keep, pa.bool_()))
+            return pa.table({"src": t[id_col], "dst": t["bucket_min"]})
+
+        edges = (
+            e.map_batches(check_exact, batch_format="pyarrow")
+            if e is not None
+            else None
+        )
+    else:
+        s1 = sigs.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "_sig_src": b["sig"]}),
+            batch_format="pyarrow",
+        )
+        s2 = sigs.map_batches(
+            lambda b: pa.table({"_id2": b[id_col], "_sig_dst": b["sig"]}),
+            batch_format="pyarrow",
+        )
+        e = cand.join(s1, "inner", P, on=(id_col,))
+        e = _compact(e)
+        e = e.join(s2, "inner", P, on=("bucket_min",), right_on=("_id2",)) if e is not None else None
+
+        @_norm(_EDGE_SCHEMA)
+        def check_sig(b: pa.Table) -> pa.Table:
+            ms = _sig_matrix(b["_sig_src"], k)
+            md = _sig_matrix(b["_sig_dst"], k)
+            est = (ms == md).mean(axis=1)
+            t = b.filter(pa.array(est >= threshold))
+            return pa.table({"src": t[id_col], "dst": t["bucket_min"]})
+
+        edges = (
+            e.map_batches(check_sig, batch_format="pyarrow")
+            if e is not None
+            else None
+        )
+
+    if edges is None:
+        import ray.data
+
+        edges = ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+    return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """SimHash near-dup candidates: docs sharing any 16-bit quarter of the
-    64-bit signature cluster to the minimum doc_id of the bucket."""
-    from ray.data.aggregate import Min
+def simhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_iters: int = 8,
+):
+    """SimHash near-dup clustering with full-signature verification.
+
+    Docs sharing a 16-bit quarter of the 64-bit signature are *candidates*
+    (pigeonhole guarantees any pair with hamming <= 3 shares a quarter);
+    each candidate pair is verified by the full 64-bit hamming distance
+    (vectorized SWAR popcount) before entering the edge set, so unrelated
+    bucket collisions — inevitable at >10^6 docs with 65,536 buckets per
+    band — never merge clusters. Transitive closure via
+    ``cluster_from_edges``.
+
+    The bucket representative's signature rides along the groupby as a
+    zero-padded "id|sig" string min (min over the padded string == min
+    over doc_id), which avoids a second join against the signature table.
+    """
+    from ray.data.aggregate import Count, Min
+
+    P = _join_partitions()
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = np.array(
+            [np.uint64(simhash64(t or "")) for t in texts], dtype=np.uint64
+        ).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "sig": pa.array(sigs)})
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_pylist()
-        band_c: List[int] = []
-        key_c: List[int] = []
-        id_c: List[int] = []
-        for t, i in zip(texts, ids):
-            sig = simhash64(t or "")
-            for b in range(4):
-                band_c.append(b)
-                key_c.append((sig >> (16 * b)) & 0xFFFF)
-                id_c.append(i)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sig = np.asarray(batch["sig"], dtype=np.int64)
+        usig = sig.astype(np.uint64)
+        n = len(ids)
+        band_c = np.repeat(np.arange(4, dtype=np.int64), n)
+        id_c = np.tile(ids, 4)
+        sig_c = np.tile(sig, 4)
+        key_c = np.concatenate(
+            [((usig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
+        )
+        # min over the id-prefixed pack string == min over doc_id (ids are
+        # unique within a bucket), so the rep's signature rides along free
+        pack = ["%020d|%d" % (i, s) for i, s in zip(id_c, sig_c)]
         return pa.table(
             {
-                "band": pa.array(band_c, pa.int64()),
-                "key": pa.array(key_c, pa.int64()),
-                id_col: pa.array(id_c, pa.int64()),
+                "band": pa.array(band_c),
+                "key": pa.array(key_c),
+                id_col: pa.array(id_c),
+                "sig": pa.array(sig_c),
+                "pack": pa.array(pack, pa.string()),
             }
         )
 
-    buckets = ds.map_batches(explode, batch_format="pyarrow")
-    mins = buckets.groupby(["band", "key"]).aggregate(
-        Min(id_col, alias_name="bucket_min")
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    mins = (
+        buckets.groupby(["band", "key"])
+        .aggregate(Min("pack", alias_name="rep_pack"), Count(alias_name="bucket_n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
+        )
     )
-    labeled = buckets.join(
-        mins, "inner", num_partitions=_join_partitions(), on=("band", "key")
+    joined = buckets.join(mins, "inner", P, on=("band", "key"))
+
+    @_norm(_EDGE_SCHEMA)
+    def verify(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        sig = np.asarray(b["sig"], dtype=np.int64).astype(np.uint64)
+        packs = b["rep_pack"].to_pylist()
+        rep_id = np.array([int(p.split("|")[0]) for p in packs], dtype=np.int64)
+        rep_sig = np.array(
+            [int(p.split("|")[1]) for p in packs], dtype=np.int64
+        ).astype(np.uint64)
+        ham = _popcount_u64(sig ^ rep_sig)
+        keep = (ham <= max_hamming) & (ids != rep_id)
+        return pa.table(
+            {"src": pa.array(ids[keep]), "dst": pa.array(rep_id[keep])}
+        )
+
+    edges = joined.map_batches(verify, batch_format="pyarrow")
+    # dedupe edges across bands before propagation
+    edges = (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_nb"))
+        .map_batches(
+            _norm(_EDGE_SCHEMA)(
+                lambda b: pa.table({"src": b["src"], "dst": b["dst"]})
+            ),
+            batch_format="pyarrow",
+        )
     )
-    return labeled.groupby(id_col).aggregate(
-        Min("bucket_min", alias_name="cluster_id")
-    )
+    all_ids = sigs.select_columns([id_col])
+    return cluster_from_edges(all_ids, edges, id_col, max_iters)
