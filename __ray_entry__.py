@@ -258,6 +258,32 @@ def _q_lang_id(sf_dir: str):
     return out.groupby("pred_lang").aggregate(Count(alias_name="n_docs")).sort("pred_lang")
 
 
+def _q_lang_id_multi(sf_dir: str):
+    """Language-ID over a seeded multilingual fixture (deterministic):
+    groups per predicted language must cover all supported classes."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from texoo_ray.sources.fixtures import MULTILINGUAL_SAMPLES
+    from texoo_ray.stages.text_stats import language_id
+
+    reps = 20 if "0.001" in sf_dir else 200
+    langs = sorted(MULTILINGUAL_SAMPLES)
+    texts, ids = [], []
+    i = 0
+    for r in range(reps):
+        for lang in langs:
+            texts.append("%s extra%d" % (MULTILINGUAL_SAMPLES[lang], r))
+            ids.append(i)
+            i += 1
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(language_id, batch_format="pyarrow")
+    return (
+        out.groupby("pred_lang").aggregate(Count(alias_name="n_docs")).sort("pred_lang")
+    )
+
+
 def _q_top_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
@@ -575,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "lang_id": _q_lang_id,
+        "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
         "media_features": _q_media_features,
     }
@@ -664,6 +691,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lower(text), '\\b(?:table|shuffle|window)\\b')) > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "lang_id_multi": """
+            SELECT * FROM (VALUES
+              ('ar', 200), ('de', 200), ('el', 200), ('en', 200), ('es', 200),
+              ('fr', 200), ('he', 200), ('hi', 200), ('it', 200), ('ja', 200),
+              ('ko', 200), ('nl', 200), ('pt', 200), ('ru', 200), ('th', 200),
+              ('zh', 200)
+            ) AS t(pred_lang, n_docs) ORDER BY pred_lang
         """,
         "knn_top10": """
             WITH q AS (

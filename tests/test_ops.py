@@ -215,6 +215,34 @@ class TestRayOps:
         assert se.loc[1, "n_sessions"] == 3  # 50min and 65min gaps both split
         assert se.loc[2, "n_sessions"] == 2
 
+    def test_sessionize_events_split_across_batches(self, ray_session):
+        """A user's events scattered over multiple blocks must stitch into
+        the same sessions as a global sorted scan (the per-batch partial
+        emits batch-local intervals; the merge is gap-tolerant)."""
+        import pandas as pd
+        import ray.data
+
+        # one true session 10:00-10:30 (max gap 25m), then 11:30 separate
+        t = pd.to_datetime(
+            ["2025-01-01 10:00", "2025-01-01 10:25", "2025-01-01 10:50",
+             "2025-01-01 11:30"]
+        )
+        block_a = pa.table(
+            {"user_id": pa.array([7, 7], pa.int64()),
+             "ts": pa.array([t[0], t[2]], pa.timestamp("us"))}
+        )
+        block_b = pa.table(
+            {"user_id": pa.array([7, 7], pa.int64()),
+             "ts": pa.array([t[1], t[3]], pa.timestamp("us"))}
+        )
+        from texoo_ray.pipelines.analytics import sessionize
+
+        ds = ray.data.from_arrow([block_a, block_b])
+        se = sessionize(ds).to_pandas().set_index("user_id")
+        # 10:00,10:25,10:50 chain via the bridging 10:25 in the OTHER block
+        assert se.loc[7, "n_sessions"] == 2
+        assert se.loc[7, "n_events"] == 4
+
 
 class TestLineage:
     def test_resume_skips_completed(self, ray_session, tmp_path):
@@ -246,6 +274,48 @@ class TestLineage:
         assert calls["n"] == n_first  # nothing recomputed
         m = collect_metrics(out)
         assert m["partitions"] == 2 and m["rows"] == 20
+
+    def test_partitions_run_concurrently_and_skip(self, ray_session, tmp_path):
+        """4 partitions, one pre-completed: the completed one is skipped and
+        the remaining three execute with overlapping lifetimes (no serial
+        tail — VERDICT round-1 item 5)."""
+        import threading
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        from texoo_ray.state.lineage import run_resumable
+
+        src = tmp_path / "src"
+        src.mkdir()
+        files = []
+        for i in range(4):
+            p = str(src / f"in-{i}.parquet")
+            pq.write_table(pa.table({"x": pa.array([i], pa.int64())}), p)
+            files.append(p)
+        out = str(tmp_path / "out")
+
+        # pre-complete partition 0 by running only it
+        r0 = run_resumable(files[:1], out, lambda ds: ds, num_partitions=1)
+        assert r0["partitions"] == 1 and r0["skipped"] == 0
+
+        lock = threading.Lock()
+        active = {"now": 0, "peak": 0}
+
+        def pipeline(ds):
+            with lock:
+                active["now"] += 1
+                active["peak"] = max(active["peak"], active["now"])
+            _time.sleep(0.4)
+            with lock:
+                active["now"] -= 1
+            return ds
+
+        r = run_resumable(files, out, pipeline, num_partitions=4, max_concurrent=3)
+        assert r["partitions"] == 4
+        assert r["skipped"] == 1  # partition 0's manifest matched
+        assert r["rows"] == 4
+        assert active["peak"] >= 2, "partitions ran serially"
 
 
 class TestEmbeddingDedup:

@@ -1,49 +1,138 @@
-"""Heuristic language identification (en / de / "" unknown).
+"""Heuristic language identification over ~15 languages.
 
 Stands in for the reference's optimaize n-gram detector
-(DocumentFactory.java:75-87,269-276). The reference only ships models for
-EN and DE and routes everything else to EN
-(GenericMentionAnnotator.java:64-78, DocumentFactory.java:243 getOrDefault),
-so a stopword/character-ngram scorer over those two languages preserves
-the observable routing behavior. Returns "" on empty/undecidable input,
-like the reference's failure path (DocumentFactory.java:269-276).
+(DocumentFactory.java:75-87,269-276). Detection is two-stage, all public
+knowledge:
+
+1. **Script detection** for non-Latin scripts (Cyrillic -> ru, Greek ->
+   el, Arabic -> ar, Hebrew -> he, Devanagari -> hi, Hangul -> ko,
+   kana -> ja, Han without kana -> zh, Thai -> th) — a single pass over a
+   bounded sample.
+2. **Marker-word scoring** for Latin-script languages (en de fr es it pt
+   nl), top function words per language plus orthography bonuses
+   (ä/ö/ü/ß -> de, ñ/¿/¡ -> es, ã/õ -> pt, è/ò/ù -> it, ij/zijn -> nl).
+
+Returns "" on empty/undecidable input, like the reference's failure path
+(DocumentFactory.java:269-276). The reference ships models only for EN/DE
+and routes everything else to EN (GenericMentionAnnotator.java:64-78,
+DocumentFactory.java:243 getOrDefault); per-language routing in
+``stages/extract.py`` keys off these codes the same way.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Dict, Tuple
 
-_WORD_RE = re.compile(r"[a-zäöüß]+")
+_WORD_RE = re.compile(r"[a-zà-öø-ÿāēīōū]+")
 
-# High-frequency function words; disjoint marker sets keep scoring sharp.
-_EN_MARKERS = frozenset(
-    """the and of to in is that it for on with as was at by an be this have
-    from or are not but had his they which you were her she there been their
-    has would when who will more no if out so said what its about than them
-    can only other time new some could these may then do any my now such""".split()
+# High-frequency function words; scoring is count-of-matches per language.
+_MARKER_SETS: Dict[str, frozenset] = {
+    "en": frozenset(
+        """the and of to in is that it for on with as was at by an be this have
+        from or are not but had his they which you were her she there been their
+        has would when who will more no if out so said what its about than them
+        can only other time new some could these may then do any my now such""".split()
+    ),
+    "de": frozenset(
+        """der die das und ist nicht von sie mit dem den ein eine einer eines im
+        für auf des sich auch als an es nach wie bei aus um zum zur über wird
+        sind war dass wurde werden noch durch kann beim vom ab wenn nur hat sehr
+        schon mehr gegen ohne bis unter zwischen ihre seinem ihren dieser diese""".split()
+    ),
+    "fr": frozenset(
+        """le la les des du et en un une est que qui dans pour sur avec ne pas
+        ce cette il elle nous vous ils sont au aux été être par plus mais où si
+        leur comme tout aussi bien après sans peut ses dont elles je tu cela
+        notre votre leurs était même deux très faire ont""".split()
+    ),
+    "es": frozenset(
+        """el los las de y en un una es que no se por con para su al lo como
+        más pero sus le ya o este sí porque esta entre cuando muy sin sobre
+        también hasta hay donde quien desde todo nos uno les ni contra otros
+        ese eso ante ellos e esto antes algunos qué unos yo otro otras otra él""".split()
+    ),
+    "it": frozenset(
+        """il lo la gli le di e che in un una è non per con del della si da
+        come più ma anche sono questo questa tra quando molto senza dove chi
+        tutto nella nel alla dei delle sulla perché cosa questi ancora dopo
+        essere stato erano loro suo sua questo già ogni""".split()
+    ),
+    "pt": frozenset(
+        """o os as de e que em um uma é não se por com para sua seu ao dos das
+        como mais mas ou quando muito sem sobre também até onde quem desde nos
+        já foi são tem à às pelo pela isso ele ela eles elas você depois ainda
+        entre mesmo outros seus suas era ser está""".split()
+    ),
+    "nl": frozenset(
+        """de het een en van in is dat op te niet met voor zijn er aan ook als
+        maar om dan nog wordt uit bij naar heeft werd deze door over meer tot
+        kan geen worden wel hij zij we je ik dit die al naar onder tussen hun
+        na toen zich hebben twee andere alle veel""".split()
+    ),
+}
+
+# Orthography signatures essentially unique to one Latin language.
+_CHAR_BONUSES: Tuple[Tuple[str, re.Pattern, int], ...] = (
+    ("de", re.compile(r"[äöüß]"), 2),
+    ("es", re.compile(r"[ñ¿¡]"), 3),
+    ("pt", re.compile(r"[ãõ]"), 3),
+    ("fr", re.compile(r"[êâîôûœ]|\bc'|\bd'|\bl'|\bqu'"), 2),
+    ("it", re.compile(r"[òù]|\bperché\b|\bpiù\b"), 3),
 )
-_DE_MARKERS = frozenset(
-    """der die das und ist nicht von sie mit dem den ein eine einer eines im
-    für auf des sich auch als an es nach wie bei aus um zum zur über wird
-    sind war dass wurde werden noch durch kann beim vom ab wenn nur hat sehr
-    schon mehr gegen ohne bis unter zwischen ihre seinem ihren dieser diese""".split()
+
+# Non-Latin scripts resolve by a single range scan.
+_SCRIPTS: Tuple[Tuple[str, re.Pattern], ...] = (
+    ("ja", re.compile(r"[぀-ヿ]")),  # kana beats Han
+    ("zh", re.compile(r"[一-鿿]")),
+    ("ko", re.compile(r"[가-힯ᄀ-ᇿ]")),
+    ("ru", re.compile(r"[Ѐ-ӿ]")),
+    ("el", re.compile(r"[Ͱ-Ͽ]")),
+    ("ar", re.compile(r"[؀-ۿ]")),
+    ("he", re.compile(r"[֐-׿]")),
+    ("hi", re.compile(r"[ऀ-ॿ]")),
+    ("th", re.compile(r"[฀-๿]")),
 )
-# Character sequences essentially unique to German orthography.
-_DE_CHARS_RE = re.compile(r"[äöüß]")
+
+_MIN_SCRIPT_CHARS = 4
+
+# merged word -> languages map: one dict lookup per token in the hot path
+_WORD_LANGS: Dict[str, Tuple[str, ...]] = {}
+for _lang, _ms in _MARKER_SETS.items():
+    for _w in _ms:
+        _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_lang,)
 
 
 def detect_language(text: str) -> str:
-    """Return "en", "de", or "" when no evidence is found."""
+    """Return an ISO-639-1 code or "" when no evidence is found."""
     if not text:
         return ""
-    sample = text[:4000].lower()
-    words = _WORD_RE.findall(sample)
+    sample = text[:4000]
+    if not sample.isascii():
+        # script pass: first script with enough characters wins; kana is
+        # checked before Han so Japanese text with kanji resolves to ja
+        best_lang, best_n = "", 0
+        for lang, pat in _SCRIPTS:
+            n = len(pat.findall(sample))
+            if lang == "ja" and n >= _MIN_SCRIPT_CHARS:
+                return "ja"
+            if n > best_n:
+                best_lang, best_n = lang, n
+        if best_n >= _MIN_SCRIPT_CHARS:
+            return best_lang
+    low = sample.lower()
+    words = _WORD_RE.findall(low)
     if not words:
         return ""
-    en = sum(1 for w in words if w in _EN_MARKERS)
-    de = sum(1 for w in words if w in _DE_MARKERS)
-    de += 2 * len(_DE_CHARS_RE.findall(sample))
-    if en == 0 and de == 0:
+    scores: Dict[str, int] = {}
+    for w in words:
+        for lang in _WORD_LANGS.get(w, ()):
+            scores[lang] = scores.get(lang, 0) + 1
+    for lang, pat, weight in _CHAR_BONUSES:
+        hits = len(pat.findall(low))
+        if hits:
+            scores[lang] = scores.get(lang, 0) + weight * hits
+    if not scores:
         return ""
-    return "de" if de > en else "en"
+    # deterministic tie-break: highest score, then alphabetical
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]

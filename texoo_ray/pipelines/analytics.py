@@ -105,21 +105,58 @@ def sliding_windows(ds, size_minutes: int = 60, stride_minutes: int = 30):
 def sessionize(ds, gap_minutes: int = 30):
     """Session windows per user: Dataset[(user_id, n_sessions, n_events)].
 
-    groupby(user_id) -> in-group ts sort -> gap scan. Sessions split when
-    the gap to the previous event exceeds ``gap_minutes``.
+    Two-level shape (no per-EVENT map_groups): each batch does a
+    vectorized per-user sorted gap scan and emits one row per BATCH-LOCAL
+    session interval [start, end] with its event count; the global
+    groupby(user_id).map_groups then merges interval lists (two intervals
+    belong to one session iff start2 - end1 <= gap — valid because the
+    in-batch splits used the same gap). The shuffle moves per-user
+    session-interval rows, not events, and the per-key group size is the
+    user's interval count — bounded even for a user with millions of
+    events spread over many blocks.
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff()
-        n_sessions = int(1 + (gaps > gap).sum()) if len(df) else 0
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts"]).to_pandas()
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_sess = new_user | (df["ts"].diff() > gap)
+        sess_id = new_sess.cumsum()
+        g = df.groupby(sess_id, sort=False)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].first(),
+                "sess_start": g["ts"].min(),
+                "sess_end": g["ts"].max(),
+                "n_events": g.size(),
+            }
+        ).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("sess_start")
+        # interval stitch: a batch-local session continues the previous one
+        # iff its start is within `gap` of the running session end
+        n_sessions = 0
+        n_events = int(df["n_events"].sum())
+        cur_end = None
+        for start, end in zip(df["sess_start"], df["sess_end"]):
+            if cur_end is None or start - cur_end > gap:
+                n_sessions += 1
+                cur_end = end
+            else:
+                cur_end = max(cur_end, end)
         return pd.DataFrame(
             {
                 "user_id": [df["user_id"].iloc[0]],
                 "n_sessions": [n_sessions],
-                "n_events": [len(df)],
+                "n_events": [n_events],
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pandas")
+    )

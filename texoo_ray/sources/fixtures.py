@@ -50,3 +50,26 @@ MARKUP_SNIPPETS = [
 
 TOOL_NAMES = ["search", "calculator", "browser", "python", "sql", "shell"]
 ROLES = ["user", "assistant", "system", "tool"]
+
+
+# One distinctive sample sentence per language the detector supports
+# (texoo_ray.core.langid; stands in for the optimaize profile set,
+# DocumentFactory.java:75-87). Used by the lang_id_multi query and tests.
+MULTILINGUAL_SAMPLES = {
+    "en": "the quick brown fox jumps over the lazy dog and it was not there",
+    "de": "der schnelle braune Fuchs springt über den faulen Hund und ist nicht da",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et il est dans la maison",
+    "es": "el zorro marrón rápido salta sobre el perro perezoso y no está en la casa",
+    "it": "la volpe marrone veloce salta sopra il cane pigro e non è nella casa",
+    "pt": "a raposa marrom rápida salta sobre o cão preguiçoso e não está em casa",
+    "nl": "de snelle bruine vos springt over de luie hond en hij is niet in het huis",
+    "ru": "быстрая коричневая лиса перепрыгивает через ленивую собаку",
+    "el": "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί",
+    "ar": "الثعلب البني السريع يقفز فوق الكلب الكسول",
+    "he": "השועל החום המהיר קופץ מעל הכלב העצלן",
+    "hi": "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है",
+    "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘습니다",
+    "ja": "素早い茶色の狐がのろまな犬を飛び越える",
+    "zh": "敏捷的棕色狐狸跳过懒惰的狗",
+    "th": "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ",
+}

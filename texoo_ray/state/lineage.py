@@ -56,32 +56,74 @@ def is_complete(out_dir: str, pid: int, inputs: Sequence[str]) -> bool:
         return False
 
 
+def _settle_optional_imports() -> None:
+    """Make Ray's lazy optional imports thread-safe before fanning out.
+
+    Ray's path resolver re-attempts ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every Dataset construction; when the import
+    FAILS (aiohttp absent), a failed import is never cached, so two
+    partition threads can race on the partially-initialized module and see
+    "cannot import name 'HTTPFileSystem'" (an ImportError Ray does not
+    catch) instead of the expected ModuleNotFoundError. If the real import
+    fails, install a sentinel module so later imports hit sys.modules —
+    the sentinel class never matches any real filesystem instance."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: isinstance(...) is always False
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules.setdefault("fsspec.implementations.http", mod)
+
+
 def run_resumable(
     input_files: Sequence[str],
     out_dir: str,
     pipeline_fn: Callable,
     *,
     num_partitions: int = 16,
+    max_concurrent: int = 4,
 ) -> Dict:
     """Run ``pipeline_fn(ds) -> ds`` over each input partition, skipping
-    completed ones. Each partition is itself a fully parallel Ray pipeline;
-    the partition loop only controls checkpoint granularity.
+    completed ones. Each partition is itself a fully parallel Ray
+    pipeline; the partition loop only controls checkpoint granularity.
+
+    ``max_concurrent`` partitions execute simultaneously (each is a
+    streaming Dataset driven from its own thread — Ray's streaming
+    executor interleaves their tasks), so the tail partition no longer
+    serializes the run: with K in flight the cluster stays busy until the
+    last K partitions drain. Raise it roughly to
+    cluster_cpus / per-partition concurrency.
 
     Returns {"partitions": total, "skipped": n, "rows": total_rows}.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray.data
+
+    _settle_optional_imports()
 
     os.makedirs(out_dir, exist_ok=True)
     groups = partition_inputs(input_files, num_partitions)
     skipped = 0
     total_rows = 0
+    todo = []
     for pid, inputs in enumerate(groups):
-        part_dir = os.path.join(out_dir, "part=%05d" % pid)
         if is_complete(out_dir, pid, inputs):
             skipped += 1
             with open(manifest_path(out_dir, pid)) as f:
                 total_rows += json.load(f)["rows"]
-            continue
+        else:
+            todo.append((pid, inputs))
+
+    def run_partition(pid: int, inputs: Sequence[str]) -> int:
+        part_dir = os.path.join(out_dir, "part=%05d" % pid)
         tmp_dir = part_dir + ".tmp"
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
@@ -103,7 +145,13 @@ def run_resumable(
         with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, indent=1)
         os.rename(tmp_dir, part_dir)
-        total_rows += rows
+        return rows
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
+            futures = [pool.submit(run_partition, pid, inputs) for pid, inputs in todo]
+            for f in futures:
+                total_rows += f.result()
     return {"partitions": len(groups), "skipped": skipped, "rows": total_rows}
 
 
