@@ -32,7 +32,8 @@ _MARKER_SETS: Dict[str, frozenset] = {
         """the and of to in is that it for on with as was at by an be this have
         from or are not but had his they which you were her she there been their
         has would when who will more no if out so said what its about than them
-        can only other time new some could these may then do any my now such""".split()
+        can only other time new some could these may then do any my now such
+        over into after all we our your me him up down just because""".split()
     ),
     "de": frozenset(
         """der die das und ist nicht von sie mit dem den ein eine einer eines im
@@ -96,11 +97,14 @@ _SCRIPTS: Tuple[Tuple[str, re.Pattern], ...] = (
 
 _MIN_SCRIPT_CHARS = 4
 
-# merged word -> languages map: one dict lookup per token in the hot path
+# merged word -> languages map: one dict lookup per token in the hot path.
+# Single-character markers (es 'y'/'o', it/pt 'e', pt 'a'/'o') are dropped:
+# they false-positive on abbreviations like "e.g." in any language.
 _WORD_LANGS: Dict[str, Tuple[str, ...]] = {}
 for _lang, _ms in _MARKER_SETS.items():
     for _w in _ms:
-        _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_lang,)
+        if len(_w) >= 2:
+            _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_lang,)
 
 
 def detect_language(text: str) -> str:
