@@ -125,6 +125,52 @@ def _q_turn_sections_bemd(sf_dir: str):
     return ordered(out.map_batches(counts, batch_format="pyarrow"))
 
 
+def _q_sector_w2v_sections(sf_dir: str):
+    """SECTOR BEMD segmentation over REAL loaded word vectors: the engine
+    builds a (word, vector) parquet from the corpus (distributed vocab
+    aggregation), then an actor pool loads the matrix once per actor and
+    embeds sentences by mean word-vector lookup
+    (Word2VecEncoder.java:97-145,276-288 load/encode contract)."""
+    import ray.data
+
+    from texoo_ray.stages.extract import SectionStage, SegmentStage
+    from texoo_ray.stages.word2vec import build_word_vectors
+
+    turns_dir = ensure_turns(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
+    w2v_path = os.path.join("/tmp/texoo_w2v", "%s-v1" % tag, "vectors.parquet")
+    if not os.path.exists(w2v_path):
+        build_word_vectors(
+            ray.data.read_parquet(turns_dir, columns=["text"]), w2v_path, dim=64
+        )
+
+    class Prep:
+        def __init__(self):
+            self.seg = SegmentStage(newlines="keep", strip=True)
+            self.sec = SectionStage(method="bemd", w2v_path=w2v_path)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self.sec(self.seg(batch))
+
+    ds = ray.data.read_parquet(turns_dir)
+    out = ds.map_batches(Prep, batch_format="pyarrow", batch_size=256, concurrency=2)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_sections": pa.array(
+                    [len(s) for s in batch["sections"].to_pylist()], pa.int32()
+                ),
+            }
+        )
+
+    from texoo_ray.pipelines.extract import ordered
+
+    return ordered(out.map_batches(counts, batch_format="pyarrow"))
+
+
 def _q_conv_stats(sf_dir: str):
     import ray.data
 
@@ -399,7 +445,7 @@ def _q_link_mentions(sf_dir: str):
     ds = extract_turns(ds, gazetteer_terms=GAZETTEER_TERMS, batch_size=256)
     ds = ds.map_batches(
         LinkerStage,
-        fn_constructor_kwargs=dict(kb_entries=kb),
+        fn_constructor_kwargs=dict(kb_entries=kb, context_col="clean_text"),
         batch_format="pyarrow",
         batch_size=256,
         concurrency=2,
@@ -575,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
         "extract_turns": _q_extract_turns,
         "turn_sections_bemd": _q_turn_sections_bemd,
+        "sector_w2v_sections": _q_sector_w2v_sections,
         "conv_stats": _q_conv_stats,
         "concat_conversations": _q_concat_conversations,
         # SQL-checked operators over the registered tables

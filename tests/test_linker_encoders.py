@@ -66,6 +66,76 @@ class TestKB:
         assert kb.link("Loser")[0] == "Q1"
 
 
+def _medical_kb():
+    """Mirror of the reference KnowledgeBaseTest entities
+    (texoo-entity-linking KnowledgeBaseTest.java:25-83)."""
+    return KnowledgeBase(
+        [
+            (
+                "Q57055",
+                "acetaminophen",
+                ["Paracetamol", "Acetamol", "Paracetanol"],
+                "common drug for pain and fever",
+            ),
+            (
+                "Q18216",
+                "aspirin",
+                ["Aspirin", "ASA", "2-Acetoxybenzoic acid"],
+                "medication used to treat pain and decrease the risk of heart disease",
+            ),
+        ]
+    )
+
+
+class TestKnowledgeBaseRetrieval:
+    """Semantics mirrored from KnowledgeBaseTest.testMentionRetrieval."""
+
+    def test_exact_alias_top_with_high_similarity(self):
+        kb = _medical_kb()
+        cands = kb.find_nearest("Aspirin", 10)
+        assert cands, "no candidates for Aspirin"
+        assert cands[0][0] == "Q18216" and cands[0][2] > 0.99
+        assert all(c[0] != "Q57055" for c in cands)
+
+    def test_alias_retrieves_canonical_entity(self):
+        kb = _medical_kb()
+        cands = kb.find_nearest("Paracetamol", 10)
+        assert cands and cands[0][0] == "Q57055" and cands[0][2] > 0.99
+
+    def test_partial_string_retrieves_both_in_order(self):
+        kb = _medical_kb()
+        cands = kb.find_nearest("ace", 10)
+        ids = [c[0] for c in cands]
+        assert "Q57055" in ids and "Q18216" in ids
+        assert ids.index("Q57055") < ids.index("Q18216")
+
+    def test_garbage_returns_empty(self):
+        kb = _medical_kb()
+        assert kb.find_nearest("123456", 10) == []
+
+    def test_bm25_candidates_capped_and_ranked(self):
+        from texoo_ray.stages.linker import Bm25Index
+
+        idx = Bm25Index(["pain fever drug", "heart disease pain", "unrelated terms"])
+        top = idx.query("pain drug")
+        assert top[0][0] == 0  # both terms match doc 0
+        assert all(i != 2 for i, _ in top)
+
+    def test_context_breaks_ties(self):
+        kb = KnowledgeBase(
+            [
+                ("Q1", "Mercury", [], "roman god of commerce and messenger"),
+                ("Q2", "Mercury", [], "planet closest to the sun in the solar system"),
+            ]
+        )
+        # exact match short-circuits to the first entry; go through
+        # find_nearest for the context-sensitive ordering
+        cands = kb.find_nearest("Mercry", 2, context="the planet orbits the sun")
+        assert cands[0][0] == "Q2"
+        cands = kb.find_nearest("Mercry", 2, context="the god of commerce")
+        assert cands[0][0] == "Q1"
+
+
 class TestLinkerStage:
     def test_attach_refs(self):
         mentions = [

@@ -220,12 +220,22 @@ class SectionStage:
         embedding_dim: int = 64,
         labels: Optional[Sequence[str]] = None,
         top_k: int = 2,
+        w2v_path: Optional[str] = None,
     ):
         assert method in ("nl", "max", "emd", "bemd")
         self.method = method
         self.dim = embedding_dim
         self.top_k = top_k
         self.labels = list(labels) if labels else ["intro", "body", "detail", "outro"]
+        # optional learned-matrix path: loads ONCE per actor (the
+        # Word2VecEncoder.java encode contract); when absent, the hashed
+        # n-gram stand-in embeds sentences
+        self.w2v = None
+        if w2v_path:
+            from .word2vec import Word2VecEncoder
+
+            self.w2v = Word2VecEncoder(w2v_path)
+            self.dim = self.w2v.dim or embedding_dim
         if method == "max":
             from ..core.features import hashed_ngram_vector
 
@@ -238,7 +248,17 @@ class SectionStage:
             return []
         if self.method == "nl":
             return sections_from_newlines(doc.sentences, doc.end)
-        emb = np.stack([sentence_embedding(s.tokens, self.dim) for s in doc.sentences])
+        if self.w2v is not None:
+            emb = np.stack(
+                [
+                    self.w2v.sentence_vector([t.text for t in s.tokens])
+                    for s in doc.sentences
+                ]
+            )
+        else:
+            emb = np.stack(
+                [sentence_embedding(s.tokens, self.dim) for s in doc.sentences]
+            )
         if self.method == "max":
             from ..core.sections import sections_from_target_labels
 
