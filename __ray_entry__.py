@@ -597,6 +597,59 @@ def _q_wiki727_eval(sf_dir: str):
     return pd.DataFrame([res])
 
 
+_MEDQUAD_XML_TMPL = """<?xml version="1.0" encoding="UTF-8"?>
+<Document id="%07d" source="GARD" url="https://example.org/%d">
+  <Focus>%s</Focus>
+  <FocusAnnotations><UMLS>
+    <CUIs><CUI>C%07d</CUI></CUIs>
+    <SemanticGroup>Disorders</SemanticGroup>
+  </UMLS></FocusAnnotations>
+  <QAPairs>%s</QAPairs>
+</Document>
+"""
+
+
+def _q_qa_passage_candidates(sf_dir: str):
+    """MedQuAD-style reader -> entity/aspect queries -> BM25 passage
+    candidate retrieval (PassageIndex.java:103-215 pipeline), over a
+    deterministic generated fixture corpus."""
+    import random
+
+    from texoo_ray.sources.fixtures import WORD_BANK
+    from texoo_ray.sources.qa_corpora import read_medquad
+    from texoo_ray.stages.retrieval import passage_candidates
+
+    n_files = 20 if "0.001" in sf_dir else 80
+    fix_dir = os.path.join("/tmp/texoo_medquad", "1_GARD_QA-%d" % n_files)
+    marker = os.path.join(fix_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(fix_dir, exist_ok=True)
+        aspects = ("information", "symptoms", "treatment", "causes")
+        for fi in range(n_files):
+            r = random.Random(7100 + fi)
+            focus = "%s %s" % (
+                r.choice(WORD_BANK).capitalize(), r.choice(WORD_BANK)
+            )
+            pairs = []
+            for qi, aspect in enumerate(aspects[: r.randint(2, 4)]):
+                words = " ".join(r.choice(WORD_BANK) for _ in range(r.randint(12, 30)))
+                pairs.append(
+                    "<QAPair pid=\"%d\"><Question qid=\"%07d-%d\" qtype=\"%s\">"
+                    "What about %s of %s?</Question><Answer>%s.</Answer></QAPair>"
+                    % (qi, fi, qi, aspect, aspect, focus, words)
+                )
+            with open(os.path.join(fix_dir, "doc-%04d.xml" % fi), "w") as f:
+                f.write(_MEDQUAD_XML_TMPL % (fi, fi, focus, fi, "".join(pairs)))
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = sorted(
+        os.path.join(fix_dir, p) for p in os.listdir(fix_dir) if p.endswith(".xml")
+    )
+    docs_ds, queries_ds = read_medquad(paths)
+    out = passage_candidates(docs_ds, queries_ds, num=5)
+    return out.sort(["query_id", "rank"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -650,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
+        "qa_passage_candidates": _q_qa_passage_candidates,
         "media_features": _q_media_features,
     }
 

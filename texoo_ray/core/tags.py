@@ -118,3 +118,102 @@ def confidence_from_scores(scores: np.ndarray, labels: Sequence[str]) -> List[fl
     """Per-token confidence for repaired labels = score at the chosen label
     (BIOESTag.java:70-76, constructor with explicit label)."""
     return [float(scores[i, BIOES_INDEX[l]]) for i, l in enumerate(labels)]
+
+
+# --- POS and T/F tag types (model/tag/POSTag.java, TFTag.java) -------------
+
+
+class POSTag:
+    """Part-of-speech tag for a single token (POSTag.java:12-67): a plain
+    string value with equality on the value; confidence is fixed 0."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: str = ""):
+        self.value = value
+
+    def tag(self) -> str:
+        return self.value
+
+    @property
+    def confidence(self) -> float:
+        return 0.0
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, POSTag) and other.value == self.value
+
+    def __hash__(self) -> int:
+        return hash(self.value)
+
+    def __repr__(self) -> str:
+        return "POSTag(%r)" % self.value
+
+
+TF_LABELS = ("T", "F")
+GENERIC = "GENERIC"
+
+
+class TFTag:
+    """Binary True/False sequence tag (TFTag.java:17-230): label in
+    {T, F}; type defaults to GENERIC for T and None for F; equality on
+    (label, type); ``max`` picks the argmax of a 2-score vector with
+    index 0 = T (TFTag.java:110-132)."""
+
+    __slots__ = ("label", "type", "confidence")
+
+    def __init__(self, label: str = "F", type_: str = None, confidence: float = 0.0):
+        assert label in TF_LABELS
+        self.label = label
+        if type_ is None:
+            type_ = GENERIC if label == "T" else None
+        self.type = type_
+        self.confidence = confidence
+
+    @classmethod
+    def t(cls) -> "TFTag":
+        return cls("T")
+
+    @classmethod
+    def f(cls) -> "TFTag":
+        # TFTag.java:57: F explicitly carries no type
+        tag = cls("F")
+        tag.type = None
+        return tag
+
+    @classmethod
+    def from_scores(cls, scores, type_: str = GENERIC) -> "TFTag":
+        """argmax with index 0 = T, ties -> later index (TFTag.java:110-125
+        uses >=, so F wins a tie)."""
+        best, best_i = None, 0
+        for i, s in enumerate(scores):
+            if best is None or s >= best:
+                best, best_i = s, i
+        label = TF_LABELS[best_i]
+        tag = cls(label, type_ if label == "T" else None, float(best))
+        return tag
+
+    def is_t(self) -> bool:
+        return self.label == "T"
+
+    def is_f(self) -> bool:
+        return self.label == "F"
+
+    def tag(self) -> str:
+        return self.label
+
+    def vector(self):
+        """One-hot score vector, T = [1,0] (TFTag.java:76-84)."""
+        return [1.0, 0.0] if self.label == "T" else [0.0, 1.0]
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, TFTag)
+            and other.label == self.label
+            and other.type == self.type
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.label, self.type))
+
+    def __repr__(self) -> str:
+        return self.label if self.type is None else "%s-%s" % (self.label, self.type)

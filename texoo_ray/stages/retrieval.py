@@ -50,3 +50,119 @@ def term_match_topk(
 
     partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def passage_candidates(
+    docs_ds,
+    queries_ds,
+    num: int = 10,
+    text_col: str = "text",
+    passages_col: str = "gold_passages",
+):
+    """Per-query passage candidate generation — the PassageIndex analogue
+    (texoo-cdv/.../index/PassageIndex.java:103-215, used by
+    MatchZooReader.addCandidateSamples):
+
+    - index every GOLD passage of every document (BM25 over the passage
+      text, the RAM-Lucene stand-in),
+    - per query, search ``entity aspect`` (with ``/ - :`` folded to
+      spaces, :170-171) for up to ``num`` candidates,
+    - splice ALL passages of the top hit's document in right after rank 1
+      (:177-185 "in case of exact match"),
+    - fill the query's results to ``num``, skipping passages already
+      present (the GOLD result stays rank 0, relevance 1; candidates get
+      relevance 0).
+
+    Ray mapping: the passage index builds from a STREAMED pass over the
+    documents (driver-held, KB-bounded like the linker KB), ships once via
+    ``ray.put`` and is probed per query batch — broadcast small side, no
+    shuffle. Returns Dataset[(query_id, rank, doc_id, passage_id,
+    relevance)].
+    """
+    import ray
+
+    from .linker import Bm25Index
+
+    passages: List[dict] = []
+    by_doc: dict = {}
+    for batch in docs_ds.iter_batches(batch_format="pyarrow"):
+        for doc_id, text, panns in zip(
+            batch["doc_id"].to_pylist(),
+            batch[text_col].to_pylist(),
+            batch[passages_col].to_pylist(),
+        ):
+            for p in panns or []:
+                idx = len(passages)
+                passages.append(
+                    {
+                        "doc_id": doc_id,
+                        "passage_id": p.get("id") or "%s#%d" % (doc_id, idx),
+                        "text": "%s %s" % (
+                            p.get("label") or "",
+                            (text or "")[p["begin"] : p["end"]],
+                        ),
+                    }
+                )
+                by_doc.setdefault(doc_id, []).append(idx)
+    index = Bm25Index([p["text"] for p in passages])
+    shared = ray.put((index, passages, by_doc))
+
+    def clean(s: str) -> str:
+        return (s or "").replace("/", " ").replace("-", " ").replace(":", " ")
+
+    def run(batch: pa.Table) -> pa.Table:
+        index, passages, by_doc = ray.get(shared)
+        q_col, r_col, d_col, p_col, rel_col = [], [], [], [], []
+        for qid, entity, aspect, gold_doc, gold_begin, gold_end in zip(
+            batch["query_id"].to_pylist(),
+            batch["entity"].to_pylist(),
+            batch["aspect"].to_pylist(),
+            batch["doc_id"].to_pylist(),
+            batch["begin"].to_pylist(),
+            batch["end"].to_pylist(),
+        ):
+            hits = index.query(clean(entity) + " " + clean(aspect), num)
+            cands = [passages[i] for i, _ in hits]
+            if cands:
+                # splice the top document's passages after rank 1
+                top_doc = cands[0]["doc_id"]
+                spliced = cands[:1] + [
+                    passages[i] for i in by_doc.get(top_doc, [])
+                ] + cands[1:]
+            else:
+                spliced = []
+            gold_id = "%s:%d-%d" % (gold_doc, gold_begin, gold_end)
+            seen = {gold_id}
+            results = [
+                {"doc_id": gold_doc, "passage_id": gold_id, "relevance": 1}
+            ]
+            for c in spliced:
+                if len(results) >= num:
+                    break
+                if c["passage_id"] in seen:
+                    continue
+                seen.add(c["passage_id"])
+                results.append(
+                    {
+                        "doc_id": c["doc_id"],
+                        "passage_id": c["passage_id"],
+                        "relevance": 0,
+                    }
+                )
+            for rank, r in enumerate(results):
+                q_col.append(qid)
+                r_col.append(rank)
+                d_col.append(r["doc_id"])
+                p_col.append(r["passage_id"])
+                rel_col.append(r["relevance"])
+        return pa.table(
+            {
+                "query_id": pa.array(q_col, pa.string()),
+                "rank": pa.array(r_col, pa.int32()),
+                "doc_id": pa.array(d_col, pa.string()),
+                "passage_id": pa.array(p_col, pa.string()),
+                "relevance": pa.array(rel_col, pa.int32()),
+            }
+        )
+
+    return queries_ds.map_batches(run, batch_format="pyarrow")
