@@ -51,6 +51,19 @@ def ensure_turns(sf_dir: str) -> str:
             pq.write_table(tbl, os.path.join(out_dir, "part-00000.parquet"))
         with open(marker, "w") as f:
             f.write("ok")
+    # Refresh the oracle alias: the correctness harness runs each Ray
+    # query and THEN its DuckDB oracle in the same process, so SQL can
+    # read the turns corpus through a stable path that always points at
+    # the sf this run generated (atomic symlink swap).
+    link = os.path.join(_TURNS_CACHE, "oracle_current")
+    tmp = link + ".tmp"
+    try:
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.remove(tmp)
+        os.symlink(out_dir, tmp)
+        os.replace(tmp, link)
+    except OSError:
+        pass
     return out_dir
 
 
@@ -792,6 +805,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lower(text), '\\b(?:table|shuffle|window)\\b')) > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "conv_stats": """
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+                   sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            GROUP BY conv_id ORDER BY conv_id
+        """,
+        "concat_conversations": """
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   false AS truncated,
+                   string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                              ORDER BY turn_idx) AS transcript
+            FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            GROUP BY conv_id ORDER BY conv_id
         """,
         "lang_id_multi": """
             SELECT * FROM (VALUES
