@@ -237,31 +237,20 @@ def cluster_from_edges(all_ids, edges, id_col: str = "doc_id", max_iters: int = 
     lab_schema = pa.schema([("id", pa.int64()), ("label", pa.int64())])
     out_schema = pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())])
 
-    # symmetrize once: each round then needs a SINGLE join (msg to src from
-    # dst's label covers both directions)
-    @_norm(_EDGE_SCHEMA)
-    def symmetrize(b: pa.Table) -> pa.Table:
-        src = b["src"].combine_chunks().cast(pa.int64())
-        dst = b["dst"].combine_chunks().cast(pa.int64())
-        return pa.table(
-            {
-                "src": pa.concat_arrays([src, dst]),
-                "dst": pa.concat_arrays([dst, src]),
-            }
-        )
-
-    sym = _compact(edges.map_batches(symmetrize, batch_format="pyarrow"))
-    n_edges = sym.count()
+    n_edges = edges.count()
 
     if n_edges <= _SMALL_EDGE_LIMIT:
         # The verified edge set fits one worker block (2M pairs = 32 MB):
         # solve components in a SINGLE task with vectorized min-label
         # relaxation — one coalesced block, zero join rounds. The corpus
         # itself never flows through here, only the near-dup subgraph.
+        # Duplicate edges (one per shared band) are harmless here.
         @_norm(lab_schema)
         def solve(b: pa.Table) -> pa.Table:
-            src = np.asarray(b["src"], dtype=np.int64)
-            dst = np.asarray(b["dst"], dtype=np.int64)
+            s0 = np.asarray(b["src"], dtype=np.int64)
+            d0 = np.asarray(b["dst"], dtype=np.int64)
+            src = np.concatenate([s0, d0])  # symmetrize in place
+            dst = np.concatenate([d0, s0])
             ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
             s_idx, d_idx = inv[: len(src)], inv[len(src) :]
             labels = ids.copy()
@@ -274,12 +263,26 @@ def cluster_from_edges(all_ids, edges, id_col: str = "doc_id", max_iters: int = 
             return pa.table({"id": pa.array(ids), "label": pa.array(labels)})
 
         labels = _compact(
-            sym.repartition(1).map_batches(
+            edges.repartition(1).map_batches(
                 solve, batch_format="pyarrow", batch_size=None
             )
         )
     else:
-        # distributed fallback: iterative min-label message passing
+        # distributed fallback: iterative min-label message passing over
+        # symmetrized edges (a single join per round sends each endpoint
+        # its neighbours' labels)
+        @_norm(_EDGE_SCHEMA)
+        def symmetrize(b: pa.Table) -> pa.Table:
+            src = b["src"].combine_chunks().cast(pa.int64())
+            dst = b["dst"].combine_chunks().cast(pa.int64())
+            return pa.table(
+                {
+                    "src": pa.concat_arrays([src, dst]),
+                    "dst": pa.concat_arrays([dst, src]),
+                }
+            )
+
+        sym = _compact(edges.map_batches(symmetrize, batch_format="pyarrow"))
         P = max(2, min(_join_partitions(), 1 + n_edges // 10_000))
         endpoints = (
             sym.map_batches(
@@ -546,64 +549,63 @@ def minhash_dedup(
     Band-bucket collisions only *generate candidates*; every candidate
     pair (doc, bucket-min rep) is verified before clustering:
 
-    - ``verify="signature"`` (default, the scale path): estimated Jaccard
-      = fraction of equal minhash components between the two signatures
-      (64 components -> stderr ~0.06); pairs below ``threshold`` are
-      dropped. Costs two hash joins of the lean (id, sig) table — never
-      re-ships text.
+    - ``verify="signature"`` (default): estimated Jaccard = fraction of
+      equal minhash components between the two signatures (64 components
+      -> stderr ~0.06); pairs below ``threshold`` are dropped. The bucket
+      rep's signature rides the groupby as a zero-padded "id|sig-hex"
+      string min (min over the padded string == min over doc_id), so
+      verification happens right after the single bucket join — ONE
+      groupby + ONE join total. The band shuffle carries ~1 KB/doc/band;
+      on bandwidth-constrained clusters trade that for two extra joins of
+      the lean (id, sig) table instead.
     - ``verify="exact"``: joins the raw texts back and filters by
       ``jaccard_ngrams`` >= threshold. Two full-text shuffles; meant for
       high-precision runs on smaller corpora.
 
-    Shapes: the signature table is computed once and kept (512 B/doc —
-    checkpoint it via state.lineage at corpus scale instead of
-    ``materialize``); the band shuffle carries only (band, hash, id);
-    singleton buckets are dropped before the join; candidate edges are
-    deduped across bands before verification.
+    Duplicate (doc, rep) pairs across bands are NOT pre-deduped: min-label
+    propagation is idempotent over repeated edges and an extra groupby
+    costs more than the redundant (vectorized) verification.
     """
     from ray.data.aggregate import Count, Min
 
     P = _join_partitions()
+    assert k % bands == 0
+    rows_per_band = k // bands
     sigs = minhash_signatures(ds, text_col, id_col, k).materialize()
-    bands_ds = _bands_from_signatures(sigs, id_col, k, bands)
-    mins = (
-        bands_ds.groupby(["band", "band_hash"])
-        .aggregate(Min(id_col, alias_name="bucket_min"), Count(alias_name="bucket_n"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
+    all_ids = sigs.select_columns([id_col])
+
+    if verify == "exact":
+        pair_schema = pa.schema([(id_col, pa.int64()), ("bucket_min", pa.int64())])
+        bands_ds = _bands_from_signatures(sigs, id_col, k, bands)
+        mins = (
+            bands_ds.groupby(["band", "band_hash"])
+            .aggregate(
+                Min(id_col, alias_name="bucket_min"), Count(alias_name="bucket_n")
+            )
+            .map_batches(
+                lambda b: b.filter(pc.greater(b["bucket_n"], 1)),
+                batch_format="pyarrow",
+            )
         )
-    )
-    pair_schema = pa.schema([(id_col, pa.int64()), ("bucket_min", pa.int64())])
-    cand = bands_ds.join(mins, "inner", P, on=("band", "band_hash"))
-    cand = cand.map_batches(
-        _norm(pair_schema)(
-            lambda b: pa.table(
-                {id_col: b[id_col], "bucket_min": b["bucket_min"]}
-            ).filter(pc.not_equal(b[id_col], b["bucket_min"]))
-        ),
-        batch_format="pyarrow",
-    )
-    # dedupe (doc, rep) pairs across bands so verification runs once/pair
-    cand = (
-        cand.groupby([id_col, "bucket_min"])
-        .aggregate(Count(alias_name="_nb"))
-        .map_batches(
+        cand = bands_ds.join(mins, "inner", P, on=("band", "band_hash"))
+        cand = cand.map_batches(
             _norm(pair_schema)(
-                lambda b: pa.table({id_col: b[id_col], "bucket_min": b["bucket_min"]})
+                lambda b: pa.table(
+                    {id_col: b[id_col], "bucket_min": b["bucket_min"]}
+                ).filter(pc.not_equal(b[id_col], b["bucket_min"]))
             ),
             batch_format="pyarrow",
         )
-    )
-    cand = _compact(cand)
-    all_ids = sigs.select_columns([id_col])
-    if cand is None:
-        import ray.data
+        cand = _compact(cand)
+        if cand is None:
+            import ray.data
 
-        return cluster_from_edges(
-            all_ids, ray.data.from_arrow(_EDGE_SCHEMA.empty_table()), id_col, max_iters
-        )
-
-    if verify == "exact":
+            return cluster_from_edges(
+                all_ids,
+                ray.data.from_arrow(_EDGE_SCHEMA.empty_table()),
+                id_col,
+                max_iters,
+            )
         texts = ds.select_columns([id_col, text_col])
         t1 = texts.map_batches(
             lambda b: pa.table({id_col: b[id_col], "_text_src": b[text_col]}),
@@ -615,7 +617,16 @@ def minhash_dedup(
         )
         e = cand.join(t1, "inner", P, on=(id_col,))
         e = _compact(e)
-        e = e.join(t2, "inner", P, on=("bucket_min",), right_on=("_id2",)) if e is not None else None
+        if e is None:
+            import ray.data
+
+            return cluster_from_edges(
+                all_ids,
+                ray.data.from_arrow(_EDGE_SCHEMA.empty_table()),
+                id_col,
+                max_iters,
+            )
+        e = e.join(t2, "inner", P, on=("bucket_min",), right_on=("_id2",))
 
         @_norm(_EDGE_SCHEMA)
         def check_exact(b: pa.Table) -> pa.Table:
@@ -626,42 +637,61 @@ def minhash_dedup(
             t = b.filter(pa.array(keep, pa.bool_()))
             return pa.table({"src": t[id_col], "dst": t["bucket_min"]})
 
-        edges = (
-            e.map_batches(check_exact, batch_format="pyarrow")
-            if e is not None
-            else None
-        )
-    else:
-        s1 = sigs.map_batches(
-            lambda b: pa.table({id_col: b[id_col], "_sig_src": b["sig"]}),
-            batch_format="pyarrow",
-        )
-        s2 = sigs.map_batches(
-            lambda b: pa.table({"_id2": b[id_col], "_sig_dst": b["sig"]}),
-            batch_format="pyarrow",
-        )
-        e = cand.join(s1, "inner", P, on=(id_col,))
-        e = _compact(e)
-        e = e.join(s2, "inner", P, on=("bucket_min",), right_on=("_id2",)) if e is not None else None
+        edges = e.map_batches(check_exact, batch_format="pyarrow")
+        return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
-        @_norm(_EDGE_SCHEMA)
-        def check_sig(b: pa.Table) -> pa.Table:
-            ms = _sig_matrix(b["_sig_src"], k)
-            md = _sig_matrix(b["_sig_dst"], k)
-            est = (ms == md).mean(axis=1)
-            t = b.filter(pa.array(est >= threshold))
-            return pa.table({"src": t[id_col], "dst": t["bucket_min"]})
-
-        edges = (
-            e.map_batches(check_sig, batch_format="pyarrow")
-            if e is not None
-            else None
+    # signature mode: pack-carry, one groupby + one join
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = _sig_matrix(batch["sig"], k)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sig_bytes = batch["sig"].to_pylist()
+        packs = ["%020d|" % i + s.hex() for i, s in zip(ids, sig_bytes)]
+        b_col: List[int] = []
+        h_col: List[str] = []
+        p_col: List[str] = []
+        for r in range(mat.shape[0]):
+            for b in range(bands):
+                chunk = mat[r, b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(
+                    np.ascontiguousarray(chunk).tobytes(), digest_size=8
+                ).hexdigest()
+                b_col.append(b)
+                h_col.append(h)
+                p_col.append(packs[r])
+        return pa.table(
+            {
+                "band": pa.array(b_col, pa.int64()),
+                "band_hash": pa.array(h_col, pa.string()),
+                "pack": pa.array(p_col, pa.string()),
+            }
         )
 
-    if edges is None:
-        import ray.data
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    mins = (
+        buckets.groupby(["band", "band_hash"])
+        .aggregate(Min("pack", alias_name="rep_pack"), Count(alias_name="bucket_n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
+        )
+    )
+    joined = buckets.join(mins, "inner", P, on=("band", "band_hash"))
 
-        edges = ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+    def _unpack(packs: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.array([int(p[:20]) for p in packs], dtype=np.int64)
+        buf = b"".join(bytes.fromhex(p[21:]) for p in packs)
+        return ids, np.frombuffer(buf, dtype=np.int64).reshape(-1, k)
+
+    @_norm(_EDGE_SCHEMA)
+    def check_sig(b: pa.Table) -> pa.Table:
+        own_id, own_sig = _unpack(b["pack"].to_pylist())
+        rep_id, rep_sig = _unpack(b["rep_pack"].to_pylist())
+        est = (own_sig == rep_sig).mean(axis=1)
+        keep = (est >= threshold) & (own_id != rep_id)
+        return pa.table(
+            {"src": pa.array(own_id[keep]), "dst": pa.array(rep_id[keep])}
+        )
+
+    edges = joined.map_batches(check_sig, batch_format="pyarrow")
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
 
@@ -748,17 +778,7 @@ def simhash_dedup(
             {"src": pa.array(ids[keep]), "dst": pa.array(rep_id[keep])}
         )
 
+    # duplicate edges across bands are harmless for min-label propagation
     edges = joined.map_batches(verify, batch_format="pyarrow")
-    # dedupe edges across bands before propagation
-    edges = (
-        edges.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_nb"))
-        .map_batches(
-            _norm(_EDGE_SCHEMA)(
-                lambda b: pa.table({"src": b["src"], "dst": b["dst"]})
-            ),
-            batch_format="pyarrow",
-        )
-    )
     all_ids = sigs.select_columns([id_col])
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
