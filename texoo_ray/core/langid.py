@@ -74,6 +74,9 @@ _MARKER_SETS: Dict[str, frozenset] = {
 }
 
 # Orthography signatures essentially unique to one Latin language.
+# Split by whether the pattern can ever match pure-ASCII text: for ASCII
+# input (the overwhelming majority of turns) only the French apostrophe
+# contractions apply, so the hot path runs at most one of these scans.
 _CHAR_BONUSES: Tuple[Tuple[str, re.Pattern, int], ...] = (
     ("de", re.compile(r"[äöüß]"), 2),
     ("es", re.compile(r"[ñ¿¡]"), 3),
@@ -81,6 +84,7 @@ _CHAR_BONUSES: Tuple[Tuple[str, re.Pattern, int], ...] = (
     ("fr", re.compile(r"[êâîôûœ]|\bc'|\bd'|\bl'|\bqu'"), 2),
     ("it", re.compile(r"[òù]|\bperché\b|\bpiù\b"), 3),
 )
+_ASCII_FR_RE = re.compile(r"\bc'|\bd'|\bl'|\bqu'")
 
 # Non-Latin scripts resolve by a single range scan.
 _SCRIPTS: Tuple[Tuple[str, re.Pattern], ...] = (
@@ -112,7 +116,8 @@ def detect_language(text: str) -> str:
     if not text:
         return ""
     sample = text[:4000]
-    if not sample.isascii():
+    is_ascii = sample.isascii()
+    if not is_ascii:
         # script pass: first script with enough characters wins; kana is
         # checked before Han so Japanese text with kanji resolves to ja
         best_lang, best_n = "", 0
@@ -132,10 +137,17 @@ def detect_language(text: str) -> str:
     for w in words:
         for lang in _WORD_LANGS.get(w, ()):
             scores[lang] = scores.get(lang, 0) + 1
-    for lang, pat, weight in _CHAR_BONUSES:
-        hits = len(pat.findall(low))
-        if hits:
-            scores[lang] = scores.get(lang, 0) + weight * hits
+    if is_ascii:
+        # only the fr apostrophe contractions can match ASCII text
+        if "'" in low:
+            hits = len(_ASCII_FR_RE.findall(low))
+            if hits:
+                scores["fr"] = scores.get("fr", 0) + 2 * hits
+    else:
+        for lang, pat, weight in _CHAR_BONUSES:
+            hits = len(pat.findall(low))
+            if hits:
+                scores[lang] = scores.get(lang, 0) + weight * hits
     if not scores:
         return ""
     # deterministic tie-break: highest score, then alphabetical
