@@ -4,7 +4,7 @@ chains must converge to a single transitive cluster id."""
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 import pyarrow as pa
@@ -23,14 +23,11 @@ ROWS = K // BANDS
 
 
 def band_hashes(text: str):
-    sig = minhash_signature(text, K)
-    return {
-        (b, hashlib.blake2b(
-            np.ascontiguousarray(sig[b * ROWS : (b + 1) * ROWS]).tobytes(),
-            digest_size=8,
-        ).hexdigest())
-        for b in range(BANDS)
-    }
+    from texoo_ray.stages.dedup import _band_keys
+
+    sig = minhash_signature(text, K).reshape(1, K)
+    keys = _band_keys(sig, BANDS)[0]
+    return {(b, int(keys[b])) for b in range(BANDS)}
 
 
 def est_jaccard(a: str, b: str) -> float:

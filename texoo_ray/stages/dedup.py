@@ -78,13 +78,34 @@ def shingles(text: str, n: int = 3) -> np.ndarray:
 
 def minhash_signature(text: str, k: int = 64, seed: int = 42) -> np.ndarray:
     """k-wide minhash signature (int64). Empty text -> all -1 sentinel."""
-    sh = shingles(text)
-    if sh.size == 0:
-        return np.full(k, -1, dtype=np.int64)
+    return minhash_signature_batch([text], k, seed)[0]
+
+
+def minhash_signature_batch(
+    texts: List[str], k: int = 64, seed: int = 42
+) -> np.ndarray:
+    """(n, k) minhash signatures for a whole batch in ONE numpy pass.
+
+    All docs' shingle hashes concatenate into a single array; the k
+    multiply-shift permutations apply to the whole array at once and
+    per-doc minima come from ``np.minimum.reduceat`` at doc boundaries —
+    ~10x faster than per-doc (k, S) matrix ops (the per-call numpy
+    overhead dominated). Values are IDENTICAL to the per-doc path."""
     a, b = _PERMS.setdefault((k, seed), _perm_params(k, seed))
-    # (k, S) multiply-shift in int64 with a Mersenne-prime modulus
-    vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    shs = [shingles(t or "") for t in texts]
+    lens = np.array([s.size for s in shs], dtype=np.int64)
+    nonempty = [s for s in shs if s.size]
+    out = np.full((len(texts), k), -1, dtype=np.int64)
+    if not nonempty:
+        return out
+    cat = np.concatenate(nonempty)
+    # (k, total) multiply-shift in int64 with a Mersenne-prime modulus
+    vals = (cat[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    ne_lens = lens[lens > 0]
+    starts = np.concatenate([[0], np.cumsum(ne_lens)[:-1]])
+    mins = np.minimum.reduceat(vals, starts, axis=1)  # (k, n_nonempty)
+    out[lens > 0] = mins.T
+    return out
 
 
 _PERMS: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
@@ -140,6 +161,25 @@ def _popcount_u64(x: np.ndarray) -> np.ndarray:
     x = (x & m2) + ((x >> np.uint64(2)) & m2)
     x = (x + (x >> np.uint64(4))) & m4
     return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
+def _band_keys(mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 bucket keys from an (n, k) signature matrix.
+
+    Vectorized FNV-1a fold over each band's components with a murmur-style
+    finalizer — replaces a per-row/per-band blake2b call (the band key
+    only needs uniform bucketing, not cryptographic strength)."""
+    n, k = mat.shape
+    rpb = k // bands
+    u = mat.astype(np.uint64).reshape(n, bands, rpb)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(rpb):
+        h = (h ^ u[:, :, j]) * prime
+    h ^= h >> np.uint64(33)
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h.astype(np.int64)
 
 
 def _list_matrix(col, dtype=np.int64) -> np.ndarray:
@@ -241,14 +281,25 @@ def cluster_from_edges(all_ids, edges, id_col: str = "doc_id", max_iters: int = 
 
     if n_edges <= _SMALL_EDGE_LIMIT:
         # The verified edge set fits one worker block (2M pairs = 32 MB):
-        # solve components in a SINGLE task with vectorized min-label
-        # relaxation — one coalesced block, zero join rounds. The corpus
-        # itself never flows through here, only the near-dup subgraph.
-        # Duplicate edges (one per shared band) are harmless here.
-        @_norm(lab_schema)
-        def solve(b: pa.Table) -> pa.Table:
-            s0 = np.asarray(b["src"], dtype=np.int64)
-            d0 = np.asarray(b["dst"], dtype=np.int64)
+        # solve components in ONE remote task with vectorized min-label
+        # relaxation, then BROADCAST the endpoint->label arrays (ray.put
+        # semantics via the task's object ref — stored once, read
+        # zero-copy by every map task) and attach cluster ids with a
+        # shuffle-free searchsorted lookup. This replaces a repartition
+        # exchange plus a corpus-wide left-outer join with a single
+        # embarrassingly-parallel pass over ``all_ids``. The corpus never
+        # flows through the solve, only the near-dup subgraph; duplicate
+        # edges (one per shared band) are harmless.
+        import ray
+
+        @ray.remote
+        def _solve(*blocks):
+            s0 = np.concatenate(
+                [np.asarray(b["src"], dtype=np.int64) for b in blocks]
+            )
+            d0 = np.concatenate(
+                [np.asarray(b["dst"], dtype=np.int64) for b in blocks]
+            )
             src = np.concatenate([s0, d0])  # symmetrize in place
             dst = np.concatenate([d0, s0])
             ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -260,13 +311,23 @@ def cluster_from_edges(all_ids, edges, id_col: str = "doc_id", max_iters: int = 
                 if np.array_equal(new, labels):
                     break
                 labels = new
-            return pa.table({"id": pa.array(ids), "label": pa.array(labels)})
+            return ids, labels  # ids sorted ascending (np.unique)
 
-        labels = _compact(
-            edges.repartition(1).map_batches(
-                solve, batch_format="pyarrow", batch_size=None
-            )
-        )
+        label_ref = _solve.remote(*edges.to_arrow_refs())
+
+        @_norm(out_schema)
+        def attach(b: pa.Table) -> pa.Table:
+            ids_arr, lab_arr = ray.get(label_ref)
+            doc = np.asarray(b[id_col], dtype=np.int64)
+            if len(ids_arr) == 0:
+                out_lab = doc
+            else:
+                idx = np.clip(np.searchsorted(ids_arr, doc), 0, len(ids_arr) - 1)
+                hit = ids_arr[idx] == doc
+                out_lab = np.where(hit, lab_arr[idx], doc)
+            return pa.table({id_col: pa.array(doc), "cluster_id": pa.array(out_lab)})
+
+        return all_ids.map_batches(attach, batch_format="pyarrow")
     else:
         # distributed fallback: iterative min-label message passing over
         # symmetrized edges (a single join per round sends each endpoint
@@ -469,10 +530,10 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id", k: in
 
     def stage(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        sigs = [
-            np.ascontiguousarray(minhash_signature(t or "", k)).tobytes()
-            for t in texts
-        ]
+        mat = np.ascontiguousarray(minhash_signature_batch(texts, k))
+        buf = mat.tobytes()
+        w = k * 8
+        sigs = [buf[i * w : (i + 1) * w] for i in range(len(texts))]
         return pa.table(
             {id_col: batch[id_col], "sig": pa.array(sigs, pa.binary())}
         )
@@ -501,29 +562,18 @@ def minhash_bands(
 
 
 def _bands_from_signatures(sigs, id_col: str, k: int, bands: int):
-    rows_per_band = k // bands
     assert k % bands == 0
 
     def explode(batch: pa.Table) -> pa.Table:
         mat = _sig_matrix(batch["sig"], k)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        b_col: List[int] = []
-        h_col: List[str] = []
-        i_col: List[int] = []
-        for r in range(mat.shape[0]):
-            for b in range(bands):
-                chunk = mat[r, b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(
-                    np.ascontiguousarray(chunk).tobytes(), digest_size=8
-                ).hexdigest()
-                b_col.append(b)
-                h_col.append(h)
-                i_col.append(int(ids[r]))
+        n = mat.shape[0]
+        keys = _band_keys(mat, bands)  # (n, bands)
         return pa.table(
             {
-                "band": pa.array(b_col, pa.int64()),
-                "band_hash": pa.array(h_col, pa.string()),
-                id_col: pa.array(i_col, pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(keys.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, bands)),
             }
         )
 
@@ -551,13 +601,12 @@ def minhash_dedup(
 
     - ``verify="signature"`` (default): estimated Jaccard = fraction of
       equal minhash components between the two signatures (64 components
-      -> stderr ~0.06); pairs below ``threshold`` are dropped. The bucket
-      rep's signature rides the groupby as a zero-padded "id|sig-hex"
-      string min (min over the padded string == min over doc_id), so
-      verification happens right after the single bucket join — ONE
-      groupby + ONE join total. The band shuffle carries ~1 KB/doc/band;
-      on bandwidth-constrained clusters trade that for two extra joins of
-      the lean (id, sig) table instead.
+      -> stderr ~0.06); pairs below ``threshold`` are dropped. The whole
+      candidate step is ONE ``groupby(band, band_hash).map_groups`` —
+      each bucket group holds its members' (id, binary sig) rows, so the
+      min-id rep is picked and every member verified against it inside
+      the group, emitting verified edges directly. No hash join, no
+      rep-signature carry; the band shuffle moves ~0.5 KB/doc/band.
     - ``verify="exact"``: joins the raw texts back and filters by
       ``jaccard_ngrams`` >= threshold. Two full-text shuffles; meant for
       high-precision runs on smaller corpora.
@@ -570,9 +619,8 @@ def minhash_dedup(
 
     P = _join_partitions()
     assert k % bands == 0
-    rows_per_band = k // bands
-    sigs = minhash_signatures(ds, text_col, id_col, k).materialize()
-    all_ids = sigs.select_columns([id_col])
+    sigs = minhash_signatures(ds, text_col, id_col, k)
+    all_ids = ds.select_columns([id_col])
 
     if verify == "exact":
         pair_schema = pa.schema([(id_col, pa.int64()), ("bucket_min", pa.int64())])
@@ -640,58 +688,40 @@ def minhash_dedup(
         edges = e.map_batches(check_exact, batch_format="pyarrow")
         return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
-    # signature mode: pack-carry, one groupby + one join
+    # signature mode: one groupby(map_groups) emits verified edges directly
     def explode(batch: pa.Table) -> pa.Table:
         mat = _sig_matrix(batch["sig"], k)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        sig_bytes = batch["sig"].to_pylist()
-        packs = ["%020d|" % i + s.hex() for i, s in zip(ids, sig_bytes)]
-        b_col: List[int] = []
-        h_col: List[str] = []
-        p_col: List[str] = []
-        for r in range(mat.shape[0]):
-            for b in range(bands):
-                chunk = mat[r, b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(
-                    np.ascontiguousarray(chunk).tobytes(), digest_size=8
-                ).hexdigest()
-                b_col.append(b)
-                h_col.append(h)
-                p_col.append(packs[r])
+        n = mat.shape[0]
+        keys = _band_keys(mat, bands)  # (n, bands)
         return pa.table(
             {
-                "band": pa.array(b_col, pa.int64()),
-                "band_hash": pa.array(h_col, pa.string()),
-                "pack": pa.array(p_col, pa.string()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(keys.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "sig": batch["sig"].take(pa.array(np.repeat(np.arange(n), bands))),
             }
         )
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
-    mins = (
-        buckets.groupby(["band", "band_hash"])
-        .aggregate(Min("pack", alias_name="rep_pack"), Count(alias_name="bucket_n"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
-        )
-    )
-    joined = buckets.join(mins, "inner", P, on=("band", "band_hash"))
 
-    def _unpack(packs: List[str]) -> Tuple[np.ndarray, np.ndarray]:
-        ids = np.array([int(p[:20]) for p in packs], dtype=np.int64)
-        buf = b"".join(bytes.fromhex(p[21:]) for p in packs)
-        return ids, np.frombuffer(buf, dtype=np.int64).reshape(-1, k)
-
-    @_norm(_EDGE_SCHEMA)
-    def check_sig(b: pa.Table) -> pa.Table:
-        own_id, own_sig = _unpack(b["pack"].to_pylist())
-        rep_id, rep_sig = _unpack(b["rep_pack"].to_pylist())
-        est = (own_sig == rep_sig).mean(axis=1)
-        keep = (est >= threshold) & (own_id != rep_id)
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        if len(ids) < 2:
+            return _EDGE_SCHEMA.empty_table()
+        sig = _sig_matrix(group["sig"], k)
+        r = int(np.argmin(ids))
+        est = (sig == sig[r]).mean(axis=1)
+        keep = est >= threshold
+        keep[r] = False
+        src = ids[keep]
         return pa.table(
-            {"src": pa.array(own_id[keep]), "dst": pa.array(rep_id[keep])}
+            {"src": pa.array(src), "dst": pa.array(np.full(len(src), ids[r]))}
         )
 
-    edges = joined.map_batches(check_sig, batch_format="pyarrow")
+    edges = buckets.groupby(["band", "band_hash"]).map_groups(
+        bucket_edges, batch_format="pyarrow"
+    )
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
 
@@ -712,13 +742,10 @@ def simhash_dedup(
     band — never merge clusters. Transitive closure via
     ``cluster_from_edges``.
 
-    The bucket representative's signature rides along the groupby as a
-    zero-padded "id|sig" string min (min over the padded string == min
-    over doc_id), which avoids a second join against the signature table.
+    The whole candidate+verify step is one ``groupby(band, key).map_groups``:
+    each quarter bucket verifies its members against the min-id rep with a
+    vectorized popcount and emits verified edges directly — no hash join.
     """
-    from ray.data.aggregate import Count, Min
-
-    P = _join_partitions()
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -727,7 +754,8 @@ def simhash_dedup(
         ).astype(np.int64)
         return pa.table({id_col: batch[id_col], "sig": pa.array(sigs)})
 
-    sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
+    all_ids = ds.select_columns([id_col])
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)
@@ -740,45 +768,33 @@ def simhash_dedup(
         key_c = np.concatenate(
             [((usig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
         )
-        # min over the id-prefixed pack string == min over doc_id (ids are
-        # unique within a bucket), so the rep's signature rides along free
-        pack = ["%020d|%d" % (i, s) for i, s in zip(id_c, sig_c)]
         return pa.table(
             {
                 "band": pa.array(band_c),
                 "key": pa.array(key_c),
                 id_col: pa.array(id_c),
                 "sig": pa.array(sig_c),
-                "pack": pa.array(pack, pa.string()),
             }
         )
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
-    mins = (
-        buckets.groupby(["band", "key"])
-        .aggregate(Min("pack", alias_name="rep_pack"), Count(alias_name="bucket_n"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["bucket_n"], 1)), batch_format="pyarrow"
-        )
-    )
-    joined = buckets.join(mins, "inner", P, on=("band", "key"))
 
-    @_norm(_EDGE_SCHEMA)
-    def verify(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col], dtype=np.int64)
-        sig = np.asarray(b["sig"], dtype=np.int64).astype(np.uint64)
-        packs = b["rep_pack"].to_pylist()
-        rep_id = np.array([int(p.split("|")[0]) for p in packs], dtype=np.int64)
-        rep_sig = np.array(
-            [int(p.split("|")[1]) for p in packs], dtype=np.int64
-        ).astype(np.uint64)
-        ham = _popcount_u64(sig ^ rep_sig)
-        keep = (ham <= max_hamming) & (ids != rep_id)
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        if len(ids) < 2:
+            return _EDGE_SCHEMA.empty_table()
+        sig = np.asarray(group["sig"], dtype=np.int64).astype(np.uint64)
+        r = int(np.argmin(ids))
+        ham = _popcount_u64(sig ^ sig[r])
+        keep = ham <= max_hamming
+        keep[r] = False
+        src = ids[keep]
         return pa.table(
-            {"src": pa.array(ids[keep]), "dst": pa.array(rep_id[keep])}
+            {"src": pa.array(src), "dst": pa.array(np.full(len(src), ids[r]))}
         )
 
     # duplicate edges across bands are harmless for min-label propagation
-    edges = joined.map_batches(verify, batch_format="pyarrow")
-    all_ids = sigs.select_columns([id_col])
+    edges = buckets.groupby(["band", "key"]).map_groups(
+        bucket_edges, batch_format="pyarrow"
+    )
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
