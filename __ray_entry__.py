@@ -663,6 +663,49 @@ def _q_qa_passage_candidates(sf_dir: str):
     return out.sort(["query_id", "rank"])
 
 
+def _q_cdv_retrieval(sf_dir: str):
+    """CDV answer-passage retrieval (texoo-cdv QueryRunner pipeline):
+    deterministic entity/aspect queries built from seeded documents,
+    BM25 doc-candidate preselection (Candidates.INDEX, 64 docs), then
+    broadcast-query histogram scoring + threshold passage extraction
+    with per-query global top-k."""
+    import random
+
+    import pyarrow.parquet as _pq
+
+    from texoo_ray.stages.cdv import bm25_doc_candidates, cdv_retrieve
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # seeded queries: entity = a mid-document trigram of a sampled doc
+    # (guarantees a retrievable answer), aspect from the CDV aspect set
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_q = 10 if "0.001" in sf_dir else 25
+    aspects = ("information", "symptoms", "treatment", "causes")
+    queries = []
+    n_rows = tbl.num_rows
+    for qi in range(n_q):
+        r = random.Random(9200 + qi)
+        row = r.randrange(n_rows)
+        words = (tbl["text"][row].as_py() or "").split()
+        if len(words) < 8:
+            continue
+        mid = len(words) // 2
+        queries.append(
+            {
+                "query_id": "q%03d" % qi,
+                "entity": " ".join(words[mid : mid + 3]),
+                "entity_id": None,
+                "aspect": aspects[qi % len(aspects)],
+            }
+        )
+    queries = bm25_doc_candidates(docs, queries, num=64)
+    return cdv_retrieve(
+        docs, queries, k=5, thres_in=0.35, thres_out=0.25, concurrency=4
+    )
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -717,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
         "qa_passage_candidates": _q_qa_passage_candidates,
+        "cdv_retrieval": _q_cdv_retrieval,
         "media_features": _q_media_features,
     }
 
