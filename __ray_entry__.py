@@ -444,6 +444,23 @@ def _q_knn_lsh(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF ANN (the scale path): sampled k-means coarse quantizer,
+    broadcast centroids, nprobe-pruned scoring. Probing every cell makes
+    the result exact, so the SQL oracle is the same cosine top-10 as
+    knn_top10 (at 100 TB one would use nprobe << nlist and a
+    build_ivf_index partitioned layout; exact mode keeps the driver's
+    hash check meaningful)."""
+    from texoo_ray.stages.ivf import ivf_topk
+
+    q = _knn_query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = ivf_topk(ds, q, k=10, nlist=16, nprobe=16)
+    df = top.to_pandas()
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df[["rank", "vec_id"]]
+
+
 def _q_link_mentions(sf_dir: str):
     """Extraction + entity-linking lookup-join against a fixture KB
     (broadcast small side, no shuffle)."""
@@ -759,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "media_features": _q_media_features,
@@ -879,6 +897,19 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(pred_lang, n_docs) ORDER BY pred_lang
         """,
         "knn_top10": """
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT row_number() OVER (
+                     ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                              e.vec_id ASC
+                   )::BIGINT AS rank,
+                   e.vec_id
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
+        "knn_ivf": """
             WITH q AS (
               SELECT embedding AS qv FROM embeddings
               WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
