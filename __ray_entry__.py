@@ -444,6 +444,16 @@ def _q_knn_lsh(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_curate_corpus(sf_dir: str):
+    """Composed training-data pass: quality gate -> exact keep-first
+    dedup, stats carried through the aggregation (one shuffle of
+    hash-level rows only)."""
+    from texoo_ray.pipelines.curation import curate_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate_corpus(ds).sort("doc_id")
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF ANN (the scale path): sampled k-means coarse quantizer,
     broadcast centroids, nprobe-pruned scoring. Probing every cell makes
@@ -777,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "curate_corpus": _q_curate_corpus,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "media_features": _q_media_features,
@@ -908,6 +919,24 @@ def oracle_sql() -> dict[str, str]:
                    e.vec_id
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
+        """,
+        "curate_corpus": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+                     length(text)::BIGINT AS n_chars,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+              FROM documents
+            ), f AS (
+              SELECT * FROM s WHERE n_words >= 5 AND 2 * n_alpha >= n_chars
+            )
+            SELECT min(doc_id)::BIGINT AS doc_id,
+                   count(*)::BIGINT AS dup_count,
+                   min(n_words)::BIGINT AS n_words,
+                   min(n_bpe_tokens)::BIGINT AS n_bpe_tokens
+            FROM f GROUP BY text ORDER BY doc_id
         """,
         "knn_ivf": """
             WITH q AS (

