@@ -690,27 +690,22 @@ def _q_qa_passage_candidates(sf_dir: str):
     return out.sort(["query_id", "rank"])
 
 
-def _q_cdv_retrieval(sf_dir: str):
-    """CDV answer-passage retrieval (texoo-cdv QueryRunner pipeline):
-    deterministic entity/aspect queries built from seeded documents,
-    BM25 doc-candidate preselection (Candidates.INDEX, 64 docs), then
-    broadcast-query histogram scoring + threshold passage extraction
-    with per-query global top-k."""
+def _cdv_seeded_queries(sf_dir: str):
+    """Deterministic entity/aspect queries: entity = a mid-document
+    trigram of a sampled doc (guarantees a retrievable answer), aspect
+    from the CDV aspect set. Returns (queries, gold) with gold =
+    query_id -> source doc_id."""
     import random
 
     import pyarrow.parquet as _pq
 
-    from texoo_ray.stages.cdv import bm25_doc_candidates, cdv_retrieve
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # seeded queries: entity = a mid-document trigram of a sampled doc
-    # (guarantees a retrievable answer), aspect from the CDV aspect set
     tbl = _pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     n_q = 10 if "0.001" in sf_dir else 25
     aspects = ("information", "symptoms", "treatment", "causes")
     queries = []
+    gold = {}
     n_rows = tbl.num_rows
     for qi in range(n_q):
         r = random.Random(9200 + qi)
@@ -719,18 +714,123 @@ def _q_cdv_retrieval(sf_dir: str):
         if len(words) < 8:
             continue
         mid = len(words) // 2
+        qid = "q%03d" % qi
         queries.append(
             {
-                "query_id": "q%03d" % qi,
+                "query_id": qid,
                 "entity": " ".join(words[mid : mid + 3]),
                 "entity_id": None,
                 "aspect": aspects[qi % len(aspects)],
             }
         )
+        gold[qid] = int(tbl["doc_id"][row].as_py())
+    return queries, gold
+
+
+def _q_cdv_retrieval(sf_dir: str):
+    """CDV answer-passage retrieval (texoo-cdv QueryRunner pipeline):
+    deterministic entity/aspect queries built from seeded documents,
+    BM25 doc-candidate preselection (Candidates.INDEX, 64 docs), then
+    broadcast-query histogram scoring + threshold passage extraction
+    with per-query global top-k."""
+    from texoo_ray.stages.cdv import bm25_doc_candidates, cdv_retrieve
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    queries, _ = _cdv_seeded_queries(sf_dir)
     queries = bm25_doc_candidates(docs, queries, num=64)
     return cdv_retrieve(
         docs, queries, k=5, thres_in=0.35, thres_out=0.25, concurrency=4
     )
+
+
+def _phrase_relevance_scan(docs_ds, phrases):
+    """Dataset[(query_id, doc_id)] of documents containing each query
+    phrase — one streamed pass, ``pyarrow.compute.match_substring`` per
+    phrase per batch (vectorized; phrase count is the small side). The
+    relevance ground truth for the CDV eval."""
+
+    def scan(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        q_col, d_col = [], []
+        text = batch["text"]
+        ids = batch["doc_id"]
+        for qid, phrase in phrases.items():
+            mask = pc.match_substring(text, phrase)
+            hit_ids = ids.filter(mask).to_pylist()
+            q_col.extend([qid] * len(hit_ids))
+            d_col.extend(hit_ids)
+        return pa.table(
+            {
+                "query_id": pa.array(q_col, pa.string()),
+                "doc_id": pa.array(d_col, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _q_cdv_eval(sf_dir: str):
+    """EvaluateCDVRetrieval analogue (texoo-cdv/.../EvaluateCDVRetrieval.java
+    + texoo-retrieval/.../RetrievalEvaluation.java:127-183): run the CDV
+    retrieval pipeline, reduce ranked passages to ranked docs per query,
+    and report the reference's metric row — MRR, P@1/3/5, R@1/3, MAP —
+    macro-averaged over queries. A retrieved doc is relevant iff it
+    contains the query's entity phrase (the synthetic corpus has a
+    31-word vocabulary, so doc *identity* is not recoverable from any
+    bag-of-words query; phrase containment is the recoverable ground
+    truth). Relevance sets come from a distributed substring scan; the
+    metric reduce sees n_q*k ranked rows plus the (query, relevant-doc)
+    pair table."""
+    from texoo_ray.core.retrieval import (
+        average_precision,
+        precision_at_k,
+        recall_at_k,
+        reciprocal_rank,
+    )
+    from texoo_ray.stages.cdv import bm25_doc_candidates, cdv_retrieve
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    queries, _ = _cdv_seeded_queries(sf_dir)
+    # entity-only mode (QueryRunner.java:242-243): the synthetic corpus
+    # has no aspect structure, so the aspect half would be pure noise
+    queries = [dict(q, aspect=None) for q in queries]
+    phrases = {q["query_id"]: q["entity"] for q in queries}
+    rel_pairs = _phrase_relevance_scan(docs, phrases).to_pandas()
+    relevant = {
+        qid: set(grp["doc_id"].tolist())
+        for qid, grp in rel_pairs.groupby("query_id")
+    }
+    queries = bm25_doc_candidates(docs, queries, num=64)
+    res = cdv_retrieve(
+        docs, queries, k=5, thres_in=0.35, thres_out=0.25, concurrency=4
+    ).to_pandas()
+    ranked = {}
+    for qid, grp in res.sort_values(["query_id", "rank"]).groupby("query_id"):
+        docs_ranked = []
+        for d in grp["doc_id"]:
+            if d not in docs_ranked:
+                docs_ranked.append(int(d))
+        ranked[qid] = docs_ranked
+    qids = sorted(phrases)
+    n = max(len(qids), 1)
+    rel = lambda q: relevant.get(q, set())  # noqa: E731
+    row = {
+        "n_queries": len(qids),
+        "mrr": sum(reciprocal_rank(ranked.get(q, []), rel(q)) for q in qids) / n,
+    }
+    for k in (1, 3, 5):
+        row["p_at_%d" % k] = (
+            sum(precision_at_k(ranked.get(q, []), rel(q), k) for q in qids) / n
+        )
+    for k in (1, 3):
+        row["r_at_%d" % k] = (
+            sum(recall_at_k(ranked.get(q, []), rel(q), k) for q in qids) / n
+        )
+    row["map"] = sum(average_precision(ranked.get(q, []), rel(q)) for q in qids) / n
+    import pandas as pd
+
+    return pd.DataFrame([row])
 
 
 def _q_media_features(sf_dir: str):
@@ -790,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
+        "cdv_eval": _q_cdv_eval,
         "media_features": _q_media_features,
     }
 

@@ -94,7 +94,7 @@ class TestIndexes:
         ent.put("E", np.array([3.0, 4.0]))
         asp = AspectIndex(2)
         asp.put("symptoms", np.array([0.0, 2.0]))
-        v = query_vector(
+        mode, v = query_vector(
             {"query_id": "q", "entity_id": "E", "entity": "E", "aspect": "Symptoms"},
             ent,
             asp,
@@ -102,7 +102,21 @@ class TestIndexes:
         # unit([unit([3,4]), unit([0,2])]) = unit([.6,.8,0,1])
         expect = np.array([0.6, 0.8, 0.0, 1.0])
         expect /= np.linalg.norm(expect)
+        assert mode == "fa"
         assert np.allclose(v, expect, atol=1e-6)
+
+    def test_query_vector_entity_only_mode(self):
+        # QueryRunner.java:242-243: entity-only queries score against the
+        # entity sentence matrix alone, dimension-matched
+        ent = EntityIndex(2)
+        ent.put("E", np.array([3.0, 4.0]))
+        mode, v = query_vector(
+            {"query_id": "q", "entity_id": "E", "entity": "E", "aspect": None},
+            ent,
+            AspectIndex(2),
+        )
+        assert mode == "f"
+        assert np.allclose(v, [0.6, 0.8], atol=1e-6)
 
 
 class TestPassageExtraction:

@@ -103,13 +103,50 @@ def _unit(v: np.ndarray) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def cdv_sentence_embedding(token_texts: Sequence[str], dim: int) -> np.ndarray:
+    """Order-sensitive hashed sentence embedding: unigram + word-bigram
+    features, L2-normalized.
+
+    The CDV paper's core claim is that its learned sentence encoders are
+    order-sensitive (unlike bag-of-words baselines), so the deterministic
+    stand-in for CDVTagger embeddings hashes consecutive-word bigrams in
+    addition to tokens — a query phrase only aligns with sentences that
+    contain its words in sequence. Unigrams keep the letter-n-gram
+    hashing (sub-word generalization: 'caused'~'causes', like the
+    reference's LetterNGramEncoder); each bigram is ONE signed hash
+    feature with weight ``bigram_weight`` — single-hash so 'scan_row'
+    shares nothing with 'scan'+'row', weighted so the order signal isn't
+    drowned by unigram mass. (core.features.sentence_embedding stays
+    pure bag-of-ngrams for the SECTOR stages.)"""
+    import zlib
+
+    from ..core.features import hashed_ngram_vector
+
+    bigram_weight = 2.0
+    v = np.zeros(dim, dtype=np.float32)
+    prev = None
+    for t in token_texts:
+        if not t or t == "\n":
+            continue
+        w = t.lower()
+        v += hashed_ngram_vector(w, dim)
+        if prev is not None:
+            h2 = zlib.crc32((prev + "_" + w).encode("utf-8"))
+            v[h2 % dim] += bigram_weight if (h2 >> 16) & 1 else -bigram_weight
+        prev = w
+    norm = float(np.linalg.norm(v))
+    if norm > 0:
+        v /= norm
+    return v
+
+
 def encode_text(text: str, dim: int, w2v=None) -> np.ndarray:
     """Sentence vector of a raw string (tokenize + embed)."""
     doc = segment_text(text or "", Newlines.KEEP)
     toks = doc.tokens()
     if w2v is not None:
         return w2v.sentence_vector([t.text for t in toks]).astype(np.float32)
-    return sentence_embedding(toks, dim)
+    return cdv_sentence_embedding([t.text for t in toks], dim)
 
 
 class QueryIndex:
@@ -224,11 +261,13 @@ def build_entity_index_from_queries(
 
 def query_vector(
     q: dict, entity_index: Optional[EntityIndex], aspect_index: Optional[AspectIndex]
-) -> Optional[np.ndarray]:
+) -> Optional[Tuple[str, np.ndarray]]:
     """QueryRunner.retrieveQueryFromDocs (:161-191): look up entity id
     (fallback: encode surface), look up preprocessed aspect (fallback:
-    encode), unit-normalize each part, concatenate, unit-normalize the
-    concatenation (projectQuery :257-272)."""
+    encode). Returns (mode, vector) with mode one of 'fa' (both parts,
+    concatenated + re-unit-normalized, projectQuery :257-272), 'f'
+    (entity-only, scored against the entity sentence matrix alone,
+    QueryRunner.java:240-245), 'a' (aspect-only)."""
     qf = qa = None
     if entity_index is not None and (q.get("entity") or q.get("entity_id")):
         qf = entity_index.lookup(q.get("entity_id") or q.get("entity") or "")
@@ -239,11 +278,11 @@ def query_vector(
         if qa is None:
             qa = aspect_index.encode(q["aspect"])
     if qf is not None and qa is not None:
-        return _unit(np.concatenate([_unit(qf), _unit(qa)]).astype(np.float32))
+        return "fa", _unit(np.concatenate([_unit(qf), _unit(qa)]).astype(np.float32))
     if qf is not None:
-        return _unit(qf.astype(np.float32))
+        return "f", _unit(qf.astype(np.float32))
     if qa is not None:
-        return _unit(qa.astype(np.float32))
+        return "a", _unit(qa.astype(np.float32))
     return None
 
 
@@ -349,47 +388,88 @@ class CdvRetrievalStage:
         rows = pack["queries"]
         ent_idx = EntityIndex(entity_dim, pack.get("entity_vectors"), w2v=w2v)
         asp_idx = AspectIndex(aspect_dim, pack.get("aspect_vectors"), w2v=w2v)
-        self.query_ids: List[str] = []
-        qvecs: List[np.ndarray] = []
-        self.candidates: List[Optional[frozenset]] = []
+        # queries grouped by mode: 'fa' scores against the stacked
+        # entity+aspect matrix, 'f'/'a' against the matching part alone
+        # (QueryRunner.java:237-245's three projectQuery dispatches)
+        self.query_ids: Dict[str, List[str]] = {"fa": [], "f": [], "a": []}
+        self.candidates: Dict[str, List[Optional[frozenset]]] = {
+            "fa": [],
+            "f": [],
+            "a": [],
+        }
+        qvecs: Dict[str, List[np.ndarray]] = {"fa": [], "f": [], "a": []}
         for q in rows:
-            v = query_vector(q, ent_idx, asp_idx)
-            if v is None:
+            mv = query_vector(q, ent_idx, asp_idx)
+            if mv is None:
                 continue
-            self.query_ids.append(q["query_id"])
-            qvecs.append(v)
+            mode, v = mv
+            self.query_ids[mode].append(q["query_id"])
+            qvecs[mode].append(v)
             cand = q.get("candidate_docs")
-            self.candidates.append(frozenset(cand) if cand is not None else None)
-        self.qmat = (
-            np.stack(qvecs).astype(np.float32)
-            if qvecs
-            else np.zeros((0, self.entity_dim + self.aspect_dim), dtype=np.float32)
-        )
-        self.any_doc_unrestricted = any(c is None for c in self.candidates)
+            self.candidates[mode].append(frozenset(cand) if cand is not None else None)
+        dims = {
+            "fa": self.entity_dim + self.aspect_dim,
+            "f": self.entity_dim,
+            "a": self.aspect_dim,
+        }
+        self.qmat: Dict[str, np.ndarray] = {
+            m: (
+                np.stack(qvecs[m]).astype(np.float32)
+                if qvecs[m]
+                else np.zeros((0, dims[m]), dtype=np.float32)
+            )
+            for m in qvecs
+        }
+        flat_cands = [c for m in self.candidates for c in self.candidates[m]]
+        self.any_doc_unrestricted = any(c is None for c in flat_cands)
         self.all_candidates = (
             None
             if self.any_doc_unrestricted
-            else frozenset().union(*self.candidates)
-            if self.candidates
+            else frozenset().union(*flat_cands)
+            if flat_cands
             else frozenset()
         )
+        self.n_queries = sum(len(v) for v in self.query_ids.values())
 
-    def _doc_matrix(self, text: str) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    def _doc_matrix(
+        self, text: str
+    ) -> Tuple[Dict[str, np.ndarray], List[Tuple[int, int]]]:
+        """Per-sentence matrices for each query mode. CDVTagger's
+        attachCDVDocumentMatrix unit-normalizes each part per sentence;
+        the concatenated path re-normalizes the stacked vector
+        (QueryRunner.java:257-272)."""
         doc = segment_text(text or "", Newlines.KEEP)
         bounds = [(s.begin, s.end) for s in doc.sentences]
         if not doc.sentences:
-            return np.zeros((0, self.qmat.shape[1]), dtype=np.float32), bounds
-        rows = []
+            z = {
+                "f": np.zeros((0, self.entity_dim), dtype=np.float32),
+                "a": np.zeros((0, self.aspect_dim), dtype=np.float32),
+                "fa": np.zeros(
+                    (0, self.entity_dim + self.aspect_dim), dtype=np.float32
+                ),
+            }
+            return z, bounds
+        rows_f, rows_a, rows_fa = [], [], []
         for s in doc.sentences:
+            texts = [t.text for t in s.tokens]
             if self.w2v is not None:
-                texts = [t.text for t in s.tokens]
                 vf = self.w2v.sentence_vector(texts).astype(np.float32)
                 va = vf
             else:
-                vf = sentence_embedding(s.tokens, self.entity_dim)
-                va = sentence_embedding(s.tokens, self.aspect_dim)
-            rows.append(_unit(np.concatenate([vf, va])))
-        return np.stack(rows).astype(np.float32), bounds
+                vf = cdv_sentence_embedding(texts, self.entity_dim)
+                va = cdv_sentence_embedding(texts, self.aspect_dim)
+            uf, ua = _unit(vf), _unit(va)
+            rows_f.append(uf)
+            rows_a.append(ua)
+            rows_fa.append(_unit(np.concatenate([uf, ua])))
+        return (
+            {
+                "f": np.stack(rows_f).astype(np.float32),
+                "a": np.stack(rows_a).astype(np.float32),
+                "fa": np.stack(rows_fa).astype(np.float32),
+            },
+            bounds,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q_col: List[str] = []
@@ -409,33 +489,39 @@ class CdvRetrievalStage:
                 self.all_candidates is not None and doc_id not in self.all_candidates
             ):
                 continue
-            M, bounds = self._doc_matrix(text)
-            if M.shape[0] == 0 or self.qmat.shape[0] == 0:
+            if self.n_queries == 0:
                 continue
-            H = M @ self.qmat.T  # (n_sents, Q)
+            mats, bounds = self._doc_matrix(text)
+            if not bounds:
+                continue
             cands = (
                 [(p["begin"], p["end"]) for p in passages]
                 if passages is not None
                 else None
             )
-            for qi, qid in enumerate(self.query_ids):
-                allowed = self.candidates[qi]
-                if allowed is not None and doc_id not in allowed:
+            for mode in ("fa", "f", "a"):
+                qids = self.query_ids[mode]
+                if not qids:
                     continue
-                hist = H[:, qi]
-                if self.strategy == "rank" and cands is not None:
-                    found = passages_by_rank(hist, bounds, cands)
-                else:
-                    found = passages_by_threshold(
-                        hist, bounds, self.thres_in, self.thres_out
-                    )
-                found.sort(key=lambda t: (-t[2], t[0]))
-                for begin, end, score in found[: self.cap]:
-                    q_col.append(qid)
-                    d_col.append(doc_id)
-                    b_col.append(begin)
-                    e_col.append(end)
-                    s_col.append(score)
+                H = mats[mode] @ self.qmat[mode].T  # (n_sents, Q_mode)
+                for qi, qid in enumerate(qids):
+                    allowed = self.candidates[mode][qi]
+                    if allowed is not None and doc_id not in allowed:
+                        continue
+                    hist = H[:, qi]
+                    if self.strategy == "rank" and cands is not None:
+                        found = passages_by_rank(hist, bounds, cands)
+                    else:
+                        found = passages_by_threshold(
+                            hist, bounds, self.thres_in, self.thres_out
+                        )
+                    found.sort(key=lambda t: (-t[2], t[0]))
+                    for begin, end, score in found[: self.cap]:
+                        q_col.append(qid)
+                        d_col.append(doc_id)
+                        b_col.append(begin)
+                        e_col.append(end)
+                        s_col.append(score)
         return pa.table(
             {
                 "query_id": pa.array(q_col, pa.string()),
