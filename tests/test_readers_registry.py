@@ -165,3 +165,47 @@ class TestWikiSection:
         df = read_wikisection([str(p)]).to_pandas()
         assert len(df) == 1
         assert df["gold_sections"][0][0]["label"] == "disease.symptom"
+
+
+class TestPipelineBundle:
+    def test_save_load_roundtrip_with_artifacts(self, ray_session, tmp_path):
+        """Annotator.writeModel/loadAnnotator analogue: spec + externalized
+        component resources reload into a working pipeline."""
+        import json
+        import os
+
+        import ray.data
+
+        from texoo_ray.pipelines.registry import (
+            build_pipeline,
+            load_pipeline,
+            save_pipeline,
+        )
+        from texoo_ray.sources.turns import turns_table
+
+        terms = ["Berlin", "quick fox"]
+        spec = [
+            {"stage": "segment", "newlines": "keep"},
+            {"stage": "gazetteer", "terms": terms, "concurrency": 1},
+        ]
+        bundle = str(tmp_path / "bundle")
+        spec_file = save_pipeline(spec, bundle, name="annotator")
+        # terms externalized out of the spec json into an artifact file
+        with open(spec_file) as f:
+            saved = json.load(f)
+        assert saved["stages"][1]["terms"] == {"$file": "01_gazetteer_terms.json"}
+        assert os.path.exists(os.path.join(bundle, "01_gazetteer_terms.json"))
+
+        ds = ray.data.from_arrow(turns_table(0, 5))
+        direct = build_pipeline(spec)(ds).to_pandas()
+        loaded = load_pipeline(bundle)(ds).to_pandas()
+        assert list(direct.columns) == list(loaded.columns)
+        assert len(direct) == len(loaded)
+
+    def test_load_discovers_spec_file(self, tmp_path):
+        from texoo_ray.pipelines.registry import load_pipeline, save_pipeline
+
+        save_pipeline([{"stage": "segment"}], str(tmp_path), name="myname")
+        (tmp_path / "unrelated.json").write_text('{"x": 1}')
+        fn = load_pipeline(str(tmp_path))  # findXML-style discovery
+        assert callable(fn)
