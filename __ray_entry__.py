@@ -444,6 +444,57 @@ def _q_knn_lsh(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_html_main_content(sf_dir: str):
+    """Main-content extraction end-to-end (north-rule HTML boilerplate
+    strip): wrap each document in a realistic boilerplate page (nav,
+    breadcrumb, heading, related links, footer), run the Boilerpipe-rule
+    extractor, and return the recovered text. A correct extractor
+    reproduces the whitespace-normalized source text exactly, which the
+    DuckDB oracle checks by value."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.extract_html import MainContentStage, wrap_documents_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(wrap_documents_html, batch_format="pyarrow")
+    ds = ds.map_batches(
+        MainContentStage,
+        fn_constructor_kwargs=dict(include_headings=False),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        text = pc.replace_substring(batch["main_text"], "\n\n", " ")
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return ds.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_layout_main_content(sf_dir: str):
+    """Print-layout parse end-to-end (north-rule PDF/layout path): render
+    each document as two-column pages with running headers and page
+    numbers, run the layout parser (column split, reflow, furniture
+    removal), and return the recovered reading-order text — verified by
+    value against the whitespace-normalized source."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.extract_html import LayoutParseStage, wrap_documents_layout
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(wrap_documents_layout, batch_format="pyarrow")
+    ds = ds.map_batches(
+        LayoutParseStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        text = pc.replace_substring(batch["main_text"], "\n\n", " ")
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return ds.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed training-data pass: quality gate -> exact keep-first
     dedup, stats carried through the aggregation (one shuffle of
@@ -888,6 +939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "curate_corpus": _q_curate_corpus,
+        "html_main_content": _q_html_main_content,
+        "layout_main_content": _q_layout_main_content,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1020,6 +1073,20 @@ def oracle_sql() -> dict[str, str]:
                    e.vec_id
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
+        """,
+        "html_main_content": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN ''
+                        ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')
+                   END AS text
+            FROM documents ORDER BY doc_id
+        """,
+        "layout_main_content": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN ''
+                        ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')
+                   END AS text
+            FROM documents ORDER BY doc_id
         """,
         "curate_corpus": """
             WITH s AS (

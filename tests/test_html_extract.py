@@ -1,0 +1,232 @@
+"""HTML main-content extraction + layout parse heuristics.
+
+Classifier rules per Kohlschütter et al., WSDM 2010 (see
+core/html_extract.py docstring); layout rules in core/layout.py."""
+
+import numpy as np
+import pyarrow as pa
+
+from texoo_ray.core.html_extract import (
+    classify_blocks,
+    extract_main_content,
+    parse_blocks,
+)
+from texoo_ray.core.layout import (
+    layout_main_text,
+    parse_layout_document,
+    reflow_paragraphs,
+    split_columns,
+)
+
+ARTICLE = """
+<html><head><title>Widget Review</title><style>p{color:red}</style>
+<script>var x = "Buy now click here";</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/news">News</a> <a href="/shop">Shop</a>
+<a href="/about">About the team</a> <a href="/contact">Contact us today</a></nav>
+<div id="content">
+  <h1>Widget Review</h1>
+  <p>The widget performs admirably under sustained load, and our testing
+  over several weeks revealed consistent behavior across every scenario we
+  could construct in the laboratory.</p>
+  <p>Short but fine.</p>
+  <p>Battery life, however, remains the weakest aspect of the product and
+  potential buyers should weigh this carefully before committing.</p>
+</div>
+<div class="related"><a href="/a">Related story one</a> <a href="/b">Another
+related story</a> <a href="/c">More stories here</a></div>
+<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a> © 2020 Site</footer>
+</body></html>
+"""
+
+
+class TestHtmlBlocks:
+    def test_parse_blocks_features(self):
+        title, blocks = parse_blocks(ARTICLE)
+        assert title == "Widget Review"
+        texts = [b.text for b in blocks]
+        assert any("performs admirably" in t for t in texts)
+        # script/style content never leaks
+        assert not any("Buy now" in t or "color:red" in t for t in texts)
+        nav = next(b for b in blocks if "Home" in b.text)
+        assert nav.in_container and nav.link_density > 0.9
+        h1 = next(b for b in blocks if b.text == "Widget Review" and b.is_heading)
+        assert h1.is_heading
+
+    def test_classify_and_extract(self):
+        title, text, n_good, n_blocks = extract_main_content(ARTICLE)
+        assert "performs admirably" in text and "weakest aspect" in text
+        assert "Short but fine." in text  # short block rescued by neighbors
+        assert "Home" not in text and "Related story" not in text
+        assert "Terms" not in text and "© 2020" not in text
+        assert "Widget Review" in text  # heading kept (include_headings)
+        assert 0 < n_good < n_blocks
+
+    def test_exclude_headings_mode(self):
+        _, text, _, _ = extract_main_content(ARTICLE, include_headings=False)
+        assert "performs admirably" in text
+        assert "Widget Review" not in text
+
+    def test_link_density_kills_link_lists(self):
+        html = (
+            "<body><p>"
+            + " ".join('<a href="#">link%d</a>' % i for i in range(30))
+            + "</p></body>"
+        )
+        _, text, n_good, _ = extract_main_content(html)
+        assert text == "" and n_good == 0
+
+    def test_byte_faithful_roundtrip(self):
+        """nav -> breadcrumb -> paragraphs: the breadcrumb (link density
+        < 1/3) resets the prev-link-density branch, so even short
+        paragraphs classify GOOD via the prev_words>4 rule, and the
+        extracted text is byte-identical to the source paragraphs."""
+        paras = [
+            "First paragraph long enough to clear the seventeen word rule on its"
+            " own merits regardless of what surrounds it in the document.",
+            "Short tail rescued by its predecessor.",
+        ]
+        html = "<body><nav>%s</nav><nav>%s</nav>%s</body>" % (
+            " ".join('<a href="#">nav item %d word</a>' % i for i in range(8)),
+            'You are here: <a href="/">Home</a> near <a href="/a">Articles</a> today',
+            "".join("<p>%s</p>" % p for p in paras),
+        )
+        _, text, _, _ = extract_main_content(html, include_headings=False)
+        assert text == "\n\n".join(paras)
+
+
+class TestLayout:
+    def test_column_split_reading_order(self):
+        page = (
+            "INTRODUCTION\n"
+            "\n"
+            "left column text one      right column text one\n"
+            "left column text two      right column text two\n"
+            "left column text three    right column text three\n"
+        )
+        chunks = split_columns(page)
+        joined = [c for c in chunks if c.strip()]
+        assert any("INTRODUCTION" in c for c in joined)
+        left = next(c for c in joined if "left column text one" in c)
+        assert "right column" not in left
+        right = next(c for c in joined if "right column text one" in c)
+        assert "left column" not in right
+        # reading order: all of left before all of right
+        assert joined.index(left) < joined.index(right)
+
+    def test_dehyphenation_and_reflow(self):
+        chunk = "The experi-\nment succeeded after the long pro-\ncedure ended."
+        out = reflow_paragraphs(chunk)
+        assert out == [
+            ("paragraph", "The experiment succeeded after the long procedure ended.")
+        ]
+
+    def test_headings_detected(self):
+        out = reflow_paragraphs("2.1 Results\nthe numbers were good and stable.")
+        assert out[0] == ("heading", "2.1 Results")
+        assert out[1][0] == "paragraph"
+
+    def test_page_furniture_dropped(self):
+        pages = [
+            "Journal of Widgets\n\nreal paragraph on page one with words.\n\n1\n",
+            "Journal of Widgets\n\nanother real paragraph on page two here.\n\n2\n",
+            "Journal of Widgets\n\nfinal paragraph on the last page now.\n\n3\n",
+        ]
+        text = layout_main_text(pages)
+        assert "Journal of Widgets" not in text
+        assert "real paragraph on page one" in text
+        assert "\n\n1" not in text
+
+    def test_blocks_carry_page_and_kind(self):
+        blocks = parse_layout_document(["A FIRST HEADING\nbody text follows here."])
+        kinds = [(b.kind, b.page) for b in blocks]
+        assert ("heading", 0) in kinds and ("paragraph", 0) in kinds
+
+
+class TestStages:
+    def test_main_content_stage(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.extract_html import MainContentStage
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "html": [ARTICLE]})
+        )
+        out = ds.map_batches(
+            MainContentStage, batch_format="pyarrow", concurrency=1
+        ).to_pandas()
+        assert out.loc[0, "title"] == "Widget Review"
+        assert "performs admirably" in out.loc[0, "main_text"]
+        assert out.loc[0, "boilerplate_ratio"] > 0
+
+    def test_layout_stage(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.extract_html import LayoutParseStage
+
+        pages = ["ABSTRACT\nthis paper presents a fine method for things.\n"]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "pages": pa.array([pages], pa.list_(pa.string())),
+                }
+            )
+        )
+        out = ds.map_batches(
+            LayoutParseStage, batch_format="pyarrow", concurrency=1
+        ).to_pandas()
+        assert out.loc[0, "n_headings"] == 1 and out.loc[0, "n_paragraphs"] == 1
+        assert "fine method" in out.loc[0, "main_text"]
+
+
+class TestWrappersRoundtrip:
+    """The oracle contract: wrap -> extract reproduces the ws-normalized
+    source text exactly (pure batch fns, no Ray needed)."""
+
+    def _docs(self):
+        texts = [
+            "",
+            "one",
+            "a short document of nine words exactly here now",
+            " ".join("word%d" % i for i in range(55)),
+            " ".join("w%d" % i for i in range(240)),  # multi-page / multi-col
+            "irregular   spacing\tand\nnewlines collapse to single spaces",
+        ]
+        return pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+
+    def test_html_wrap_roundtrip(self):
+        from texoo_ray.stages.extract_html import MainContentStage, wrap_documents_html
+
+        t = self._docs()
+        out = MainContentStage(include_headings=False)(wrap_documents_html(t))
+        for i in range(t.num_rows):
+            orig = " ".join((t["text"][i].as_py() or "").split())
+            got = (out["main_text"][i].as_py() or "").replace("\n\n", " ")
+            assert got == orig, "doc %d" % i
+
+    def test_layout_wrap_roundtrip(self):
+        from texoo_ray.stages.extract_html import LayoutParseStage, wrap_documents_layout
+
+        t = self._docs()
+        out = LayoutParseStage()(wrap_documents_layout(t))
+        for i in range(t.num_rows):
+            orig = " ".join((t["text"][i].as_py() or "").split())
+            got = (out["main_text"][i].as_py() or "").replace("\n\n", " ")
+            assert got == orig, "doc %d" % i
+
+    def test_layout_pages_really_two_column(self):
+        from texoo_ray.stages.extract_html import wrap_documents_layout
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": [" ".join("w%d" % i for i in range(240))],
+            }
+        )
+        pages = wrap_documents_layout(t)["pages"][0].as_py()
+        assert len(pages) >= 2
+        body = pages[0].splitlines()[2:]  # skip header + blank
+        assert any("    " in ln and ln.split("    ")[-1].strip() for ln in body)

@@ -1,0 +1,233 @@
+"""HTML main-content extraction: DOM blocks + boilerplate classification.
+
+The north-star pipeline's extraction front door: turn raw HTML into the
+article's main text, title, and per-block provenance, dropping nav bars,
+footers, sidebars, ads and link lists.
+
+Method (public algorithms, no external deps):
+
+- DOM -> text blocks via ``html.parser.HTMLParser`` (stdlib): a block is
+  the text accumulated between block-level element boundaries, carrying
+  the word count, the number of words inside ``<a>`` (link words), the
+  enclosing tag path, and whether any ancestor is a structural
+  boilerplate container (nav/header/footer/aside/form/menu).
+- Block classification uses the densitometric decision rules of
+  Kohlschütter, Fankhauser & Nejdl, "Boilerplate Detection using Shallow
+  Text Features" (WSDM 2010) — the published Boilerpipe
+  NumWordsRulesClassifier: a block with link density > 1/3 is
+  boilerplate; otherwise its fate depends on its own and its neighbors'
+  word counts. Structural-container blocks and heading-only blocks
+  around boilerplate are removed as well (jusText-style context pass:
+  short/near-good blocks inherit the label of their good neighbors).
+- The reference's own cleaners cover wiki-specific markup
+  (Wiki727Reader.java:37-140, ``core/markup.py``); this module is the
+  general-web analogue those readers assume has already happened
+  upstream of a corpus like WikiSection.
+
+The extractor is deterministic and byte-faithful: text nodes are
+whitespace-normalized per block but otherwise untouched, so wrapping
+known text in an HTML template and extracting returns the original
+paragraphs exactly (the ``html_main_content`` oracle relies on this).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+# elements that end/start a text block
+_BLOCK_TAGS = frozenset(
+    "address article aside blockquote body br caption dd div dl dt fieldset"
+    " figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr li main menu"
+    " nav ol p pre section table tbody td tfoot th thead tr ul".split()
+)
+# subtrees dropped entirely
+_IGNORE_TAGS = frozenset("script style noscript template svg iframe".split())
+# structural containers whose blocks are boilerplate regardless of rules
+_BOILERPLATE_CONTAINERS = frozenset("nav header footer aside form menu".split())
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+_WS_RE = re.compile(r"\s+")
+
+GOOD = "good"
+BAD = "bad"
+
+
+@dataclass
+class Block:
+    """One DOM text block with shallow-text features."""
+
+    text: str
+    tag_path: str
+    n_words: int
+    n_link_words: int
+    in_container: bool  # under nav/header/footer/aside/form/menu
+    is_heading: bool
+    label: Optional[str] = None
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_words / self.n_words if self.n_words else 0.0
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[Block] = []
+        self.title_parts: List[str] = []
+        self._stack: List[str] = []
+        self._ignore_depth = 0
+        self._container_depth = 0
+        self._anchor_depth = 0
+        self._in_title = False
+        self._buf: List[str] = []
+        self._buf_link_words = 0
+
+    # -- block management ---------------------------------------------------
+
+    def _flush(self):
+        text = _WS_RE.sub(" ", "".join(self._buf)).strip()
+        if text:
+            words = text.split()
+            self.blocks.append(
+                Block(
+                    text=text,
+                    tag_path="/".join(self._stack[-3:]),
+                    n_words=len(words),
+                    n_link_words=min(self._buf_link_words, len(words)),
+                    in_container=self._container_depth > 0,
+                    is_heading=any(t in _HEADING_TAGS for t in self._stack),
+                )
+            )
+        self._buf = []
+        self._buf_link_words = 0
+
+    # -- parser callbacks ---------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _IGNORE_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag != "br" and tag != "hr":
+                self._stack.append(tag)
+            if tag in _BOILERPLATE_CONTAINERS:
+                self._container_depth += 1
+        elif tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _IGNORE_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in _BLOCK_TAGS and tag not in ("br", "hr"):
+            self._flush()
+            if tag in self._stack:
+                # pop to the matching open tag (tolerates misnesting)
+                while self._stack:
+                    t = self._stack.pop()
+                    if t in _BOILERPLATE_CONTAINERS:
+                        self._container_depth = max(0, self._container_depth - 1)
+                    if t == tag:
+                        break
+        elif tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+
+    def handle_data(self, data):
+        if self._ignore_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if data:
+            self._buf.append(data)
+            if self._anchor_depth > 0:
+                self._buf_link_words += len(data.split())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> Tuple[str, List[Block]]:
+    """(title, blocks) for an HTML document."""
+    p = _BlockParser()
+    p.feed(html or "")
+    p.close()
+    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip()
+    return title, p.blocks
+
+
+def classify_blocks(blocks: List[Block]) -> List[Block]:
+    """Label blocks GOOD/BAD in place and return them.
+
+    Rule set (Kohlschütter et al. 2010, NumWordsRulesClassifier —
+    decision tree as published in the Boilerpipe reference
+    implementation):
+
+    - curr.link_density > 0.333333            -> BAD
+    - prev.link_density <= 0.555556:
+        curr.n_words > 16 or next.n_words > 15 or prev.n_words > 4 -> GOOD
+        else                                                       -> BAD
+    - prev.link_density > 0.555556:
+        curr.n_words > 40 or next.n_words > 17 -> GOOD
+        else                                   -> BAD
+
+    plus the structural overrides: blocks inside
+    nav/header/footer/aside/form/menu are BAD; a heading block is GOOD
+    only if the next content block is GOOD (jusText's header-inherits-
+    content rule)."""
+    n = len(blocks)
+    for i, b in enumerate(blocks):
+        prev_b = blocks[i - 1] if i > 0 else None
+        next_b = blocks[i + 1] if i + 1 < n else None
+        prev_words = prev_b.n_words if prev_b else 0
+        next_words = next_b.n_words if next_b else 0
+        prev_ld = prev_b.link_density if prev_b else 0.0
+        if b.in_container:
+            b.label = BAD
+        elif b.link_density > 0.333333:
+            b.label = BAD
+        elif prev_ld <= 0.555556:
+            b.label = (
+                GOOD if (b.n_words > 16 or next_words > 15 or prev_words > 4) else BAD
+            )
+        else:
+            b.label = GOOD if (b.n_words > 40 or next_words > 17) else BAD
+    # headings inherit the label of the following content block
+    for i, b in enumerate(blocks):
+        if b.is_heading and b.label == GOOD:
+            nxt = next(
+                (x for x in blocks[i + 1 :] if not x.is_heading), None
+            )
+            if nxt is None or nxt.label == BAD:
+                b.label = BAD
+    return blocks
+
+
+def extract_main_content(
+    html: str, include_headings: bool = True, joiner: str = "\n\n"
+) -> Tuple[str, str, int, int]:
+    """(title, main_text, n_good_blocks, n_blocks): parse, classify, and
+    join the GOOD blocks in document order."""
+    title, blocks = parse_blocks(html)
+    classify_blocks(blocks)
+    keep = [
+        b.text
+        for b in blocks
+        if b.label == GOOD and (include_headings or not b.is_heading)
+    ]
+    return title, joiner.join(keep), len(keep), len(blocks)

@@ -31,6 +31,7 @@ from ..stages.extract import (
     SegmentStage,
     TagStage,
 )
+from ..stages.extract_html import LayoutParseStage, MainContentStage
 from ..stages.linker import LinkerStage
 from ..stages.multimodal import MediaFeatureStage
 
@@ -54,6 +55,8 @@ for _name, _cls in [
     ("extract", ExtractStage),
     ("link", LinkerStage),
     ("media_features", MediaFeatureStage),
+    ("main_content", MainContentStage),
+    ("layout_parse", LayoutParseStage),
 ]:
     register(_name, _cls)
 
