@@ -114,6 +114,10 @@ def run_queries() -> dict:
         "doc_quality",
         "retrieval_topk",
         "doc_tokenize",
+        "curate_corpus",
+        "html_main_content",
+        "layout_main_content",
+        "knn_ivf",
     ]
     out = {}
     for name in picks:

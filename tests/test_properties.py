@@ -109,3 +109,39 @@ def test_mention_decode_encode_round_trip(text):
     flat_tokens = doc.tokens()
     back = bioes_tags_from_mentions(flat_tokens, mentions)
     assert bioes_to_bio2(back) == bioes_to_bio2(list(labels))
+
+# word sequences like the extraction-oracle corpora: nonempty ASCII words
+_word = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=12
+)
+_words_strategy = st.lists(_word, max_size=120).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words_strategy)
+def test_html_wrap_extract_roundtrip(text):
+    """wrap -> boilerplate-strip recovers the ws-normalized source exactly
+    for ANY word sequence (the html_main_content oracle contract)."""
+    import pyarrow as pa
+
+    from texoo_ray.stages.extract_html import MainContentStage, wrap_documents_html
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]})
+    out = MainContentStage(include_headings=False)(wrap_documents_html(t))
+    got = (out["main_text"][0].as_py() or "").replace("\n\n", " ")
+    assert got == " ".join(text.split())
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words_strategy)
+def test_layout_wrap_parse_roundtrip(text):
+    """two-column render -> layout parse recovers reading order exactly
+    (the layout_main_content oracle contract)."""
+    import pyarrow as pa
+
+    from texoo_ray.stages.extract_html import LayoutParseStage, wrap_documents_layout
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]})
+    out = LayoutParseStage()(wrap_documents_layout(t))
+    got = (out["main_text"][0].as_py() or "").replace("\n\n", " ")
+    assert got == " ".join(text.split())
