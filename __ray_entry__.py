@@ -495,6 +495,37 @@ def _q_layout_main_content(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape over lineitem: per-batch partial aggregation into
+    integer cents, tiny global groupby."""
+    from texoo_ray.pipelines.relational import pricing_summary
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return pricing_summary(ds)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 shape: lineitem pre-aggregated per order, big-big hash
+    join to orders, broadcast customer->nation lookup, 25-row aggregate."""
+    import pyarrow.parquet as _pq
+
+    from texoo_ray.pipelines.relational import revenue_by_nation
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    return revenue_by_nation(lineitem, orders, customer, nation)
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed training-data pass: quality gate -> exact keep-first
     dedup, stats carried through the aggregation (one shuffle of
@@ -941,6 +972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "html_main_content": _q_html_main_content,
         "layout_main_content": _q_layout_main_content,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1073,6 +1106,26 @@ def oracle_sql() -> dict[str, str]:
                    e.vec_id
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS sum_disc_cents,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))::BIGINT
+                     AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "html_main_content": """
             SELECT doc_id,

@@ -1,0 +1,69 @@
+"""Relational pipelines: partial-agg Q1 shape, join+broadcast Q5 shape."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _lineitem():
+    return pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_returnflag": ["A", "A", "N", "N"],
+            "l_linestatus": ["F", "F", "O", "O"],
+            "l_quantity": pa.array([2.0, 3.0, 1.0, 4.0]),
+            "l_extendedprice": pa.array([10.005, 20.0, 5.5, 7.25]),
+            "l_discount": pa.array([0.1, 0.0, 0.5, 0.0]),
+        }
+    )
+
+
+class TestPricingSummary:
+    def test_partial_agg_and_cents(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import pricing_summary
+
+        out = pricing_summary(ray.data.from_arrow(_lineitem()).repartition(2)).to_pandas()
+        af = out[(out["l_returnflag"] == "A")].iloc[0]
+        # cents are floor(x*100+0.5): 10.005 -> 1001 (not banker's 1000)
+        assert af["sum_base_cents"] == 1001 + 2000
+        # disc: 10.005*0.9=9.0045 -> 900 cents; 20.0 -> 2000
+        assert af["sum_disc_cents"] == 900 + 2000
+        assert af["sum_qty"] == 5 and af["n_rows"] == 2
+
+
+class TestRevenueByNation:
+    def test_join_broadcast_shape(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import revenue_by_nation
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, 20, 10], pa.int64()),
+            }
+        )
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([10, 20], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        )
+        nation = pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": ["ALPHA", "BETA"],
+            }
+        )
+        out = revenue_by_nation(
+            ray.data.from_arrow(_lineitem()).repartition(2),
+            ray.data.from_arrow(orders),
+            customer,
+            nation,
+            num_partitions=4,
+        ).to_pandas()
+        by = out.set_index("n_name")["revenue_cents"]
+        # ALPHA: orders 1 (900+2000) + 3 (725); BETA: order 2 (5.5*0.5=2.75 -> 275)
+        assert by["ALPHA"] == 900 + 2000 + 725
+        assert by["BETA"] == 275

@@ -1,0 +1,167 @@
+"""Relational pipelines over the TPC-H-ish tables.
+
+The reference is a document engine, but a corpus-scale pipeline lives
+next to relational metadata (orders/events tables beside the documents).
+These queries demonstrate the engine's join + aggregate strategy menu on
+the driver's TPC-H-ish tables, each shape chosen the way it must be at
+100 TB:
+
+- ``pricing_summary`` (TPC-H Q1 shape): single-pass partial aggregation
+  per batch -> tiny global groupby. Money is stabilized to integer cents
+  with ``floor(x*100+0.5)`` — the same IEEE double ops DuckDB's oracle
+  performs, so SUMs are bit-equal across engines.
+- ``revenue_by_nation`` (TPC-H Q5 shape):
+    1. lineitem is PRE-AGGREGATED to one (orderkey, revenue_cents) row
+       per order inside ``map_batches`` before any shuffle — aggregate-
+       before-join cuts the big join's left side by the lineitem/order
+       fanout.
+    2. one big-big hash join against orders (``Dataset.join``) keyed on
+       orderkey — both sides corpus-sized, so a broadcast is impossible.
+    3. customer -> nation is the SMALL side: a broadcast dict via
+       ``ray.put`` resolved inside ``map_batches`` (never a shuffle).
+    4. per-batch partial sums by nation -> 25-row global groupby.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(x: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """floor(x*100+0.5) as int64 — DuckDB round() semantics (half away
+    from zero for positive amounts), bit-identical across engines."""
+    v = np.asarray(x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x,
+                   dtype=np.float64)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def pricing_summary(lineitem_ds):
+    """Q1 shape: per-(returnflag, linestatus) sums/counts.
+
+    Columns: l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_cents, n_rows. Partial per batch -> groupby of <=
+    (flags x statuses) rows per block."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        base = _cents(batch["l_extendedprice"])
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        disc_cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        keys = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "base": pa.array(base),
+                "disc": pa.array(disc_cents),
+            }
+        )
+        grp = keys.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"), ("qty", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": grp["l_returnflag"],
+                "l_linestatus": grp["l_linestatus"],
+                "sum_qty": grp["qty_sum"],
+                "sum_base_cents": grp["base_sum"],
+                "sum_disc_cents": grp["disc_sum"],
+                "n_rows": grp["qty_count"],
+            }
+        )
+
+    out = (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
+                      nation_tbl: pa.Table, num_partitions: int = 16):
+    """Q5 shape: revenue (sum of per-row cents of
+    l_extendedprice*(1-l_discount)) per customer nation.
+
+    ``customer_tbl``/``nation_tbl`` are the small sides (driver-loaded
+    Arrow tables, broadcast once); lineitem/orders stream."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def order_revenue(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"l_orderkey": batch["l_orderkey"], "cents": pa.array(cents)}
+        )
+        grp = t.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {"l_orderkey": grp["l_orderkey"], "revenue_cents": grp["cents_sum"]}
+        )
+
+    per_order = lineitem_ds.map_batches(order_revenue, batch_format="pyarrow")
+    joined = per_order.join(
+        orders_ds.select_columns(["o_orderkey", "o_custkey"]),
+        "inner",
+        num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust_to_nation: Dict[int, str] = {}
+    nation_name = {
+        int(k): v
+        for k, v in zip(
+            nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_name"].to_pylist()
+        )
+    }
+    for ck, nk in zip(
+        customer_tbl["c_custkey"].to_pylist(), customer_tbl["c_nationkey"].to_pylist()
+    ):
+        cust_to_nation[int(ck)] = nation_name.get(int(nk), "")
+    lookup_ref = ray.put(cust_to_nation)
+
+    class NationLookup:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "n_name": pa.array([], pa.string()),
+                        "revenue_cents": pa.array([], pa.int64()),
+                    }
+                )
+            names = [
+                self.lookup.get(int(ck), "") for ck in batch["o_custkey"].to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "cents": batch["revenue_cents"],
+                }
+            )
+            grp = t.group_by(["n_name"]).aggregate([("cents", "sum")])
+            return pa.table(
+                {"n_name": grp["n_name"], "revenue_cents": grp["cents_sum"]}
+            )
+
+    partial = joined.map_batches(NationLookup, batch_format="pyarrow", concurrency=2)
+    out = partial.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+    return out.sort("n_name")
