@@ -916,22 +916,25 @@ def _q_cdv_eval(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Real media decode + feature extraction over generated WAV/PPM/PPMV
+    payloads (stdlib codecs, core/codecs.py); unknown containers would
+    error — everything here decodes for real."""
     import ray.data
 
     from texoo_ray.stages.multimodal import MediaFeatureStage, synthetic_media_table
 
     n = 200 if "0.001" in sf_dir else 1000
-    ds = ray.data.from_arrow(synthetic_media_table(n))
+    ds = ray.data.from_arrow(synthetic_media_table(n, real_payloads=True))
     out = ds.map_batches(
         MediaFeatureStage,
-        fn_constructor_kwargs=dict(decode="fake"),
+        fn_constructor_kwargs=dict(decode="real", on_unknown="error"),
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
     )
-    return out.select_columns(["media_id", "media_type", "payload_bytes"]).sort(
-        "media_id"
-    )
+    return out.select_columns(
+        ["media_id", "media_type", "container", "payload_bytes"]
+    ).sort("media_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

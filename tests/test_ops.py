@@ -124,19 +124,38 @@ class TestTextStats:
 
 
 class TestMultimodal:
-    def test_stub_guard(self):
-        with pytest.raises(NotImplementedError):
-            MediaFeatureStage(decode="real")
+    def test_unknown_container_policies(self):
+        from texoo_ray.core.codecs import UnsupportedMediaError
+
+        tbl = synthetic_media_table(3)  # random bytes: unknown containers
+        out = MediaFeatureStage(decode="real", on_unknown="skip")(tbl)
+        assert set(out["container"].to_pylist()) == {"unknown"}
+        assert all(sum(f) == 0 for f in out["features"].to_pylist())
+        with pytest.raises(UnsupportedMediaError):
+            MediaFeatureStage(decode="real", on_unknown="error")(tbl)
 
     def test_fake_features_deterministic(self):
         tbl = synthetic_media_table(8)
-        s = MediaFeatureStage()
+        s = MediaFeatureStage(decode="fake")
         o1, o2 = s(tbl), s(tbl)
         assert o1["features"].to_pylist() == o2["features"].to_pylist()
         assert all(len(f) == 32 for f in o1["features"].to_pylist())
         assert o1["payload_bytes"].to_pylist() == [
             len(p) for p in tbl["payload"].to_pylist()
         ]
+
+    def test_real_decode_end_to_end(self):
+        tbl = synthetic_media_table(9, real_payloads=True)
+        out = MediaFeatureStage(decode="real", on_unknown="error")(tbl)
+        kinds = out["container"].to_pylist()
+        assert set(kinds) == {"ppm", "wav", "ppmv"}
+        feats = out["features"].to_pylist()
+        assert all(len(f) == 32 and np.isfinite(f).all() for f in map(np.array, feats))
+        # audio rows: duration feature (f[0]) matches duration_ms metadata
+        for i, k in enumerate(kinds):
+            if k == "wav":
+                dur_s = tbl["duration_ms"][i].as_py() / 1000.0
+                assert abs(feats[i][0] - dur_s) < 0.01
 
 
 class TestRayOps:

@@ -1,12 +1,18 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing + real stdlib decode.
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (``media_type``, ``width``, ``height``, ``duration_ms``). The Ray-side
 plumbing — schema, batch sizing for wide binary rows, actor-pool stage
-shape, output layout — is real and tested; the actual codec work is
-STUBBED (the sandbox has no image/audio libraries): ``decode=fake``
-produces deterministic pseudo-features from the bytes, ``decode=real``
-raises NotImplementedError at construction.
+shape, output layout — is real and tested, and so is the decode path for
+the formats the standard library + numpy can handle (``core/codecs.py``):
+RIFF/PCM WAV, P6 PPM, 24-bit BMP, and the PPMV frame container with
+every-k-th frame sampling. Features are real numpy signal/image stats
+(moments, histograms, RMS/ZCR/spectral centroid, FFT band profile).
+
+Formats beyond that set (JPEG/PNG/MP3/MP4...) need codec libraries this
+sandbox doesn't ship; ``on_unknown`` picks the policy — ``"fake"``
+(deterministic pseudo-features, the previous stub behavior), ``"skip"``
+(zero features), or ``"error"``.
 
 Scale note: binary rows are wide — callers should pass a SMALL
 ``batch_size`` (e.g. 32) and let ``DataContext.target_max_block_size``
@@ -20,6 +26,18 @@ from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
+
+from ..core.codecs import (
+    UnsupportedMediaError,
+    audio_features,
+    decode_bmp,
+    decode_ppm,
+    decode_ppmv_frames,
+    decode_wav,
+    image_features,
+    resize_nearest,
+    sniff_media,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -38,18 +56,33 @@ FEATURE_DIM = 32
 class MediaFeatureStage:
     """Actor-pool stage: decode + feature-extract media payloads.
 
-    requires: ``payload``, ``media_type`` — attaches: ``features``
-    (list<float32> of FEATURE_DIM), ``payload_bytes`` (int64).
+    requires: ``payload`` — attaches: ``features`` (list<float32> of
+    FEATURE_DIM), ``payload_bytes`` (int64), and for ``decode="real"``
+    also ``container`` (sniffed format string).
+
+    - ``decode="real"``: sniff container, decode with the stdlib codecs,
+      resize images to ``thumb`` before feature extraction (bounded work
+      per row regardless of source resolution), frame-sample videos at
+      ``frame_every``.
+    - ``decode="fake"``: deterministic pseudo-features from keyed hashes
+      (the plumbing-only mode).
     """
 
-    def __init__(self, decode: str = "fake"):
-        if decode == "real":
-            raise NotImplementedError(
-                "real media decoding requires image/audio codecs not present "
-                "in this environment; wire Pillow/torchaudio here and keep "
-                "the same batch contract"
-            )
-        assert decode == "fake"
+    def __init__(
+        self,
+        decode: str = "real",
+        on_unknown: str = "fake",
+        thumb: int = 64,
+        frame_every: int = 5,
+        max_frames: int = 4,
+    ):
+        assert decode in ("real", "fake")
+        assert on_unknown in ("fake", "skip", "error")
+        self.decode = decode
+        self.on_unknown = on_unknown
+        self.thumb = thumb
+        self.frame_every = frame_every
+        self.max_frames = max_frames
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-embedding from keyed hashes of the bytes
@@ -62,29 +95,116 @@ class MediaFeatureStage:
             np.frombuffer(h, dtype=np.uint32).astype(np.float32) / np.float32(2**32)
         )
 
+    def _real_features(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "wav":
+            samples, rate = decode_wav(payload)
+            return audio_features(samples, rate, FEATURE_DIM)
+        if kind in ("ppm", "bmp"):
+            img = decode_ppm(payload) if kind == "ppm" else decode_bmp(payload)
+            img = resize_nearest(img, self.thumb, self.thumb)
+            return image_features(img, FEATURE_DIM)
+        if kind == "ppmv":
+            frames = decode_ppmv_frames(
+                payload, every=self.frame_every, limit=self.max_frames
+            )
+            if not frames:
+                return np.zeros(FEATURE_DIM, dtype=np.float32)
+            per = [
+                image_features(
+                    resize_nearest(f, self.thumb, self.thumb), FEATURE_DIM
+                )
+                for f in frames
+            ]
+            return np.mean(per, axis=0).astype(np.float32)
+        raise UnsupportedMediaError("unknown container")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = [self._fake_features(p) for p in payloads]
+        feats: List[np.ndarray] = []
+        containers: List[str] = []
+        for p in payloads:
+            p = p or b""
+            if self.decode == "fake":
+                feats.append(self._fake_features(p))
+                containers.append("fake")
+                continue
+            kind = sniff_media(p)
+            containers.append(kind)
+            if kind == "unknown":
+                if self.on_unknown == "error":
+                    raise UnsupportedMediaError(
+                        "unknown media container (%d bytes)" % len(p)
+                    )
+                feats.append(
+                    self._fake_features(p)
+                    if self.on_unknown == "fake"
+                    else np.zeros(FEATURE_DIM, dtype=np.float32)
+                )
+            else:
+                feats.append(self._real_features(p, kind))
         sizes = [len(p or b"") for p in payloads]
         batch = batch.append_column(
             "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         )
         batch = batch.append_column("payload_bytes", pa.array(sizes, pa.int64()))
+        if self.decode == "real":
+            batch = batch.append_column(
+                "container", pa.array(containers, pa.string())
+            )
         return batch
 
 
-def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests."""
+def synthetic_media_table(n: int, seed: int = 42, real_payloads: bool = False) -> pa.Table:
+    """Deterministic media rows. ``real_payloads=True`` emits REAL
+    decodable bytes — WAV sine tones, PPM gradient images, PPMV frame
+    sequences — so the real decode path can be exercised end-to-end."""
+    from ..core.codecs import encode_ppm, encode_ppmv, encode_wav
+
     rng = np.random.RandomState(seed)
     types = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms")}
     for i in range(n):
         t = types[i % 3]
-        size = int(rng.randint(64, 4096))
+        if not real_payloads:
+            size = int(rng.randint(64, 4096))
+            payload = rng.bytes(size)
+            w = int(rng.randint(16, 1920)) if t != "audio" else 0
+            h = int(rng.randint(16, 1080)) if t != "audio" else 0
+            dur = int(rng.randint(100, 60000)) if t != "image" else 0
+        elif t == "image":
+            w, h, dur = int(rng.randint(16, 64)), int(rng.randint(16, 64)), 0
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)),
+                    (yy * 255 // max(h - 1, 1)),
+                    ((xx + yy) * 255 // max(w + h - 2, 1)),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload = encode_ppm(img)
+        elif t == "audio":
+            rate = 8000
+            dur = int(rng.randint(100, 1000))
+            w = h = 0
+            tt = np.arange(int(rate * dur / 1000.0))
+            freq = float(rng.randint(100, 2000))
+            payload = encode_wav(
+                (10000 * np.sin(2 * np.pi * freq * tt / rate)).astype(np.int16), rate
+            )
+        else:
+            w = h = 16
+            n_frames = int(rng.randint(4, 12))
+            dur = n_frames * 40
+            frames = [
+                np.full((h, w, 3), (fi * 37) % 256, dtype=np.uint8)
+                for fi in range(n_frames)
+            ]
+            payload = encode_ppmv(frames)
         rows["media_id"].append(i)
         rows["media_type"].append(t)
-        rows["payload"].append(rng.bytes(size))
-        rows["width"].append(int(rng.randint(16, 1920)) if t != "audio" else 0)
-        rows["height"].append(int(rng.randint(16, 1080)) if t != "audio" else 0)
-        rows["duration_ms"].append(int(rng.randint(100, 60000)) if t != "image" else 0)
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
