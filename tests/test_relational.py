@@ -67,3 +67,37 @@ class TestRevenueByNation:
         # ALPHA: orders 1 (900+2000) + 3 (725); BETA: order 2 (5.5*0.5=2.75 -> 275)
         assert by["ALPHA"] == 900 + 2000 + 725
         assert by["BETA"] == 275
+
+    def test_join_with_empty_hash_partitions(self, ray_session):
+        """num_partitions above key cardinality: Ray 2.49's hash join
+        emits schema-less empty blocks for empty partitions (see
+        stages/dedup.py::_compact) and oversized partition counts starve
+        the 4-cpu test session — revenue_by_nation must clamp via
+        _join_partitions AND survive the empty blocks."""
+        import ray.data
+
+        from texoo_ray.pipelines.relational import revenue_by_nation
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, 20, 10], pa.int64()),
+            }
+        )
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([10, 20], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        )
+        nation = pa.table(
+            {"n_nationkey": pa.array([0, 1], pa.int64()), "n_name": ["ALPHA", "BETA"]}
+        )
+        out = revenue_by_nation(
+            ray.data.from_arrow(_lineitem()),
+            ray.data.from_arrow(orders),
+            customer,
+            nation,
+            num_partitions=12,
+        ).to_pandas()
+        assert out.set_index("n_name")["revenue_cents"]["ALPHA"] == 900 + 2000 + 725

@@ -100,6 +100,13 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
     import ray
     from ray.data.aggregate import Sum
 
+    from ..stages.dedup import _join_partitions
+
+    # clamp to the cluster: the hash join's aggregator pool reserves CPU
+    # per partition and starves small sessions when oversized (observed
+    # hang: 12 partitions at 4 cpus) — stages/dedup.py:42-54
+    num_partitions = _join_partitions(cap=num_partitions)
+
     def order_revenue(batch: pa.Table) -> pa.Table:
         price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
         disc = np.asarray(batch["l_discount"], dtype=np.float64)
