@@ -119,14 +119,19 @@ def run_queries() -> dict:
         "layout_main_content",
         "knn_ivf",
     ]
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
     for name in picks:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, trials)):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
