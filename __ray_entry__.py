@@ -526,6 +526,29 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(lineitem, orders, customer, nation)
 
 
+def _q_region_part_revenue(sf_dir: str):
+    """Star-join shape: lineitem fact stream against four broadcast
+    dimension tables (part/supplier/nation/region) composed into one
+    lookup — zero pre-aggregate shuffles."""
+    import pyarrow.parquet as _pq
+
+    from texoo_ray.pipelines.relational import region_part_revenue
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    read = lambda t, cols: _pq.read_table(  # noqa: E731
+        os.path.join(sf_dir, "%s.parquet" % t), columns=cols
+    )
+    return region_part_revenue(
+        lineitem,
+        read("part", ["p_partkey", "p_type"]),
+        read("supplier", ["s_suppkey", "s_nationkey"]),
+        read("nation", ["n_nationkey", "n_regionkey"]),
+        read("region", ["r_regionkey", "r_name"]),
+    )
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed training-data pass: quality gate -> exact keep-first
     dedup, stats carried through the aggregation (one shuffle of
@@ -977,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_main_content": _q_layout_main_content,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "region_part_revenue": _q_region_part_revenue,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1129,6 +1153,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "region_part_revenue": """
+            SELECT r.r_name, p.p_type,
+                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))::BIGINT
+                     AS revenue_cents
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, p.p_type ORDER BY r.r_name, p.p_type
         """,
         "html_main_content": """
             SELECT doc_id,

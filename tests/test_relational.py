@@ -101,3 +101,44 @@ class TestRevenueByNation:
             num_partitions=12,
         ).to_pandas()
         assert out.set_index("n_name")["revenue_cents"]["ALPHA"] == 900 + 2000 + 725
+
+
+class TestRegionPartRevenue:
+    def test_star_join_composed_dims(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import region_part_revenue
+
+        part = pa.table(
+            {"p_partkey": pa.array([100, 200], pa.int64()), "p_type": ["BRASS", "TIN"]}
+        )
+        supplier = pa.table(
+            {
+                "s_suppkey": pa.array([7, 8], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        )
+        nation = pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_regionkey": pa.array([5, 6], pa.int64()),
+            }
+        )
+        region = pa.table(
+            {"r_regionkey": pa.array([5, 6], pa.int64()), "r_name": ["EAST", "WEST"]}
+        )
+        lineitem = pa.table(
+            {
+                "l_partkey": pa.array([100, 100, 200], pa.int64()),
+                "l_suppkey": pa.array([7, 8, 8], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+                "l_discount": pa.array([0.0, 0.5, 0.0]),
+            }
+        )
+        out = region_part_revenue(
+            ray.data.from_arrow(lineitem).repartition(2), part, supplier, nation, region
+        ).to_pandas()
+        idx = out.set_index(["r_name", "p_type"])["revenue_cents"]
+        assert idx[("EAST", "BRASS")] == 1000
+        assert idx[("WEST", "BRASS")] == 1000  # 20 * 0.5
+        assert idx[("WEST", "TIN")] == 3000

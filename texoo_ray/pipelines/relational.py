@@ -90,6 +90,97 @@ def pricing_summary(lineitem_ds):
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
+def region_part_revenue(
+    lineitem_ds,
+    part_tbl: pa.Table,
+    supplier_tbl: pa.Table,
+    nation_tbl: pa.Table,
+    region_tbl: pa.Table,
+):
+    """Star-join shape: the fact stream (lineitem) against FOUR dimension
+    tables composed into one broadcast lookup (partkey->p_type,
+    suppkey->nationkey->regionkey->r_name) resolved inside a single
+    ``map_batches`` — zero shuffles before the final
+    (region, part-type)-cardinality aggregate. The canonical plan when
+    every dimension fits the object store; contrast with
+    ``revenue_by_nation``'s big-big join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part_type = dict(
+        zip(
+            (int(k) for k in part_tbl["p_partkey"].to_pylist()),
+            part_tbl["p_type"].to_pylist(),
+        )
+    )
+    region_name = dict(
+        zip(
+            (int(k) for k in region_tbl["r_regionkey"].to_pylist()),
+            region_tbl["r_name"].to_pylist(),
+        )
+    )
+    nation_region = {
+        int(nk): region_name.get(int(rk), "")
+        for nk, rk in zip(
+            nation_tbl["n_nationkey"].to_pylist(), nation_tbl["n_regionkey"].to_pylist()
+        )
+    }
+    supp_region = {
+        int(sk): nation_region.get(int(nk), "")
+        for sk, nk in zip(
+            supplier_tbl["s_suppkey"].to_pylist(),
+            supplier_tbl["s_nationkey"].to_pylist(),
+        )
+    }
+    dims_ref = ray.put((part_type, supp_region))
+
+    class StarLookup:
+        def __init__(self):
+            self.part_type, self.supp_region = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "r_name": pa.array([], pa.string()),
+                        "p_type": pa.array([], pa.string()),
+                        "revenue_cents": pa.array([], pa.int64()),
+                    }
+                )
+            price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+            disc = np.asarray(batch["l_discount"], dtype=np.float64)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            regions = [
+                self.supp_region.get(int(sk), "")
+                for sk in batch["l_suppkey"].to_pylist()
+            ]
+            types = [
+                self.part_type.get(int(pk), "")
+                for pk in batch["l_partkey"].to_pylist()
+            ]
+            t = pa.table(
+                {
+                    "r_name": pa.array(regions, pa.string()),
+                    "p_type": pa.array(types, pa.string()),
+                    "cents": pa.array(cents),
+                }
+            )
+            grp = t.group_by(["r_name", "p_type"]).aggregate([("cents", "sum")])
+            return pa.table(
+                {
+                    "r_name": grp["r_name"],
+                    "p_type": grp["p_type"],
+                    "revenue_cents": grp["cents_sum"],
+                }
+            )
+
+    partial = lineitem_ds.map_batches(StarLookup, batch_format="pyarrow", concurrency=2)
+    out = partial.groupby(["r_name", "p_type"]).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+    return out.sort(["r_name", "p_type"])
+
+
 def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
                       nation_tbl: pa.Table, num_partitions: int = 16):
     """Q5 shape: revenue (sum of per-row cents of
