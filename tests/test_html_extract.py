@@ -230,3 +230,40 @@ class TestWrappersRoundtrip:
         assert len(pages) >= 2
         body = pages[0].splitlines()[2:]  # skip header + blank
         assert any("    " in ln and ln.split("    ")[-1].strip() for ln in body)
+
+
+class TestTagSoupRobustness:
+    def test_malformed_html_never_crashes(self):
+        """Real web HTML is tag soup: unclosed/misnested/bogus markup must
+        parse without exceptions and still yield the good content."""
+        soups = [
+            "<p>unclosed paragraph with plenty of words to pass the block rules"
+            " flowing on and on without a closing tag",
+            "<div><b><i>misnested</b></i> content with more than enough words"
+            " in here to classify as good under the standard decision rules"
+            " that we apply today</div>",
+            "<p>text with a lone < angle bracket and an &unknownentity; too"
+            " plus enough words to remain a good content block</p>",
+            "<table><tr><td>cell one has plenty of words inside it to pass"
+            " the word count rule</td><td>cell two</td></tr></table>",
+            "</div></p></body>leading close tags<p>then a paragraph that is"
+            " definitely long enough to be counted as good content by the"
+            " usual seventeen word standards</p>",
+            "<P>UPPERCASE TAGS WITH MORE THAN ENOUGH WORDS TO PASS THE USUAL"
+            " SEVENTEEN WORD DECISION RULES IN THIS BLOCK TODAY FINE</P>",
+        ]
+        from texoo_ray.core.html_extract import extract_main_content
+
+        for html in soups:
+            title, text, n_good, n_blocks = extract_main_content(html)
+            assert n_good >= 1, html
+        # random tag soup: no crash, no leak of script content
+        import random
+
+        rng = random.Random(7)
+        frags = ["<div>", "</div>", "<p>", "<a href='#'>", "</a>", "word",
+                 "<script>evil()</script>", "<br>", "&amp;", "<h2>", "</h2>"]
+        for _ in range(50):
+            html = " ".join(rng.choice(frags) for _ in range(60))
+            _, text, _, _ = extract_main_content(html)
+            assert "evil()" not in text
