@@ -112,3 +112,39 @@ class TestEmbedStage:
         out = sec(seg(tbl))
         secs = out["sections"][0].as_py()
         assert isinstance(secs, list) and len(secs) >= 1
+
+
+class TestFastTextEncoder:
+    def test_oov_subword_composition(self, ray_session, tmp_path):
+        """FastTextEncoder.java:160-174: known words hit the matrix; OOV
+        words compose from <word> boundary-marked 3..6-gram vectors and
+        are NOT the null vector; similar surface forms land nearby."""
+        import ray.data
+
+        from texoo_ray.stages.word2vec import (
+            FastTextEncoder,
+            Word2VecEncoder,
+            build_word_vectors,
+        )
+
+        ds = ray.data.from_items(
+            [{"text": "walking walked walks running runs jumped"}] * 3
+        )
+        path = str(tmp_path / "vecs.parquet")
+        build_word_vectors(ds, path, dim=32)
+        ft = FastTextEncoder(path)
+        w2v = Word2VecEncoder(path)
+        # known word: identical to the w2v matrix row
+        assert np.allclose(ft.encode_word("walking"), w2v.encode_word("walking"))
+        # OOV: w2v nulls out, fasttext composes subwords
+        assert np.linalg.norm(w2v.encode_word("walkings")) == 0.0
+        oov = ft.encode_word("walkings")
+        assert np.linalg.norm(oov) > 0
+        assert not ft.is_unknown("walkings") and w2v.is_unknown("walkings")
+        # subword sharing: 'walkings' closer to 'walkingz' than to 'jumped'
+        sim = lambda a, b: float(  # noqa: E731
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+        assert sim(oov, ft.encode_word("walkingz")) > sim(oov, ft.encode_word("jumpedz"))
+        # deterministic across instances
+        assert np.allclose(oov, FastTextEncoder(path).encode_word("walkings"))

@@ -169,6 +169,67 @@ class Word2VecEncoder:
         return out
 
 
+class FastTextEncoder(Word2VecEncoder):
+    """FastText-semantics encoder: OOV words are COMPOSED from subword
+    character n-grams instead of returning the null vector.
+
+    Mirrors FastTextEncoder.java:160-174 (getWordVector delegates to
+    fastText, which sums subword n-gram vectors for OOV words;
+    ``isUnknown`` is true only for words that produce an all-zero
+    vector). Subword inventory follows the fastText paper: the word is
+    boundary-marked as ``<word>`` and n-grams with n in [minn, maxn]
+    (defaults 3..6) are hashed; each gram's vector is the engine's
+    deterministic hashed-ngram stand-in, unit-normalized after the mean
+    like the known-word matrix rows."""
+
+    def __init__(self, path: str, minn: int = 3, maxn: int = 6):
+        super().__init__(path)
+        self.minn = minn
+        self.maxn = maxn
+
+    def _subword_vector(self, word: str) -> np.ndarray:
+        marked = "<%s>" % word
+        out = np.zeros(self.dim, dtype=np.float32)
+        n_grams = 0
+        for n in range(self.minn, self.maxn + 1):
+            if len(marked) < n:
+                break
+            for i in range(len(marked) - n + 1):
+                out += hashed_ngram_vector(marked[i : i + n], self.dim)
+                n_grams += 1
+        if n_grams:
+            out /= n_grams
+        norm = float(np.linalg.norm(out))
+        return out / norm if norm > 0 else out
+
+    def encode_word(self, word: str) -> np.ndarray:
+        w = preprocess(word)
+        i = self.index.get(w)
+        if i is not None:
+            return self.matrix[i]
+        if not w:
+            return np.zeros(self.dim, dtype=np.float32)
+        return self._subword_vector(w)
+
+    def is_unknown(self, word: str) -> bool:
+        """FastTextEncoder.java:171-174: unknown iff the produced vector
+        is the null vector."""
+        return float(np.linalg.norm(self.encode_word(word))) == 0.0
+
+    def sentence_vector(self, token_texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros(self.dim, dtype=np.float32)
+        n = 0
+        for t in token_texts:
+            if not t or not t.strip():
+                continue
+            out += self.encode_word(t)
+            n += 1
+        if n:
+            out /= n
+        norm = float(np.linalg.norm(out))
+        return out / norm if norm > 0 else out
+
+
 class Word2VecEmbedStage:
     """requires: ``tokens`` — attaches: ``turn_embedding`` (list<float>).
 
