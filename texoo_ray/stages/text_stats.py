@@ -27,43 +27,45 @@ BPE_TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
 BPE_TOKEN_SQL = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
+def _count_re(text: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    return pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+
+
 def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """attaches: n_chars_q, n_words, n_digits, n_upper, n_alpha, alpha_ratio.
 
     Counts use ASCII classes so the DuckDB oracle (regexp_replace with the
-    same classes) is bit-identical.
+    same classes) is bit-identical. Fully vectorized in pyarrow.compute —
+    no Python row loop (single-char classes: match count == char count;
+    word count = non-overlapping ``\\S+`` matches == len(str.split())).
     """
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_words = np.empty(n, dtype=np.int64)
-    n_digits = np.empty(n, dtype=np.int64)
-    n_upper = np.empty(n, dtype=np.int64)
-    n_alpha = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        n_words[i] = len(t.split())
-        n_digits[i] = len(_DIGIT_RE.findall(t))
-        n_upper[i] = len(_UPPER_RE.findall(t))
-        n_alpha[i] = len(_ALPHA_RE.findall(t))
-    alpha_ratio = n_alpha / np.maximum(n_chars, 1)
-    batch = batch.append_column("n_chars_q", pa.array(n_chars))
-    batch = batch.append_column("n_words", pa.array(n_words))
-    batch = batch.append_column("n_digits", pa.array(n_digits))
-    batch = batch.append_column("n_upper", pa.array(n_upper))
-    batch = batch.append_column("n_alpha", pa.array(n_alpha))
+    text = pc.fill_null(batch[text_col], "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_words = _count_re(text, r"\S+")
+    n_digits = _count_re(text, "[0-9]")
+    n_upper = _count_re(text, "[A-Z]")
+    n_alpha = _count_re(text, "[A-Za-z]")
+    def _np(a):
+        return (
+            a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        ).to_numpy(zero_copy_only=False)
+
+    alpha_ratio = _np(n_alpha).astype(np.float64) / np.maximum(_np(n_chars), 1)
+    batch = batch.append_column("n_chars_q", n_chars)
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column("n_digits", n_digits)
+    batch = batch.append_column("n_upper", n_upper)
+    batch = batch.append_column("n_alpha", n_alpha)
     batch = batch.append_column("alpha_ratio", pa.array(alpha_ratio))
     return batch
 
 
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """attaches: n_ws_tokens (whitespace), n_bpe_tokens (BPE-ish regex)."""
-    texts = batch[text_col].to_pylist()
-    ws = pa.array([len((t or "").split()) for t in texts], pa.int64())
-    bpe = pa.array([len(BPE_TOKEN_RE.findall(t or "")) for t in texts], pa.int64())
-    batch = batch.append_column("n_ws_tokens", ws)
-    batch = batch.append_column("n_bpe_tokens", bpe)
+    """attaches: n_ws_tokens (whitespace), n_bpe_tokens (BPE-ish regex).
+    Vectorized: both counts are non-overlapping regex match counts."""
+    text = pc.fill_null(batch[text_col], "")
+    batch = batch.append_column("n_ws_tokens", _count_re(text, r"\S+"))
+    batch = batch.append_column("n_bpe_tokens", _count_re(text, BPE_TOKEN_SQL))
     return batch
 
 
