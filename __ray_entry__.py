@@ -495,6 +495,15 @@ def _q_layout_main_content(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_bigram_vocab(sf_dir: str):
+    """Word-bigram vocabulary build (n-gram vocab aggregation): partial
+    counts per batch, groupby(ngram).sum, global top-50."""
+    from texoo_ray.stages.encoders import build_ngram_vocab
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return build_ngram_vocab(ds, n=2, top_k=50)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape over lineitem: per-batch partial aggregation into
     integer cents, tiny global groupby."""
@@ -1001,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "region_part_revenue": _q_region_part_revenue,
+        "bigram_vocab": _q_bigram_vocab,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1153,6 +1163,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "bigram_vocab": """
+            WITH w AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i+1])) AS ngram
+              FROM w
+            )
+            SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC LIMIT 50
         """,
         "region_part_revenue": """
             SELECT r.r_name, p.p_type,

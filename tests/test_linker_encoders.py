@@ -206,3 +206,23 @@ class TestVocabBuild:
         bf = build_bloom(ray.data.from_arrow(tbl).repartition(2))
         for w in ("aa", "bb", "cc", "dd"):
             assert w in bf
+
+
+class TestNgramVocab:
+    def test_bigram_counts_across_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from texoo_ray.stages.encoders import build_ngram_vocab
+
+        tbl = pa.table(
+            {"text": ["the cat sat", "the cat ran", "dogs bark", None, "The Cat"]}
+        )
+        out = build_ngram_vocab(
+            ray.data.from_arrow(tbl).repartition(3), n=2, top_k=10
+        ).to_pandas()
+        got = dict(zip(out["ngram"], out["cnt"]))
+        assert got["the cat"] == 3  # case-folded, counted across blocks
+        assert got["cat sat"] == 1 and got["dogs bark"] == 1
+        # ordering: cnt desc then ngram asc
+        assert out.iloc[0]["ngram"] == "the cat"

@@ -60,6 +60,45 @@ def build_vocab(
     return [w for w, c in zip(top["word"], top["cnt"]) if c >= min_freq]
 
 
+_ASCII_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def build_ngram_vocab(
+    ds,
+    n: int = 2,
+    text_col: str = "text",
+    top_k: int = 50,
+):
+    """Word n-gram vocabulary build (the SURVEY §2.7 n-gram vocab row,
+    cf. LetterNGramEncoder's trainModel counting loop generalized to word
+    n-grams): per-batch partial counts of space-joined lowercase word
+    n-grams -> ``groupby(ngram).sum`` -> global top-k. The shuffle moves
+    one row per distinct n-gram per block; the result is top_k rows.
+    Returns Dataset[(ngram, cnt)] ordered (cnt desc, ngram asc)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            words = _ASCII_WORD_RE.findall((t or "").lower())
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(top_k)
+
+
 class BagOfWordsEncoder:
     """vocab -> index map; encode(words) = count vector over the vocab."""
 
