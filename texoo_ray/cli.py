@@ -9,6 +9,10 @@ Usage::
         [--resume --partitions 16]
     python -m texoo_ray.cli generate --output DIR --convs 10000
     python -m texoo_ray.cli eval-ner --input PARQUET  # gold vs pred columns
+    python -m texoo_ray.cli curate --input PARQUET_DIR --output DIR
+        [--min-words 5] [--no-alpha-gate]
+    python -m texoo_ray.cli extract-html --input PARQUET_DIR --output DIR
+        [--html-col html] [--keep-headings]
 
 Owns its Ray session (guarded init), unlike the library code.
 """
@@ -92,6 +96,54 @@ def cmd_eval_ner(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation pass: quality gate -> keep-first exact
+    dedup (pipelines/curation.py) -> parquet of surviving doc stats."""
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import curate_corpus
+
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = curate_corpus(
+        ds,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_words=args.min_words,
+        min_alpha_ratio_x2=not args.no_alpha_gate,
+    )
+    out.write_parquet(args.output)
+    import pyarrow.dataset as pads
+
+    print(json.dumps({"rows": pads.dataset(args.output).count_rows(), "output": args.output}))
+    return 0
+
+
+def cmd_extract_html(args) -> int:
+    """Main-content extraction over an html column -> parquet with
+    title/main_text/boilerplate counters (stages/extract_html.py)."""
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .stages.extract_html import MainContentStage
+
+    ds = ray.data.read_parquet(args.input)
+    out = ds.map_batches(
+        MainContentStage,
+        fn_constructor_kwargs=dict(
+            html_col=args.html_col, include_headings=args.keep_headings
+        ),
+        batch_format="pyarrow",
+        batch_size=args.batch_size,
+        concurrency=args.concurrency,
+    )
+    out.write_parquet(args.output)
+    import pyarrow.dataset as pads
+
+    print(json.dumps({"rows": pads.dataset(args.output).count_rows(), "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="texoo_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -122,6 +174,26 @@ def main(argv=None) -> int:
     pe.add_argument("--pred-col", default="mentions")
     pe.add_argument("--num-cpus", type=int, dest="num_cpus")
     pe.set_defaults(fn=cmd_eval_ner)
+
+    pc_ = sub.add_parser("curate", help="quality gate + keep-first dedup over documents parquet")
+    pc_.add_argument("--input", required=True)
+    pc_.add_argument("--output", required=True)
+    pc_.add_argument("--text-col", default="text")
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.add_argument("--min-words", type=int, default=5)
+    pc_.add_argument("--no-alpha-gate", action="store_true")
+    pc_.add_argument("--num-cpus", type=int, dest="num_cpus")
+    pc_.set_defaults(fn=cmd_curate)
+
+    ph = sub.add_parser("extract-html", help="main-content extraction over an html column")
+    ph.add_argument("--input", required=True)
+    ph.add_argument("--output", required=True)
+    ph.add_argument("--html-col", default="html")
+    ph.add_argument("--keep-headings", action="store_true")
+    ph.add_argument("--batch-size", type=int, default=256)
+    ph.add_argument("--concurrency", type=int, default=2)
+    ph.add_argument("--num-cpus", type=int, dest="num_cpus")
+    ph.set_defaults(fn=cmd_extract_html)
 
     args = p.parse_args(argv)
     try:
