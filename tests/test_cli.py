@@ -52,3 +52,34 @@ def test_cli_generate_annotate_resume(tmp_path):
         "--resume", "--partitions", "2", "--num-cpus", "4",
     )
     assert second["skipped"] == 2 and second["rows"] == r["rows"]
+
+
+def test_cli_curate_and_extract_html(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from texoo_ray.stages.extract_html import wrap_documents_html
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a good long document with plenty of words to survive the gate",
+                "a good long document with plenty of words to survive the gate",
+                "short",
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = run_cli("curate", "--input", src, "--output", str(tmp_path / "cur"), "--num-cpus", "4")
+    assert out["rows"] == 1  # dup collapsed, short dropped
+
+    html_src = str(tmp_path / "html.parquet")
+    pq.write_table(wrap_documents_html(docs), html_src)
+    out2 = run_cli(
+        "extract-html", "--input", html_src, "--output", str(tmp_path / "ext"), "--num-cpus", "4"
+    )
+    assert out2["rows"] == 3
+    got = pq.read_table(str(tmp_path / "ext"))
+    assert "main_text" in got.column_names
