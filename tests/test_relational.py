@@ -142,3 +142,30 @@ class TestRegionPartRevenue:
         assert idx[("EAST", "BRASS")] == 1000
         assert idx[("WEST", "BRASS")] == 1000  # 20 * 0.5
         assert idx[("WEST", "TIN")] == 3000
+
+
+class TestCentsCrossEngine:
+    def test_cents_bit_equal_to_duckdb(self):
+        """floor(x*(1-d)*100+0.5) must produce the identical BIGINT in
+        numpy and DuckDB for arbitrary doubles — the property the
+        revenue oracles rest on (IEEE ops only, no round())."""
+        import duckdb
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        con = duckdb.connect()
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.floats(0, 1e7, allow_nan=False, allow_infinity=False),
+            st.floats(0, 1, allow_nan=False, allow_infinity=False),
+        )
+        def check(price, disc):
+            ours = int(np.floor(np.float64(price) * (1.0 - np.float64(disc)) * 100.0 + 0.5))
+            sql = con.execute(
+                "SELECT CAST(floor(?::DOUBLE * (1 - ?::DOUBLE) * 100 + 0.5) AS BIGINT)",
+                [price, disc],
+            ).fetchone()[0]
+            assert ours == sql, (price, disc)
+
+        check()
