@@ -495,6 +495,20 @@ def _q_layout_main_content(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_response_latency(sf_dir: str):
+    """Per-conversation response-latency analytics (lag over ordered
+    groups; SQL equivalent = LAG() OVER (PARTITION BY conv_id ORDER BY
+    turn_idx))."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import response_latency
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+    return response_latency(ds)
+
+
 def _q_bigram_vocab(sf_dir: str):
     """Word-bigram vocabulary build (n-gram vocab aggregation): partial
     counts per batch, groupby(ngram).sum, global top-50."""
@@ -1011,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "region_part_revenue": _q_region_part_revenue,
         "bigram_vocab": _q_bigram_vocab,
+        "response_latency": _q_response_latency,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1163,6 +1178,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "response_latency": """
+            WITH t AS (
+              SELECT conv_id, role, ts,
+                     lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts,
+                     lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            )
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_responses,
+                   sum(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                            THEN epoch_us(ts) - epoch_us(prev_ts) ELSE 0 END)::BIGINT
+                     AS sum_response_us,
+                   sum(CASE WHEN prev_ts IS NOT NULL
+                            THEN epoch_us(ts) - epoch_us(prev_ts) ELSE 0 END)::BIGINT
+                     AS sum_gap_us
+            FROM t GROUP BY conv_id ORDER BY conv_id
         """,
         "bigram_vocab": """
             WITH w AS (

@@ -36,3 +36,39 @@ def test_conversation_stats_values(ray_session):
         assert got[col].tolist() == want[col].tolist(), col
     assert got["first_ts"].astype("datetime64[us]").tolist() == want["first_ts"].astype("datetime64[us]").tolist()
     assert got["last_ts"].astype("datetime64[us]").tolist() == want["last_ts"].astype("datetime64[us]").tolist()
+
+
+class TestResponseLatency:
+    def test_lag_over_ordered_groups(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import response_latency
+
+        ts = pd.to_datetime(
+            [
+                "2025-01-01 10:00:00", "2025-01-01 10:00:05",  # c1: user->assistant (5s)
+                "2025-01-01 10:00:30", "2025-01-01 10:00:31",  # c1: user->tool (not a response)
+                "2025-01-01 09:00:00",                          # c2: single turn
+            ]
+        )
+        # rows deliberately out of turn order across blocks
+        tbl = pa.table(
+            {
+                "conv_id": ["c1", "c1", "c1", "c1", "c2"],
+                "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+                "role": ["user", "assistant", "user", "tool", "user"],
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        out = (
+            response_latency(ray.data.from_arrow(tbl).random_shuffle(seed=1).repartition(3))
+            .to_pandas()
+            .set_index("conv_id")
+        )
+        assert out.loc["c1", "n_turns"] == 4
+        assert out.loc["c1", "n_responses"] == 1
+        assert out.loc["c1", "sum_response_us"] == 5_000_000
+        assert out.loc["c1", "sum_gap_us"] == 31_000_000  # 5s + 25s + 1s
+        assert out.loc["c2", "n_responses"] == 0 and out.loc["c2", "sum_gap_us"] == 0

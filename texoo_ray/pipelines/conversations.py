@@ -113,3 +113,43 @@ def salted_repartition(ds, key: str = "conv_id", salt_buckets: int = 16):
         return batch.append_column("salt", salt)
 
     return ds.map_batches(add_salt, batch_format="pyarrow")
+
+
+def response_latency(ds, id_col: str = "conv_id"):
+    """Per-conversation turn-gap analytics: Dataset[(conv_id, n_turns,
+    n_responses, sum_response_us, sum_gap_us)] where a "response" is an
+    assistant turn directly following a user turn and gaps are
+    turn_idx-adjacent timestamp deltas (microseconds, exact integers).
+
+    The lag-over-ordered-group shape: adjacency needs whole
+    conversations, so this is a ``groupby(conv_id).map_groups`` with a
+    fully vectorized numpy body — bounded by per-conversation turn
+    counts like conversation_stats/concat (heavy-tail capped corpora);
+    the SQL equivalent is LAG() OVER (PARTITION BY conv_id ORDER BY
+    turn_idx)."""
+
+    def per_conv(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group["turn_idx"]), kind="stable")
+        ts = group["ts"].to_numpy(zero_copy_only=False)[order].astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        roles = np.asarray(group["role"].to_pylist(), dtype=object)[order]
+        gaps = ts[1:] - ts[:-1] if len(ts) > 1 else np.zeros(0, np.int64)
+        resp = (
+            (roles[:-1] == "user") & (roles[1:] == "assistant")
+            if len(ts) > 1
+            else np.zeros(0, bool)
+        )
+        return pa.table(
+            {
+                id_col: pa.array([group[id_col][0].as_py()], pa.string()),
+                "n_turns": pa.array([len(ts)], pa.int64()),
+                "n_responses": pa.array([int(resp.sum())], pa.int64()),
+                "sum_response_us": pa.array([int(gaps[resp].sum())], pa.int64()),
+                "sum_gap_us": pa.array([int(gaps.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby(id_col).map_groups(per_conv, batch_format="pyarrow").sort(id_col)
+    )
