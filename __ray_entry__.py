@@ -509,6 +509,86 @@ def _q_response_latency(sf_dir: str):
     return response_latency(ds)
 
 
+def _q_tool_usage(sf_dir: str):
+    """Tool-call analytics over turns: per tool, call count and distinct
+    conversations — per-batch partial (one row per (tool, conv) per
+    batch) then a two-level aggregate; nothing row-scale shuffles."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir), columns=["conv_id", "tool"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"tool": batch["tool"], "conv_id": batch["conv_id"]})
+        t = t.filter(pa.compute.not_equal(pa.compute.fill_null(t["tool"], ""), ""))
+        grp = t.group_by(["tool", "conv_id"]).aggregate([("conv_id", "count")])
+        return pa.table(
+            {
+                "tool": grp["tool"],
+                "conv_id": grp["conv_id"],
+                "n": pa.compute.cast(grp["conv_id_count"], pa.int64()),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tool", "conv_id"])
+        .aggregate(Sum("n", alias_name="n_calls"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        grp = batch.group_by(["tool"]).aggregate(
+            [("n_calls", "sum"), ("conv_id", "count")]
+        )
+        return pa.table(
+            {
+                "tool": grp["tool"],
+                "n_calls": grp["n_calls_sum"],
+                "n_convs": pa.compute.cast(grp["conv_id_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        per_conv.map_batches(finish, batch_format="pyarrow")
+        .groupby("tool")
+        .aggregate(Sum("n_calls", alias_name="n_calls"), Sum("n_convs", alias_name="n_convs"))
+    )
+    return out.sort("tool")
+
+
+def _q_turn_length_histogram(sf_dir: str):
+    """Turn text-length histogram in 50-char buckets: vectorized bucket
+    assignment per batch, partial counts, tiny global aggregate."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.utf8_length(pc.fill_null(batch["text"], ""))
+        bucket = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(lens, pa.float64()), 50.0)), pa.int64()),
+            pa.scalar(50, pa.int64()),
+        )
+        t = pa.table({"bucket": bucket})
+        grp = t.group_by(["bucket"]).aggregate([("bucket", "count")])
+        return pa.table(
+            {
+                "bucket": grp["bucket"],
+                "n_turns": pa.compute.cast(grp["bucket_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_turns", alias_name="n_turns"))
+    )
+    return out.sort("bucket")
+
+
 def _q_bigram_vocab(sf_dir: str):
     """Word-bigram vocabulary build (n-gram vocab aggregation): partial
     counts per batch, groupby(ngram).sum, global top-50."""
@@ -1026,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_part_revenue": _q_region_part_revenue,
         "bigram_vocab": _q_bigram_vocab,
         "response_latency": _q_response_latency,
+        "tool_usage": _q_tool_usage,
+        "turn_length_histogram": _q_turn_length_histogram,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1178,6 +1260,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "tool_usage": """
+            SELECT tool,
+                   count(*)::BIGINT AS n_calls,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            WHERE tool IS NOT NULL AND tool <> ''
+            GROUP BY tool ORDER BY tool
+        """,
+        "turn_length_histogram": """
+            SELECT (length(text) // 50 * 50)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_turns
+            FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            GROUP BY bucket ORDER BY bucket
         """,
         "response_latency": """
             WITH t AS (
