@@ -652,6 +652,28 @@ def _q_region_part_revenue(sf_dir: str):
     )
 
 
+def _q_knn_multi(sf_dir: str):
+    """Batched ANN: top-3 neighbours for the 5 lowest-id query vectors in
+    one pass (broadcast query matrix, per-batch per-query partial top-k).
+    qid = the query's own vec_id so the SQL oracle can join on it."""
+    import ray.data
+
+    from texoo_ray.stages.knn import multi_query_topk
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(np.asarray(tbl["vec_id"]))[:5]
+    qids = np.asarray(tbl["vec_id"])[order]
+    queries = np.stack(
+        [np.asarray(tbl["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = multi_query_topk(ds, queries, k=3).to_pandas()
+    out["qid"] = qids[out["query_idx"].to_numpy()]
+    return out[["qid", "rank", "vec_id"]].sort_values(["qid", "rank"])
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed training-data pass: quality gate -> exact keep-first
     dedup, stats carried through the aggregation (one shuffle of
@@ -1098,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_multi": _q_knn_multi,
         "curate_corpus": _q_curate_corpus,
         "html_main_content": _q_html_main_content,
         "layout_main_content": _q_layout_main_content,
@@ -1347,6 +1370,24 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words)::BIGINT AS n_words,
                    min(n_bpe_tokens)::BIGINT AS n_bpe_tokens
             FROM f GROUP BY text ORDER BY doc_id
+        """,
+        "knn_multi": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              ORDER BY vec_id LIMIT 5
+            ), s AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS score
+              FROM embeddings e, q
+            ), r AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, vec_id ASC
+                     )::BIGINT AS rank
+              FROM s
+            )
+            SELECT qid, rank, vec_id FROM r WHERE rank <= 3
+            ORDER BY qid, rank
         """,
         "knn_ivf": """
             WITH q AS (

@@ -108,3 +108,17 @@ class TestIvfSearch:
         build_ivf_index(_to_ds(vecs), out, nlist=2)
         res = search_ivf_index(out, vecs[0], k=3, nprobe=1).to_pandas()
         assert 0 < len(res) <= 3
+
+
+class TestMultiQueryTopk:
+    def test_matches_per_query_brute_force(self, ray_session):
+        from texoo_ray.stages.knn import brute_force_topk, multi_query_topk
+
+        vecs = _clustered_vectors(n_clusters=4, per_cluster=20)
+        ds = _to_ds(vecs)
+        queries = vecs[:3].astype(np.float64)
+        multi = multi_query_topk(ds, queries, k=4).to_pandas()
+        for qi in range(3):
+            solo = brute_force_topk(ds, queries[qi], k=4).to_pandas()
+            got = multi[multi["query_idx"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got == solo["vec_id"].tolist(), "query %d" % qi

@@ -126,3 +126,88 @@ def lsh_topk(
 
     partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+class MultiQueryScorer:
+    """Actor-pool stage for batched ANN: the broadcast query matrix is
+    fetched once per actor; each Arrow batch computes ALL query
+    similarities in one (rows x Q) matmul and emits a per-query partial
+    top-k (<= Q*k rows per block)."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col).astype(np.float64)
+        empty = pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                self.id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if m.shape[0] == 0 or self.q.shape[0] == 0:
+            return empty
+        sims = _normalize(m) @ self.q.T  # (rows, Q)
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        keep = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, keep - 1, axis=0)[:keep]  # (keep, Q)
+        n_q = sims.shape[1]
+        q_col = np.repeat(np.arange(n_q, dtype=np.int32), keep)
+        flat_rows = top.T.reshape(-1)
+        return pa.table(
+            {
+                "query_idx": pa.array(q_col),
+                self.id_col: pa.array(ids[flat_rows]),
+                "score": pa.array(sims[flat_rows, np.repeat(np.arange(n_q), keep)]),
+            }
+        )
+
+
+def multi_query_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 2,
+):
+    """Exact cosine top-k for a BATCH of queries: broadcast query matrix,
+    per-batch per-query partial top-k, then a per-query merge over
+    <= blocks*k candidate rows. Returns Dataset[(query_idx, rank, id)]
+    ordered by (query_idx, rank); ties break (score desc, id asc)."""
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    partial = ds.map_batches(
+        MultiQueryScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=q_ref, k=k, vec_col=vec_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([("score", "descending"), (id_col, "ascending")]).slice(
+            0, k
+        )
+        return pa.table(
+            {
+                "query_idx": srt["query_idx"],
+                "rank": pa.array(np.arange(1, srt.num_rows + 1, dtype=np.int64)),
+                id_col: srt[id_col],
+            }
+        )
+
+    return (
+        partial.groupby("query_idx")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["query_idx", "rank"])
+    )
