@@ -589,6 +589,96 @@ def _q_turn_length_histogram(sf_dir: str):
     return out.sort("bucket")
 
 
+def _q_turn_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles over an integer domain via histogram
+    inversion: per-batch value counts -> tiny groupby -> cumulative scan
+    on the (bounded-cardinality) histogram. Never sorts or materializes
+    the data; matches percentile_disc semantics (smallest value whose
+    cumulative count reaches ceil(q*n))."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.cast(pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64())
+        t = pa.table({"len": lens})
+        grp = t.group_by(["len"]).aggregate([("len", "count")])
+        return pa.table(
+            {
+                "len": grp["len"],
+                "n": pa.compute.cast(grp["len_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("len")
+        .to_pandas()
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.95):
+        target = math.ceil(q * total)
+        val = int(hist["len"][cum >= target].iloc[0])
+        rows.append({"q": q, "len": val})
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+def _q_longest_turn_per_conv(sf_dir: str):
+    """Argmax-by: the longest turn (ties -> lowest turn_idx) per
+    conversation, for the 50 lexicographically-first conversations.
+    Shape: per-batch vectorized argmax partial (one candidate row per
+    conv per block) -> per-conv final pick over <= n_blocks rows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "len": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64()
+                ),
+            }
+        ).to_pandas()
+        df = df.sort_values(
+            ["conv_id", "len", "turn_idx"], ascending=[True, False, True]
+        ).drop_duplicates("conv_id", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        return group.sort_by(
+            [("len", "descending"), ("turn_idx", "ascending")]
+        ).slice(0, 1)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(final, batch_format="pyarrow")
+        .sort("conv_id")
+        .limit(50)
+    )
+    df = out.to_pandas()
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df[["conv_id", "turn_idx", "len"]]
+
+
 def _q_bigram_vocab(sf_dir: str):
     """Word-bigram vocabulary build (n-gram vocab aggregation): partial
     counts per batch, groupby(ngram).sum, global top-50."""
@@ -1131,6 +1221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
+        "turn_length_quantiles": _q_turn_length_quantiles,
+        "longest_turn_per_conv": _q_longest_turn_per_conv,
         "qa_passage_candidates": _q_qa_passage_candidates,
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
@@ -1297,6 +1389,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_turns
             FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
             GROUP BY bucket ORDER BY bucket
+        """,
+        "turn_length_quantiles": """
+            WITH t AS (
+              SELECT length(text) AS len
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            )
+            SELECT 0.25 AS q, percentile_disc(0.25) WITHIN GROUP (ORDER BY len)::BIGINT AS len FROM t
+            UNION ALL
+            SELECT 0.5, percentile_disc(0.5) WITHIN GROUP (ORDER BY len)::BIGINT FROM t
+            UNION ALL
+            SELECT 0.75, percentile_disc(0.75) WITHIN GROUP (ORDER BY len)::BIGINT FROM t
+            UNION ALL
+            SELECT 0.95, percentile_disc(0.95) WITHIN GROUP (ORDER BY len)::BIGINT FROM t
+            ORDER BY q
+        """,
+        "longest_turn_per_conv": """
+            WITH t AS (
+              SELECT conv_id, turn_idx, length(text)::BIGINT AS len,
+                     row_number() OVER (
+                       PARTITION BY conv_id
+                       ORDER BY length(text) DESC, turn_idx ASC
+                     ) AS rn
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            )
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, len
+            FROM t WHERE rn = 1 ORDER BY conv_id LIMIT 50
         """,
         "response_latency": """
             WITH t AS (
