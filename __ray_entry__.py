@@ -300,6 +300,16 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_dedup(ds, threshold=0.9).sort("vec_id")
 
 
+def _q_dedup_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup clustering (inverted-index + df-cap +
+    transitive closure) — the only dedup variant with a value-level SQL
+    oracle for the *clusters themselves* (recursive-CTE closure)."""
+    from texoo_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, threshold=0.5, df_cap=128).sort("doc_id")
+
+
 def _q_dedup_simhash(sf_dir: str):
     from texoo_ray.stages.dedup import simhash_dedup
 
@@ -1205,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate / heuristic (rows-only)
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -1266,6 +1277,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_jaccard": r"""
+            WITH RECURSIVE
+            docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            sh3 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+                    FROM words, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+                    WHERE len(w) >= 3),
+            shsmall AS (SELECT DISTINCT doc_id, array_to_string(w, ' ') AS sh
+                        FROM words WHERE len(w) BETWEEN 1 AND 2),
+            filt AS (SELECT sh, doc_id FROM (SELECT * FROM sh3 UNION SELECT * FROM shsmall)
+                     QUALIFY count(*) OVER (PARTITION BY sh) <= 128),
+            na AS (SELECT doc_id, count(*) AS n FROM filt GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+                      FROM filt a JOIN filt b USING (sh)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            edges AS (SELECT a, b FROM pairs
+                      JOIN na x ON x.doc_id = a JOIN na y ON y.doc_id = b
+                      WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5),
+            esym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
+            cc AS (SELECT doc_id AS id, doc_id AS lab FROM docs
+                   UNION
+                   SELECT e.d AS id, cc.lab FROM cc JOIN esym e ON e.s = cc.id)
+            SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id
+            FROM cc GROUP BY id ORDER BY doc_id
         """,
         "top_docs": """
             SELECT doc_id, n_chars FROM documents

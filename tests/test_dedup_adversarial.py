@@ -293,3 +293,67 @@ class TestEmbeddingDedupScaling:
         # no n_planes passed: derives from ds.count() without error
         out = embedding_dedup(ray.data.from_arrow(tbl), threshold=0.99).to_pandas()
         assert len(out) == 30
+
+
+class TestNgramJaccardDedup:
+    def test_exact_threshold_clustering(self, ray_session):
+        base = (
+            "the nightly ingestion job failed after the schema migration and "
+            "the engineer rolled back the change to restore service"
+        )
+        near = base + " for all consumers"  # high jaccard
+        far = "completely different text about quarterly earnings and revenue"
+        from texoo_ray.stages.dedup import jaccard_ngrams, ngram_jaccard_dedup
+
+        assert jaccard_ngrams(base, near) >= 0.5
+        assert jaccard_ngrams(base, far) < 0.5
+        out = ngram_jaccard_dedup(
+            _mk_ds([base, near, far], ray_session), threshold=0.5
+        ).to_pandas()
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert cl == {1: 1, 2: 1, 3: 3}
+
+    def test_chain_transitive_closure(self, ray_session):
+        words = (
+            "users reported that the nightly ingestion job failed after the "
+            "schema migration and the on call engineer rolled back the change "
+            "to restore service for all downstream consumers of the table"
+        ).split()
+        a = " ".join(words)
+        b = " ".join(words[:-6] + ["x%d" % i for i in range(6)])
+        c = " ".join(["y%d" % i for i in range(6)] + words[6:-6] + ["x%d" % i for i in range(6)])
+        from texoo_ray.stages.dedup import jaccard_ngrams, ngram_jaccard_dedup
+
+        assert jaccard_ngrams(a, b) >= 0.5 and jaccard_ngrams(b, c) >= 0.5
+        assert jaccard_ngrams(a, c) < 0.5  # cluster only via the chain
+        out = ngram_jaccard_dedup(
+            _mk_ds([a, b, c], ray_session), threshold=0.5
+        ).to_pandas()
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert cl == {1: 1, 2: 1, 3: 1}
+
+    def test_df_cap_drops_stop_shingles(self, ray_session):
+        # every doc shares the same stop-shingle prefix; distinct tails.
+        # With df_cap below the corpus size the shared shingles are dropped
+        # so no pairs form; nothing merges through stopword boilerplate.
+        texts = [
+            "subscribe to our newsletter today " + "unique tail %d alpha beta gamma" % i
+            for i in range(8)
+        ]
+        from texoo_ray.stages.dedup import ngram_jaccard_dedup
+
+        out = ngram_jaccard_dedup(
+            _mk_ds(texts, ray_session), threshold=0.3, df_cap=4
+        ).to_pandas()
+        assert (out["doc_id"] == out["cluster_id"]).all()
+
+    def test_short_docs_single_gram(self, ray_session):
+        # < n words: the single joined gram IS the shingle set
+        from texoo_ray.stages.dedup import ngram_jaccard_dedup
+
+        out = ngram_jaccard_dedup(
+            _mk_ds(["hello world", "hello world", "bye now", ""], ray_session),
+            threshold=0.5,
+        ).to_pandas()
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert cl[1] == 1 and cl[2] == 1 and cl[3] == 3 and cl[4] == 4

@@ -725,6 +725,177 @@ def minhash_dedup(
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
 
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 128,
+    max_iters: int = 8,
+):
+    """EXACT word n-gram Jaccard near-dup clustering (no sketching).
+
+    Unlike :func:`minhash_dedup` (estimated Jaccard) this computes the
+    true set Jaccard ``|A∩B| / |A∪B|`` over distinct word n-gram shingles
+    via an inverted index, so results are deterministic and
+    SQL-checkable. Returns Dataset[(id, cluster_id)] with cluster_id the
+    minimum id of the doc's connected component (full transitive closure
+    via :func:`cluster_from_edges`).
+
+    Shape (all stages corpus-streaming; only candidate-pair-sized
+    intermediates materialize):
+
+    1. per batch: DISTINCT shingle strings per doc -> (sh, id) rows.
+       Shingling mirrors :func:`shingles` (lowercase ``\\w+`` words; docs
+       with < n words contribute their single joined gram). Keys stay
+       STRINGS for bit-exact oracle parity; at corpus scale hash them to
+       int64 first to cut shuffle bytes (documented trade: a 64-bit hash
+       collision could merge two shingles).
+    2. ``groupby(sh).map_groups``: posting lists with df > ``df_cap``
+       are dropped ENTIRELY (stop-shingles: near-zero discrimination,
+       quadratic pair cost — the standard df-cut); each surviving list
+       emits all member pairs (lo < hi) plus one (id, id) self row per
+       member, so one downstream count yields both intersection sizes
+       and per-doc surviving-shingle counts. Per-bucket pair emission is
+       bounded by df_cap^2/2.
+    3. ``groupby(lo, hi).count``: c for pairs, n_sh for self rows.
+    4. two candidate-set-sized hash joins attach n_a/n_b; keep pairs
+       with ``c / (n_a + n_b - c) >= threshold``. Jaccard is exact over
+       the df<=cap shingle universe (identical filter on both sides of
+       the oracle; exact, full stop, when no shingle exceeds the cap).
+    5. :func:`cluster_from_edges` min-label fixpoint.
+
+    Reference parity: TeXoo has no LSH family; this implements the
+    "n-gram Jaccard" near-dup variant of the large-scale curation brief
+    with the same shingle definition as ``jaccard_ngrams``
+    (verification primitive above).
+    """
+    from ray.data.aggregate import Count
+
+    P = _join_partitions()
+    all_ids = ds.select_columns([id_col])
+    pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        out_sh: List[str] = []
+        out_id: List[int] = []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            words = _WORD_RE.findall((t or "").lower())
+            if len(words) < n:
+                grams = {" ".join(words)} if words else set()
+            else:
+                grams = {
+                    " ".join(words[j : j + n]) for j in range(len(words) - n + 1)
+                }
+            out_sh.extend(grams)
+            out_id.extend([int(i)] * len(grams))
+        return pa.table(
+            {"sh": pa.array(out_sh, pa.string()), id_col: pa.array(out_id, pa.int64())}
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(group[id_col], dtype=np.int64))
+        if len(ids) > df_cap:
+            return pair_schema.empty_table()
+        lo = [ids, ]
+        hi = [ids, ]  # self rows count surviving shingles per doc
+        if len(ids) > 1:
+            iu, ju = np.triu_indices(len(ids), k=1)
+            lo.append(ids[iu])
+            hi.append(ids[ju])
+        return pa.table(
+            {"lo": pa.array(np.concatenate(lo)), "hi": pa.array(np.concatenate(hi))}
+        )
+
+    counted = _compact(
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="c"))
+    )
+    if counted is None:
+        import ray.data
+
+        return cluster_from_edges(
+            all_ids, ray.data.from_arrow(_EDGE_SCHEMA.empty_table()), id_col, max_iters
+        )
+
+    na_schema = pa.schema([("nid", pa.int64()), ("n_sh", pa.int64())])
+    selfs = counted.map_batches(
+        _norm(na_schema)(
+            lambda b: pa.table(
+                {"nid": b["lo"], "n_sh": pc.cast(b["c"], pa.int64())}
+            ).filter(pc.equal(b["lo"], b["hi"]))
+        ),
+        batch_format="pyarrow",
+    )
+    cand_schema = pa.schema(
+        [("lo", pa.int64()), ("hi", pa.int64()), ("c", pa.int64())]
+    )
+    cand = counted.map_batches(
+        _norm(cand_schema)(
+            lambda b: pa.table(
+                {"lo": b["lo"], "hi": b["hi"], "c": pc.cast(b["c"], pa.int64())}
+            ).filter(pc.less(b["lo"], b["hi"]))
+        ),
+        batch_format="pyarrow",
+    )
+    cand = _compact(cand)
+    if cand is None:
+        import ray.data
+
+        return cluster_from_edges(
+            all_ids, ray.data.from_arrow(_EDGE_SCHEMA.empty_table()), id_col, max_iters
+        )
+    selfs = _compact(selfs)
+    j1 = _compact(cand.join(selfs, "inner", P, on=("lo",), right_on=("nid",)))
+    if j1 is None:
+        import ray.data
+
+        return cluster_from_edges(
+            all_ids, ray.data.from_arrow(_EDGE_SCHEMA.empty_table()), id_col, max_iters
+        )
+    j1 = j1.map_batches(
+        _norm(
+            pa.schema(
+                [
+                    ("lo", pa.int64()),
+                    ("hi", pa.int64()),
+                    ("c", pa.int64()),
+                    ("n_a", pa.int64()),
+                ]
+            )
+        )(
+            lambda b: pa.table(
+                {"lo": b["lo"], "hi": b["hi"], "c": b["c"], "n_a": b["n_sh"]}
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = _compact(j1.join(selfs, "inner", P, on=("hi",), right_on=("nid",)))
+    if j2 is None:
+        import ray.data
+
+        return cluster_from_edges(
+            all_ids, ray.data.from_arrow(_EDGE_SCHEMA.empty_table()), id_col, max_iters
+        )
+
+    @_norm(_EDGE_SCHEMA)
+    def check(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c"], dtype=np.float64)
+        n_a = np.asarray(b["n_a"], dtype=np.int64)
+        n_b = np.asarray(b["n_sh"], dtype=np.int64)
+        jac = c / (n_a + n_b - c.astype(np.int64)).astype(np.float64)
+        t = b.filter(pa.array(jac >= threshold))
+        return pa.table({"src": t["lo"], "dst": t["hi"]})
+
+    edges = j2.map_batches(check, batch_format="pyarrow")
+    return cluster_from_edges(all_ids, edges, id_col, max_iters)
+
+
 def simhash_dedup(
     ds,
     text_col: str = "text",
