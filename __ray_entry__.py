@@ -67,6 +67,40 @@ def ensure_turns(sf_dir: str) -> str:
     return out_dir
 
 
+_MEDIA_CACHE = os.environ.get("TEXOO_MEDIA_CACHE", "/tmp/texoo_media")
+
+
+def ensure_media(sf_dir: str) -> str:
+    """Generate (once) the synthetic media parquet (real decodable WAV /
+    PPM / PPMV payloads as a binary column) for the given sf directory and
+    point the ``oracle_current`` symlink at it, mirroring ``ensure_turns``
+    so DuckDB oracles can read the exact same fixture."""
+    from texoo_ray.stages.multimodal import synthetic_media_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
+    n = 200 if tag == "sf0.001" else 1000
+    out_dir = os.path.join(_MEDIA_CACHE, "%s-v1" % tag)
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            synthetic_media_table(n, real_payloads=True),
+            os.path.join(out_dir, "part-00000.parquet"),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    link = os.path.join(_MEDIA_CACHE, "oracle_current")
+    tmp = link + ".tmp"
+    try:
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.remove(tmp)
+        os.symlink(out_dir, tmp)
+        os.replace(tmp, link)
+    except OSError:
+        pass
+    return out_dir
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
@@ -689,6 +723,65 @@ def _q_longest_turn_per_conv(sf_dir: str):
     return df[["conv_id", "turn_idx", "len"]]
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: en kept at 20%, minority
+    languages upsampled to 50%, membership = pure hash of content (no
+    RNG, no shuffle — reproducible at any cluster size)."""
+    from texoo_ray.stages.text_stats import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        lambda b: stratified_hash_sample(b, rates={"en": 0.2}, default_rate=0.5),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    'benchmark' corpus (docs 0-19, stand-in for an eval set) are flagged.
+    Pure broadcast filter — the corpus streams with ZERO shuffle; the
+    benchmark n-gram set rides the object store once per node."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from texoo_ray.stages.text_stats import ContaminationStage
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench_texts = bench_tbl.filter(pc.less(bench_tbl["doc_id"], 20))["text"].to_pylist()
+    bench_ref = ray.put(bench_texts)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.filter(expr="doc_id >= 20")
+    out = ds.map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs=dict(bench=bench_ref, n=4),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return out.select_columns(["doc_id", "n_hits", "contaminated"]).sort("doc_id")
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy context-window packing (training-data 'sample packing'):
+    sequential per-conversation recurrence, verified against a DuckDB
+    recursive-CTE oracle that replays the same accumulator."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import pack_sequences
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    out = pack_sequences(ds, max_tokens=120).sort(["conv_id", "turn_idx"])
+    df = out.to_pandas()
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df
+
+
 def _q_bigram_vocab(sf_dir: str):
     """Word-bigram vocabulary build (n-gram vocab aggregation): partial
     counts per batch, groupby(ngram).sum, global top-50."""
@@ -1169,10 +1262,9 @@ def _q_media_features(sf_dir: str):
     error — everything here decodes for real."""
     import ray.data
 
-    from texoo_ray.stages.multimodal import MediaFeatureStage, synthetic_media_table
+    from texoo_ray.stages.multimodal import MediaFeatureStage
 
-    n = 200 if "0.001" in sf_dir else 1000
-    ds = ray.data.from_arrow(synthetic_media_table(n, real_payloads=True))
+    ds = ray.data.read_parquet(ensure_media(sf_dir))
     out = ds.map_batches(
         MediaFeatureStage,
         fn_constructor_kwargs=dict(decode="real", on_unknown="error"),
@@ -1229,6 +1321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "region_part_revenue": _q_region_part_revenue,
         "bigram_vocab": _q_bigram_vocab,
+        "pack_sequences": _q_pack_sequences,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1451,6 +1546,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx::BIGINT AS turn_idx, len
             FROM t WHERE rn = 1 ORDER BY conv_id LIMIT 50
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(text), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
+            ORDER BY doc_id
+        """,
+        "contamination": r"""
+            WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+                  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i)
+                  WHERE len(w) >= 4),
+            bench AS (SELECT DISTINCT sh FROM g WHERE doc_id < 20),
+            hits AS (SELECT g.doc_id, count(DISTINCT g.sh)::BIGINT AS n_hits
+                     FROM g JOIN bench USING (sh) WHERE g.doc_id >= 20
+                     GROUP BY g.doc_id)
+            SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id >= 20 ORDER BY d.doc_id
+        """,
+        "pack_sequences": r"""
+            WITH RECURSIVE
+            t AS (
+              SELECT conv_id, turn_idx,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tok,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            ),
+            pack AS (
+              SELECT conv_id, turn_idx, n_tok, rn,
+                     0::BIGINT AS chunk_id, n_tok AS acc
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.conv_id, t.turn_idx, t.n_tok, t.rn,
+                     CASE WHEN p.acc + t.n_tok > 120 THEN p.chunk_id + 1
+                          ELSE p.chunk_id END,
+                     CASE WHEN p.acc + t.n_tok > 120 THEN t.n_tok
+                          ELSE p.acc + t.n_tok END
+              FROM pack p JOIN t ON t.conv_id = p.conv_id AND t.rn = p.rn + 1
+            )
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_tok, chunk_id
+            FROM pack ORDER BY conv_id, turn_idx
+        """,
+        "media_features": """
+            SELECT media_id, media_type,
+                   CASE
+                     WHEN substring(hex(payload), 1, 8) = '52494646'
+                      AND substring(hex(payload), 17, 8) = '57415645' THEN 'wav'
+                     WHEN substring(hex(payload), 1, 4) = '5036' THEN 'ppm'
+                     WHEN substring(hex(payload), 1, 4) = '424D' THEN 'bmp'
+                     WHEN substring(hex(payload), 1, 8) = '50504D56' THEN 'ppmv'
+                     ELSE 'unknown'
+                   END AS container,
+                   octet_length(payload)::BIGINT AS payload_bytes
+            FROM read_parquet('/tmp/texoo_media/oracle_current/*.parquet')
+            ORDER BY media_id
         """,
         "response_latency": """
             WITH t AS (

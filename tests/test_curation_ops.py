@@ -1,0 +1,127 @@
+"""Unit tests for the curation operators added in round 2: greedy
+sequence packing, benchmark decontamination (broadcast n-gram filter),
+and deterministic stratified hash sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from texoo_ray.stages.text_stats import ContaminationStage, stratified_hash_sample
+
+
+def _turns_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+class TestPackSequences:
+    def test_greedy_boundaries(self, ray_session):
+        from texoo_ray.pipelines.conversations import pack_sequences
+
+        rows = [
+            ("c1", 0, "a b c"),        # 3 tok  -> chunk 0 (acc 3)
+            ("c1", 1, "d e f g"),      # 4 tok  -> chunk 0 (acc 7)
+            ("c1", 2, "h i j k"),      # 4 tok  -> 7+4>10 -> chunk 1 (acc 4)
+            ("c1", 3, " ".join("x%d" % i for i in range(12))),  # 12>10 alone -> chunk 2
+            ("c1", 4, "m"),            # 12+1>10 -> chunk 3
+            ("c2", 0, "only one here"),  # fresh conversation -> chunk 0
+        ]
+        out = (
+            pack_sequences(_turns_ds(rows), max_tokens=10)
+            .sort(["conv_id", "turn_idx"])
+            .to_pandas()
+        )
+        got = list(zip(out["conv_id"], out["turn_idx"], out["chunk_id"]))
+        assert got == [
+            ("c1", 0, 0),
+            ("c1", 1, 0),
+            ("c1", 2, 1),
+            ("c1", 3, 2),
+            ("c1", 4, 3),
+            ("c2", 0, 0),
+        ]
+        assert out["n_tok"].tolist() == [3, 4, 4, 12, 1, 3]
+
+    def test_unsorted_input_and_empty_text(self, ray_session):
+        from texoo_ray.pipelines.conversations import pack_sequences
+
+        rows = [("c", 2, "a b"), ("c", 0, "c d"), ("c", 1, None)]
+        out = (
+            pack_sequences(_turns_ds(rows), max_tokens=3)
+            .sort(["conv_id", "turn_idx"])
+            .to_pandas()
+        )
+        # order restored by turn_idx inside the group: 2 + 0 <= 3, then +2 > 3
+        assert out["chunk_id"].tolist() == [0, 0, 1]
+        assert out["n_tok"].tolist() == [2, 0, 2]
+
+
+class TestContaminationStage:
+    def test_flags_overlap_only(self):
+        bench = ["the quick brown fox jumps over the lazy dog"]
+        stage = ContaminationStage(bench, n=4)
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "preamble the quick brown fox appears here",  # shares a 4-gram
+                    "completely unrelated text with no overlap at all",
+                    None,
+                ],
+            }
+        )
+        out = stage(batch)
+        assert out["contaminated"].to_pylist() == [True, False, False]
+        assert out["n_hits"].to_pylist()[0] >= 1
+        assert out["n_hits"].to_pylist()[1:] == [0, 0]
+
+    def test_case_insensitive_and_prebuilt_set(self):
+        stage = ContaminationStage({"a b c d"}, n=4)
+        batch = pa.table({"text": ["A  B   c D tail words here"]})
+        assert stage(batch)["contaminated"].to_pylist() == [True]
+
+
+class TestStratifiedHashSample:
+    def test_membership_matches_md5_rule(self):
+        texts = ["doc %d payload" % i for i in range(200)]
+        langs = ["en" if i % 2 == 0 else "de" for i in range(200)]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": texts,
+                "lang": langs,
+            }
+        )
+        out = stratified_hash_sample(batch, rates={"en": 0.2}, default_rate=0.5)
+        kept = set(out["doc_id"].to_pylist())
+        for i, (t, l) in enumerate(zip(texts, langs)):
+            th = "33333333" if l == "en" else "80000000"
+            expect = hashlib.md5(t.encode()).hexdigest()[:8] < th
+            assert (i in kept) == expect
+        # sampling is deterministic: second call identical
+        out2 = stratified_hash_sample(batch, rates={"en": 0.2}, default_rate=0.5)
+        assert out2["doc_id"].to_pylist() == out["doc_id"].to_pylist()
+
+    def test_rates_shift_strata(self):
+        texts = ["item %d" % i for i in range(400)]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(400), pa.int64()),
+                "text": texts,
+                "lang": ["xx"] * 400,
+            }
+        )
+        n_low = len(stratified_hash_sample(batch, rates={}, default_rate=0.1))
+        n_high = len(stratified_hash_sample(batch, rates={}, default_rate=0.9))
+        assert n_low < n_high

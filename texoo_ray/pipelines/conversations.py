@@ -153,3 +153,75 @@ def response_latency(ds, id_col: str = "conv_id"):
     return (
         ds.groupby(id_col).map_groups(per_conv, batch_format="pyarrow").sort(id_col)
     )
+
+
+def pack_sequences(
+    ds,
+    max_tokens: int = 512,
+    id_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+):
+    """Greedy sequence packing: assign each turn to a context-window chunk
+    of at most ``max_tokens`` whitespace tokens, per conversation in turn
+    order. Returns Dataset[(conv_id, turn_idx, n_tok, chunk_id)].
+
+    The recurrence (chunk breaks when adding the turn would overflow; an
+    overlong single turn occupies its own chunk) is inherently sequential
+    per conversation — unlike ``sessionize`` it cannot be expressed as
+    mergeable per-batch partials, because every boundary depends on the
+    running accumulator from the conversation start. So the shape is:
+
+    1. per-batch projection to THREE NARROW COLUMNS (id, turn, n_tok) with
+       a vectorized regex token count — the text never enters the shuffle;
+    2. ``groupby(conv_id).map_groups`` — one tiny numpy scan per
+       conversation (turn counts are conversation-bounded, the same skew
+       bound as ``response_latency``).
+
+    This is the training-data "sample packing" primitive: downstream, each
+    (conv_id, chunk_id) group concatenates into one context window.
+    """
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), r"\S+"
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                turn_col: batch[turn_col],
+                "n_tok": pc.cast(n_tok, pa.int64()),
+            }
+        )
+
+    def pack_conv(group: pa.Table) -> pa.Table:
+        turn = np.asarray(group[turn_col], dtype=np.int64)
+        ntok = np.asarray(group["n_tok"], dtype=np.int64)
+        order = np.argsort(turn, kind="stable")
+        chunk = np.zeros(len(turn), dtype=np.int64)
+        acc = 0
+        cur = 0
+        for pos, i in enumerate(order):
+            if pos == 0:
+                acc = ntok[i]
+            elif acc + ntok[i] > max_tokens:
+                cur += 1
+                acc = ntok[i]
+            else:
+                acc += ntok[i]
+            chunk[i] = cur
+        return pa.table(
+            {
+                id_col: group[id_col],
+                turn_col: group[turn_col],
+                "n_tok": group["n_tok"],
+                "chunk_id": pa.array(chunk),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(pack_conv, batch_format="pyarrow")
+    )

@@ -22,6 +22,7 @@ _DIGIT_RE = re.compile(r"[0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _WS_RUN_RE = re.compile(r"\s+")
+_WORD_FINDALL = re.compile(r"\w+", re.UNICODE).findall
 # BPE-ish pre-tokenization: alnum runs or single non-space symbols
 BPE_TOKEN_RE = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
 BPE_TOKEN_SQL = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
@@ -96,3 +97,87 @@ def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "pred_lang", pa.array([detect_language(t or "") for t in texts], pa.string())
     )
+
+
+class ContaminationStage:
+    """Actor-pool stage: flag documents sharing any word n-gram with a
+    benchmark corpus (training-data DECONTAMINATION — e.g. strip eval-set
+    overlap before training).
+
+    requires: ``text`` — attaches: ``n_hits`` (count of the doc's DISTINCT
+    n-grams present in the benchmark set), ``contaminated`` (bool).
+
+    Scale shape: the benchmark n-gram set is built ONCE per actor in
+    ``__init__`` from a ``ray.put`` broadcast (stored once in the object
+    store, read zero-copy by every actor) — the corpus streams through
+    ``map_batches`` with NO shuffle at all; cost is one hash-set probe per
+    doc n-gram. A 10M-ngram benchmark set is ~1 GB of Python set — per
+    NODE that is one copy per actor; for larger benchmark sets switch the
+    broadcast to a frozen numpy array of 64-bit gram hashes and probe with
+    ``np.isin`` (sorted + searchsorted), which shares pages zero-copy.
+    """
+
+    def __init__(self, bench, n: int = 4, text_col: str = "text"):
+        import ray
+
+        if isinstance(bench, ray.ObjectRef):
+            bench = ray.get(bench)
+        # bench: either an iterable of benchmark TEXTS or a prebuilt set
+        # of n-gram strings
+        if isinstance(bench, (set, frozenset)):
+            self.grams = frozenset(bench)
+        else:
+            self.grams = frozenset(
+                g for t in bench for g in self._ngrams(t or "", n)
+            )
+        self.n = n
+        self.text_col = text_col
+
+    @staticmethod
+    def _ngrams(text: str, n: int):
+        words = _WORD_FINDALL(text.lower())
+        return {
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = self.grams
+        n = self.n
+        hits = []
+        for t in batch[self.text_col].to_pylist():
+            doc_grams = self._ngrams(t or "", n)
+            hits.append(sum(1 for g in doc_grams if g in grams))
+        batch = batch.append_column("n_hits", pa.array(hits, pa.int64()))
+        return batch.append_column(
+            "contaminated", pa.array([h > 0 for h in hits], pa.bool_())
+        )
+
+
+def stratified_hash_sample(
+    batch: pa.Table,
+    rates: dict,
+    default_rate: float = 0.2,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> pa.Table:
+    """Deterministic stratified sampling: keep a row iff
+    ``md5(text) < rate_for_stratum`` (hex-string compare = uniform [0,1)
+    draw keyed by content). Per-stratum rates rebalance skewed strata
+    (e.g. upsample minority languages) without any shuffle, RNG state, or
+    coordination — the decision is a pure function of the row, so the
+    sample is REPRODUCIBLE across runs, cluster sizes and block layouts,
+    and any node can re-derive membership (the property random() lacks).
+    """
+    import hashlib
+
+    texts = batch[text_col].to_pylist()
+    strata = batch[stratum_col].to_pylist()
+    keep = []
+    thresholds = {
+        k: format(int(v * 16**8), "08x") for k, v in rates.items()
+    }
+    default_th = format(int(default_rate * 16**8), "08x")
+    for t, s in zip(texts, strata):
+        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
+        keep.append(h < thresholds.get(s, default_th))
+    return batch.filter(pa.array(keep, pa.bool_()))
