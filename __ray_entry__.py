@@ -723,6 +723,24 @@ def _q_longest_turn_per_conv(sf_dir: str):
     return df[["conv_id", "turn_idx", "len"]]
 
 
+def _q_curate_training_set(sf_dir: str):
+    """Flagship curation chain: quality gate -> decontamination vs the
+    doc 0-19 'benchmark' -> stratified hash sample — one streaming pass,
+    zero shuffles end to end."""
+    import ray
+
+    from texoo_ray.pipelines.curation import curate_training_set
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow.compute as pc
+
+    bench_texts = bench_tbl.filter(pc.less(bench_tbl["doc_id"], 20))["text"].to_pylist()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return curate_training_set(ds, ray.put(bench_texts)).sort("doc_id")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: en kept at 20%, minority
     languages upsampled to 50%, membership = pure hash of content (no
@@ -1324,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "curate_training_set": _q_curate_training_set,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1546,6 +1565,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx::BIGINT AS turn_idx, len
             FROM t WHERE rn = 1 ORDER BY conv_id LIMIT 50
+        """,
+        "curate_training_set": r"""
+            WITH docs AS (SELECT doc_id, text, lang, lower(text) AS t FROM documents),
+            q AS (SELECT doc_id, text, lang,
+                    (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_words,
+                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+                    length(text)::BIGINT AS n_chars
+                  FROM docs),
+            f AS (SELECT doc_id, text, lang, n_words FROM q
+                  WHERE doc_id >= 20 AND n_words >= 5 AND 2 * n_alpha >= n_chars),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+                  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i)
+                  WHERE len(w) >= 4),
+            bench AS (SELECT DISTINCT sh FROM g WHERE doc_id < 20),
+            dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (sh)
+                      WHERE g.doc_id >= 20)
+            SELECT doc_id, lang, n_words FROM f
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+              AND substring(md5(text), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
+            ORDER BY doc_id
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -92,6 +92,49 @@ class TestContaminationStage:
         assert stage(batch)["contaminated"].to_pylist() == [True]
 
 
+class TestCurateTrainingSet:
+    def test_gate_decontaminate_sample_chain(self, ray_session):
+        import ray
+
+        from texoo_ray.pipelines.curation import curate_training_set
+
+        bench = ["alpha beta gamma delta epsilon zeta"]
+        rows = [
+            # benchmark ids (< 20) are always excluded
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            # too short (< 5 words)
+            (20, "tiny doc", "en"),
+            # mostly punctuation (alpha ratio fails)
+            (21, "!!! ??? ... --- === ###", "en"),
+            # contaminated: shares the 4-gram "alpha beta gamma delta"
+            (22, "prefix alpha beta gamma delta and a tail of words", "de"),
+            # clean long docs — survive gate+decontam, then hash-sampled
+            *[
+                (23 + i, "clean document number %d with plenty of words" % i, "de")
+                for i in range(40)
+            ],
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        out = curate_training_set(
+            ray.data.from_arrow(tbl).repartition(3), ray.put(bench)
+        ).to_pandas()
+        kept = set(out["doc_id"])
+        assert kept.isdisjoint({1, 20, 21, 22})
+        # default rate for non-en strata is 0.5: md5(text)[:8] < '80000000'
+        for i in range(40):
+            t = "clean document number %d with plenty of words" % i
+            expect = hashlib.md5(t.encode()).hexdigest()[:8] < "80000000"
+            assert ((23 + i) in kept) == expect
+        assert set(out.columns) == {"doc_id", "lang", "n_words"}
+        assert (out["n_words"] >= 5).all()
+
+
 class TestStratifiedHashSample:
     def test_membership_matches_md5_rule(self):
         texts = ["doc %d payload" % i for i in range(200)]

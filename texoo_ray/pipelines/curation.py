@@ -88,3 +88,66 @@ def curate_corpus(
         )
     )
     return out.select_columns(["doc_id", "dup_count", "n_words", "n_bpe_tokens"])
+
+
+def curate_training_set(
+    ds,
+    bench,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    min_words: int = 5,
+    contamination_n: int = 4,
+    rates: dict | None = None,
+    default_rate: float = 0.5,
+    min_bench_id: int = 20,
+):
+    """The full curation chain: quality gate -> benchmark decontamination
+    -> deterministic stratified sampling, composed as ONE streaming pass.
+
+    Returns Dataset[(doc_id, lang, n_words)] of the selected training
+    documents. Every step is a pure per-row decision — quality thresholds
+    are vectorized arithmetic, contamination probes a BROADCAST benchmark
+    n-gram set, and sample membership is a content hash — so the whole
+    chain runs with ZERO shuffles at any corpus size; only dedup (a
+    separate operator) needs an exchange. ``bench`` is the benchmark
+    text list or a ``ray.put`` ref of it; documents with id below
+    ``min_bench_id`` are the benchmark itself and are excluded from the
+    output.
+    """
+    from ..stages.text_stats import ContaminationStage, stratified_hash_sample
+
+    rates = {"en": 0.2} if rates is None else rates
+
+    def gate(batch: pa.Table) -> pa.Table:
+        batch = quality_stats(batch, text_col)
+        keep = pc.and_(
+            pc.greater_equal(batch[id_col], pa.scalar(min_bench_id, pa.int64())),
+            pc.and_(
+                pc.greater_equal(batch["n_words"], pa.scalar(min_words)),
+                pc.greater_equal(
+                    pc.multiply(batch["n_alpha"], pa.scalar(2, pa.int64())),
+                    batch["n_chars_q"],
+                ),
+            ),
+        )
+        return batch.filter(keep)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.invert(batch["contaminated"]))
+        return stratified_hash_sample(
+            batch, rates=rates, default_rate=default_rate,
+            text_col=text_col, stratum_col=stratum_col,
+        )
+
+    out = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .map_batches(
+            ContaminationStage,
+            fn_constructor_kwargs=dict(bench=bench, n=contamination_n, text_col=text_col),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(sample, batch_format="pyarrow")
+    )
+    return out.select_columns([id_col, stratum_col, "n_words"])
