@@ -723,6 +723,21 @@ def _q_longest_turn_per_conv(sf_dir: str):
     return df[["conv_id", "turn_idx", "len"]]
 
 
+def _q_purchase_attribution(sf_dir: str):
+    """Distributed as-of join (DuckDB ASOF LEFT JOIN oracle): each
+    purchase attributed to the same user's latest strictly-earlier
+    click. One hash exchange; per-group vectorized searchsorted merge
+    (pipelines/joins.py)."""
+    from texoo_ray.pipelines.joins import purchase_attribution
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = purchase_attribution(ds).sort("event_id").to_pandas()
+    # stabilize nullable int columns for the cross-engine hash
+    out["click_id"] = out["click_id"].astype("Int64")
+    out["gap_us"] = out["gap_us"].astype("Int64")
+    return out
+
+
 def _q_curate_training_set(sf_dir: str):
     """Flagship curation chain: quality gate -> decontamination vs the
     doc 0-19 'benchmark' -> stratified hash sample — one streaming pass,
@@ -1343,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "curate_training_set": _q_curate_training_set,
+        "purchase_attribution": _q_purchase_attribution,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1588,6 +1604,18 @@ def oracle_sql() -> dict[str, str]:
               AND substring(md5(text), 1, 8) <
                   CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
             ORDER BY doc_id
+        """,
+        "purchase_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+                  WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.event_id AS click_id, c.ts AS click_ts,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts > c.ts
+            ORDER BY p.event_id
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

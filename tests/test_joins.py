@@ -1,0 +1,143 @@
+"""asof_join: vectorized per-key temporal merge (pipelines/joins.py).
+
+Oracle-grade cases: strict vs at-or-before, unmatched-left nulls,
+right-only keys dropped, equal-ts ties, multi-block inputs.
+"""
+
+import pyarrow as pa
+import pytest
+
+ray = pytest.importorskip("ray")
+
+
+def _mk(rows, names, types):
+    return pa.table(
+        {n: pa.array([r[i] for r in rows], t) for i, (n, t) in enumerate(zip(names, types))}
+    )
+
+
+@pytest.fixture()
+def sides(ray_session):
+    left = _mk(
+        [
+            (1, 10, 100, "a"),
+            (2, 10, 200, "b"),
+            (3, 10, 300, "c"),
+            (4, 20, 50, "d"),   # key with no right rows at all
+            (5, 30, 100, "e"),  # right rows exist but all later
+        ],
+        ["lid", "k", "t", "pay"],
+        [pa.int64(), pa.int64(), pa.int64(), pa.string()],
+    )
+    right = _mk(
+        [
+            (11, 10, 100, 1.5),  # == left t=100 (strict excludes)
+            (12, 10, 150, 2.5),
+            (13, 30, 500, 9.0),
+            (14, 40, 10, 7.0),   # right-only key
+        ],
+        ["rid", "k", "t", "val"],
+        [pa.int64(), pa.int64(), pa.int64(), pa.float64()],
+    )
+    return (
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+    )
+
+
+def _run(sides, strict):
+    from texoo_ray.pipelines.joins import asof_join
+
+    l, r = sides
+    out = asof_join(
+        l, r, key="k", ts_col="t",
+        left_cols=["lid", "t", "pay"], right_cols=["rid", "t", "val"],
+        strict=strict,
+    ).sort("lid").to_pandas()
+    return out.set_index("lid")
+
+
+def test_strict_backward(sides):
+    out = _run(sides, strict=True)
+    # t=100 strictly-before excludes the rid=11 row at exactly 100
+    assert out.loc[1].isna()["rid_r"]
+    assert out.loc[2, "rid_r"] == 12 and out.loc[2, "t_r"] == 150
+    assert out.loc[3, "rid_r"] == 12
+    assert out.loc[4].isna()["rid_r"]  # key 20: no right rows
+    assert out.loc[5].isna()["rid_r"]  # key 30: right row is later
+    assert 14 not in set(out["rid_r"].dropna())  # right-only key dropped
+    assert list(out.index) == [1, 2, 3, 4, 5]
+    assert out.loc[2, "val_r"] == 2.5 and out.loc[2, "pay"] == "b"
+
+
+def test_at_or_before(sides):
+    out = _run(sides, strict=False)
+    assert out.loc[1, "rid_r"] == 11  # equal ts now matches
+    assert out.loc[2, "rid_r"] == 12
+
+
+def test_equal_ts_tie_takes_stable_last(ray_session):
+    from texoo_ray.pipelines.joins import asof_join
+
+    left = _mk([(1, 7, 100)], ["lid", "k", "t"],
+               [pa.int64(), pa.int64(), pa.int64()])
+    right = _mk(
+        [(21, 7, 50), (22, 7, 50)],
+        ["rid", "k", "t"],
+        [pa.int64(), pa.int64(), pa.int64()],
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="k", ts_col="t", left_cols=["lid", "t"], right_cols=["rid", "t"],
+    ).to_pandas()
+    # stable sort keeps input order; the LAST row at the winning ts wins
+    assert out.loc[0, "rid_r"] == 22
+
+
+def test_purchase_attribution_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+
+    from texoo_ray.pipelines.joins import purchase_attribution
+
+    rng = np.random.RandomState(7)
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 25, n), pa.int64()),
+            "ts": pa.array(
+                rng.randint(0, 10**9, n).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase", "view"], n), pa.string()
+            ),
+        }
+    )
+    p = str(tmp_path / "ev.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, p)
+    ours = (
+        purchase_attribution(ray.data.read_parquet(p))
+        .sort("event_id")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    oracle = duckdb.sql(
+        f"""
+        WITH p AS (SELECT event_id, user_id, ts FROM '{p}'
+                   WHERE event_type='purchase'),
+        c AS (SELECT max(event_id) AS event_id, user_id, ts FROM '{p}'
+              WHERE event_type='click' GROUP BY user_id, ts)
+        SELECT p.event_id, c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+        ORDER BY p.event_id
+        """
+    ).df()
+    assert len(ours) == len(oracle) > 0
+    for col in ["click_id", "gap_us"]:
+        a, b = ours[col], oracle[col]
+        assert bool(((a.isna() & b.isna()) | (a == b)).all()), col

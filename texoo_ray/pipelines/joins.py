@@ -1,0 +1,210 @@
+"""Temporal joins the Dataset API lacks, composed from groupby + vectorized
+per-group merges.
+
+``asof_join`` is the classic "latest right row at-or-before each left
+row" join (pandas ``merge_asof``, DuckDB ``ASOF JOIN``).  Ray Data has
+equi-joins only, so we express it as the documented composition
+(map_batches + groupby().map_groups):
+
+1. tag each side and map both into ONE union schema (left payload
+   columns null on right rows and vice versa),
+2. ``union`` the two datasets — lazy, no data movement,
+3. ``groupby(key).map_groups`` — ONE hash exchange co-locates every row
+   of a key; inside the group a numpy ``searchsorted`` over the
+   ts-sorted right side resolves all left rows at once (no Python
+   per-row loop).
+
+Partitioning assumption (the one the brief asks us to document): all
+rows of one key fit in one worker's group.  For keys too hot for that,
+the fix is range-salting by time with boundary replication — split a
+key's timeline into ranges, send each right row to its own range AND the
+next one, so every left row still sees its predecessor; noted in
+SCALE.md.  Per-user / per-conversation activity is bounded in practice,
+so the plain shape is the default.
+
+The reference engine has no temporal join (its joins are the
+entity-linking lookup joins, cf. texoo-entity-linking/.../nel/
+NamedEntityAnnotator.java); this operator is part of the
+training-data-pipeline extension surface, with DuckDB ``ASOF JOIN`` as
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIDE = "__asof_side"
+
+
+def _ts_int64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamps (any unit) or numerics as an int64 numpy view."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    return np.asarray(arr, dtype=np.int64)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str,
+    left_cols: List[str],
+    right_cols: List[str],
+    right_suffix: str = "_r",
+    strict: bool = True,
+):
+    """Distributed as-of join: for every left row, attach the right row
+    of the same ``key`` with the greatest ``ts_col`` that is strictly
+    before (``strict=True``, DuckDB ``ON l.ts > r.ts``) or at-or-before
+    (``strict=False``, ``ON l.ts >= r.ts``) the left row's timestamp.
+    Unmatched left rows are kept with null right columns (LEFT ASOF).
+
+    ``left_cols`` / ``right_cols`` are the payload columns to carry
+    (exclusive of ``key``; ``ts_col`` may appear in either list).  Right
+    payload columns are emitted under ``name + right_suffix``.  If the
+    right side has several rows at the same (key, ts), the one that
+    sorts last under a stable sort of the input order wins — pre-dedupe
+    the right side for full determinism.
+
+    Returns Dataset[key, *left_cols, *(right_cols + suffix)].
+    """
+    left_payload = [c for c in left_cols if c != key]
+    right_payload = [c for c in right_cols if c != key]
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    ltypes = [left_schema.base_schema.field(c).type for c in left_payload]
+    rtypes = [right_schema.base_schema.field(c).type for c in right_payload]
+
+    def tag(side: int):
+        # canonical column order on BOTH sides — union() zips blocks by
+        # schema, which is order-sensitive
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                key: batch[key],
+                _SIDE: pa.array(np.full(n, side, dtype=np.int8)),
+                "__ts": batch[ts_col].cast(pa.int64()),
+            }
+            for c, typ in zip(left_payload, ltypes):
+                cols["L_" + c] = batch[c] if side == 0 else pa.nulls(n, typ)
+            for c, typ in zip(right_payload, rtypes):
+                cols["R_" + c] = pa.nulls(n, typ) if side == 0 else batch[c]
+            return pa.table(cols)
+
+        return fn
+
+    tagged_l = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(tag(1), batch_format="pyarrow")
+    unioned = tagged_l.union(tagged_r)
+
+    out_fields = (
+        [(key, left_schema.base_schema.field(key).type)]
+        + [("L_" + c, t) for c, t in zip(left_payload, ltypes)]
+        + [("R_" + c, t) for c, t in zip(right_payload, rtypes)]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        lmask = side == 0
+        nl = int(lmask.sum())
+        if nl == 0:
+            return pa.table(
+                {name: pa.array([], typ) for name, typ in out_fields}
+            )
+        ts = _ts_int64(group["__ts"])
+        lt = ts[lmask]
+        rt = ts[~lmask]
+        lidx = np.flatnonzero(lmask)
+        if rt.size == 0:
+            match = np.full(nl, -1, dtype=np.int64)
+        else:
+            ridx = np.flatnonzero(~lmask)
+            order = np.argsort(rt, kind="stable")
+            rt_sorted = rt[order]
+            pos = np.searchsorted(rt_sorted, lt, side="left" if strict else "right") - 1
+            match = np.where(pos >= 0, ridx[order.take(np.maximum(pos, 0))], -1)
+        matched = match >= 0
+        take_l = pa.array(lidx)
+        # gather right payload via a null-safe take: unmatched -> index null
+        take_r = pa.array(
+            np.where(matched, match, 0), mask=~matched
+        )
+        cols = {key: group[key].take(take_l)}
+        for c in left_payload:
+            cols["L_" + c] = group["L_" + c].take(take_l)
+        for c in right_payload:
+            cols["R_" + c] = group["R_" + c].take(take_r)
+        return pa.table(cols)
+
+    out = unioned.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = []
+        for n in batch.column_names:
+            if n.startswith("L_"):
+                names.append(n[2:])
+            elif n.startswith("R_"):
+                names.append(n[2:] + right_suffix)
+            else:
+                names.append(n)
+        return batch.rename_columns(names)
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def purchase_attribution(events_ds, strict: bool = True):
+    """Flagship as-of query: each ``purchase`` event attributed to the
+    same user's most recent strictly-earlier ``click``.
+
+    The right side is pre-deduped to one click per (user, ts) — keep the
+    max event_id — so tie-breaks are engine-independent and the result
+    hash-matches DuckDB's ``ASOF LEFT JOIN``.
+
+    Returns Dataset[(event_id, user_id, ts, click_id, click_ts, gap_us)]
+    with null click columns for never-clicked purchasers.
+    """
+    from ray.data.aggregate import Max
+
+    purchases = events_ds.filter(
+        expr="event_type == 'purchase'"
+    ).select_columns(["event_id", "user_id", "ts"])
+    clicks = (
+        events_ds.filter(expr="event_type == 'click'")
+        .select_columns(["event_id", "user_id", "ts"])
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("event_id", alias_name="event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "ts"],
+        right_cols=["event_id", "ts"],
+        right_suffix="_c",
+        strict=strict,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            batch["ts"].cast(pa.int64()), batch["ts_c"].cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "click_id": batch["event_id_c"],
+                "click_ts": batch["ts_c"],
+                "gap_us": gap,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
