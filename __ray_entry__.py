@@ -738,6 +738,37 @@ def _q_purchase_attribution(sf_dir: str):
     return out
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing (emails/IPv4/phones -> placeholder tokens), fully
+    vectorized in Arrow RE2; hash-checked against DuckDB regexp_replace
+    with the SAME pattern strings (both engines compile RE2). The input
+    text is deterministically augmented with synthetic PII derived from
+    doc_id so the redaction paths are actually exercised."""
+    from texoo_ray.stages.text_stats import pii_redact
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch["doc_id"].combine_chunks(), dtype=np.int64)
+        did = pc.cast(batch["doc_id"], pa.string())
+        ip = pc.cast(pa.array(ids % 250), pa.string())
+        tel = pc.cast(pa.array(ids % 9000 + 1000), pa.string())
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""),
+            " contact user", did, "@example.com ip 10.0.0.", ip,
+            " tel +1-555-", tel, "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(augment, batch_format="pyarrow")
+        .map_batches(pii_redact, batch_format="pyarrow")
+        .select_columns(["doc_id", "redacted", "n_emails", "n_ips", "n_phones"])
+    )
+    return out.sort("doc_id")
+
+
 def _q_curate_training_set(sf_dir: str):
     """Flagship curation chain: quality gate -> decontamination vs the
     doc 0-19 'benchmark' -> stratified hash sample — one streaming pass,
@@ -1359,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "curate_training_set": _q_curate_training_set,
         "purchase_attribution": _q_purchase_attribution,
+        "pii_redact": _q_pii_redact,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1604,6 +1636,28 @@ def oracle_sql() -> dict[str, str]:
               AND substring(md5(text), 1, 8) <
                   CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
             ORDER BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH s0 AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user' || doc_id::VARCHAR
+                       || '@example.com ip 10.0.0.' || (doc_id % 250)::VARCHAR
+                       || ' tel +1-555-' || (doc_id % 9000 + 1000)::VARCHAR AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                   FROM s0),
+            s2 AS (SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                     regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_emails, n_ips,
+                     len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{3}[- ]\d{4}'))::BIGINT AS n_phones,
+                     regexp_replace(t, '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS t
+                   FROM s2)
+            SELECT doc_id, t AS redacted, n_emails, n_ips, n_phones
+            FROM s3 ORDER BY doc_id
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -168,3 +168,35 @@ class TestStratifiedHashSample:
         n_low = len(stratified_hash_sample(batch, rates={}, default_rate=0.1))
         n_high = len(stratified_hash_sample(batch, rates={}, default_rate=0.9))
         assert n_low < n_high
+
+
+class TestPiiRedact:
+    def test_patterns_and_order(self):
+        from texoo_ray.stages.text_stats import pii_redact
+
+        batch = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "mail bob.smith+x@corp.example.org now",
+                        "host 192.168.1.254 and 10.0.0.1 up",
+                        "call +49-123-4567 or +1 555 0100",
+                        # user@IP is NOT an email (no alphabetic TLD);
+                        # the IP pass redacts just the host
+                        "root@10.0.0.1 logged in",
+                        None,
+                        "no pii here",
+                    ]
+                )
+            }
+        )
+        out = pii_redact(batch)
+        red = out["redacted"].to_pylist()
+        assert red[0] == "mail <EMAIL> now"
+        assert red[1] == "host <IP> and <IP> up"
+        assert red[2] == "call <PHONE> or <PHONE>"
+        assert red[3] == "root@<IP> logged in"
+        assert red[4] == "" and red[5] == "no pii here"
+        assert out["n_emails"].to_pylist() == [1, 0, 0, 0, 0, 0]
+        assert out["n_ips"].to_pylist() == [0, 2, 0, 1, 0, 0]
+        assert out["n_phones"].to_pylist() == [0, 0, 2, 0, 0, 0]
