@@ -769,6 +769,27 @@ def _q_pii_redact(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filters (top-word fraction, duplicate
+    3-gram fraction) — per-doc integer stats + the keep verdict, all
+    hash-checked against a DuckDB unnest/LATERAL oracle."""
+    from texoo_ray.stages.text_stats import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(repetition_stats, batch_format="pyarrow").select_columns(
+        [
+            "doc_id",
+            "n_words_q",
+            "n_distinct_words",
+            "top_word_count",
+            "n_ngrams",
+            "n_distinct_ngrams",
+            "rep_keep",
+        ]
+    )
+    return out.sort("doc_id")
+
+
 def _q_curate_training_set(sf_dir: str):
     """Flagship curation chain: quality gate -> decontamination vs the
     doc 0-19 'benchmark' -> stratified hash sample — one streaming pass,
@@ -1391,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_set": _q_curate_training_set,
         "purchase_attribution": _q_purchase_attribution,
         "pii_redact": _q_pii_redact,
+        "doc_repetition": _q_doc_repetition,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1636,6 +1658,37 @@ def oracle_sql() -> dict[str, str]:
               AND substring(md5(text), 1, 8) <
                   CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
             ORDER BY doc_id
+        """,
+        "doc_repetition": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS word
+              FROM documents),
+            wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+            agg AS (SELECT doc_id, sum(c)::BIGINT AS n_words_q,
+                           count(*)::BIGINT AS n_distinct_words,
+                           max(c)::BIGINT AS top_word_count
+                    FROM wc GROUP BY 1),
+            ws AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a
+                   FROM documents),
+            g AS (SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+                  FROM ws, LATERAL (SELECT unnest(range(1, len(a) - 1)) AS i)
+                  WHERE len(a) >= 3),
+            gc AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+                          count(DISTINCT gram)::BIGINT AS n_distinct_ngrams
+                   FROM g GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(agg.n_words_q, 0) AS n_words_q,
+                   coalesce(agg.n_distinct_words, 0) AS n_distinct_words,
+                   coalesce(agg.top_word_count, 0) AS top_word_count,
+                   coalesce(gc.n_ngrams, 0) AS n_ngrams,
+                   coalesce(gc.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+                   (coalesce(agg.n_words_q, 0) > 0
+                    AND 5 * coalesce(agg.top_word_count, 0) <= coalesce(agg.n_words_q, 0)
+                    AND 5 * (coalesce(gc.n_ngrams, 0) - coalesce(gc.n_distinct_ngrams, 0))
+                        <= 2 * coalesce(gc.n_ngrams, 0)) AS rep_keep
+            FROM documents d
+            LEFT JOIN agg USING (doc_id) LEFT JOIN gc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "pii_redact": r"""
             WITH s0 AS (

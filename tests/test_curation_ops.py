@@ -200,3 +200,33 @@ class TestPiiRedact:
         assert out["n_emails"].to_pylist() == [1, 0, 0, 0, 0, 0]
         assert out["n_ips"].to_pylist() == [0, 2, 0, 1, 0, 0]
         assert out["n_phones"].to_pylist() == [0, 0, 2, 0, 0, 0]
+
+
+class TestRepetitionStats:
+    def test_counts_and_verdict(self):
+        from texoo_ray.stages.text_stats import repetition_stats
+
+        batch = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        # 'spam' is 5 of 10 words -> top fraction 0.5, reject
+                        "spam spam spam spam spam one two three four five",
+                        # all-distinct clean sentence -> keep
+                        "the quick brown fox jumps over a lazy dog today",
+                        # one repeated 3-gram: 'a b c a b c a b c' has
+                        # 7 gram instances, 3 distinct -> dup frac 4/7 > 0.4
+                        "a b c a b c a b c",
+                        "",
+                        None,
+                    ]
+                )
+            }
+        )
+        out = repetition_stats(batch)
+        assert out["n_words_q"].to_pylist() == [10, 10, 9, 0, 0]
+        assert out["top_word_count"].to_pylist() == [5, 1, 3, 0, 0]
+        assert out["n_ngrams"].to_pylist() == [8, 8, 7, 0, 0]
+        # 'spam spam spam' occurs at i=0,1,2 -> 8 instances, 6 distinct
+        assert out["n_distinct_ngrams"].to_pylist() == [6, 8, 3, 0, 0]
+        assert out["rep_keep"].to_pylist() == [False, True, False, False, False]

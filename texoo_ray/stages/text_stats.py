@@ -214,3 +214,46 @@ def pii_redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
     for cname in ("n_emails", "n_ips", "n_phones"):
         batch = batch.append_column(cname, counts[cname])
     return batch
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text", n: int = 3) -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1
+    'repetition removal'), per document over case-folded ``\\w+`` words:
+
+    - ``n_words_q`` / ``n_distinct_words`` — type/token counts,
+    - ``top_word_count`` — occurrences of the single most frequent word,
+    - ``n_ngrams`` / ``n_distinct_ngrams`` — word ``n``-gram instances vs
+      distinct (their gap = mass sitting in repeated n-grams),
+    - ``rep_keep`` — the filter verdict under the classic thresholds
+      top-word fraction <= 0.2 and duplicate-n-gram fraction <= 0.4,
+      evaluated in INTEGER arithmetic (5*top <= total;
+      5*(total-distinct) <= 2*total) so the DuckDB oracle is bit-equal.
+
+    Per-doc Counter scan (token-level stats are inherently per-document,
+    like tokenization); stateless, zero-shuffle, integer outputs feed
+    partial aggregation.
+    """
+    from collections import Counter
+
+    tw, dw, top, tn, dn = [], [], [], [], []
+    for t in batch[text_col].to_pylist():
+        words = _WORD_FINDALL((t or "").lower())
+        c = Counter(words)
+        tw.append(len(words))
+        dw.append(len(c))
+        top.append(max(c.values()) if c else 0)
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        tn.append(sum(grams.values()))
+        dn.append(len(grams))
+    batch = batch.append_column("n_words_q", pa.array(tw, pa.int64()))
+    batch = batch.append_column("n_distinct_words", pa.array(dw, pa.int64()))
+    batch = batch.append_column("top_word_count", pa.array(top, pa.int64()))
+    batch = batch.append_column("n_ngrams", pa.array(tn, pa.int64()))
+    batch = batch.append_column("n_distinct_ngrams", pa.array(dn, pa.int64()))
+    keep = [
+        w > 0 and 5 * tc <= w and 5 * (g - d) <= 2 * g
+        for w, tc, g, d in zip(tw, top, tn, dn)
+    ]
+    return batch.append_column("rep_keep", pa.array(keep, pa.bool_()))
