@@ -790,6 +790,16 @@ def _q_doc_repetition(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_token_budget(sf_dir: str):
+    """Best-docs-under-a-token-budget selection WITHOUT a global sort:
+    histogram prefix-sum inversion (pipelines/curation.py). Oracle is the
+    SQL window SUM(tokens) OVER (ORDER BY score DESC, doc_id) <= B."""
+    from texoo_ray.pipelines.curation import token_budget_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_budget_select(ds, budget=20000).sort("doc_id")
+
+
 def _q_curate_training_set(sf_dir: str):
     """Flagship curation chain: quality gate -> decontamination vs the
     doc 0-19 'benchmark' -> stratified hash sample — one streaming pass,
@@ -1413,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_purchase_attribution,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
+        "token_budget": _q_token_budget,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1658,6 +1669,20 @@ def oracle_sql() -> dict[str, str]:
               AND substring(md5(text), 1, 8) <
                   CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
             ORDER BY doc_id
+        """,
+        "token_budget": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS score,
+                     len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS tokens
+              FROM documents),
+            r AS (SELECT doc_id, score, tokens,
+                         sum(tokens) OVER (ORDER BY score DESC, doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS run
+                  FROM q)
+            SELECT doc_id, score, tokens FROM r
+            WHERE run <= 20000 ORDER BY doc_id
         """,
         "doc_repetition": r"""
             WITH w AS (

@@ -230,3 +230,39 @@ class TestRepetitionStats:
         # 'spam spam spam' occurs at i=0,1,2 -> 8 instances, 6 distinct
         assert out["n_distinct_ngrams"].to_pylist() == [6, 8, 3, 0, 0]
         assert out["rep_keep"].to_pylist() == [False, True, False, False, False]
+
+
+class TestTokenBudgetSelect:
+    def _ds(self, docs):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[1] for d in docs], pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    def test_boundary_group_partial_fit(self, ray_session):
+        from texoo_ray.pipelines.curation import token_budget_select
+
+        # scores (n_words) and tokens (bpe) are equal here: plain words
+        docs = [
+            (1, "a b c d e"),   # score 5, tokens 5
+            (2, "a b c d"),     # score 4 -- boundary group, id order: 2,3,4
+            (3, "a b c d"),
+            (4, "a b c d"),
+            (5, "a b"),         # score 2, never reached
+        ]
+        # budget 5 (all of doc1) + 8 (docs 2,3) = 13; doc4 would hit 17
+        out = token_budget_select(self._ds(docs), budget=13).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3]
+
+    def test_all_fit_and_none_fit(self, ray_session):
+        from texoo_ray.pipelines.curation import token_budget_select
+
+        docs = [(1, "x y"), (2, "x y z")]
+        assert len(token_budget_select(self._ds(docs), budget=100).to_pandas()) == 2
+        assert len(token_budget_select(self._ds(docs), budget=2).to_pandas()) == 0

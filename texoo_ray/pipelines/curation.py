@@ -151,3 +151,96 @@ def curate_training_set(
         .map_batches(sample, batch_format="pyarrow")
     )
     return out.select_columns([id_col, stratum_col, "n_words"])
+
+
+def token_budget_select(
+    ds,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Select the best documents that fit a token budget: rank by an
+    integer quality score (``n_words``, descending; ``doc_id`` ascending
+    tie-break) and keep the longest prefix whose INCLUSIVE running
+    ``n_bpe_tokens`` sum stays <= ``budget`` — SQL's
+    ``SUM(tokens) OVER (ORDER BY score DESC, id) <= budget``.
+
+    NO global sort: selection-by-prefix-sum over a score histogram.
+
+    1. one streaming pass scores every doc (vectorized regex counts),
+    2. per-batch partial histogram -> tiny global ``groupby(score)``
+       (cardinality = distinct integer scores, thousands at most —
+       independent of corpus size),
+    3. the driver inverts the histogram's descending cumsum to find the
+       boundary score s* and the residual budget r entering it,
+    4. only the s* group (bounded: docs sharing ONE exact score) is
+       pulled to rank its members by id against r,
+    5. a vectorized filter keeps score > s* plus the s* prefix.
+
+    The same inversion trick as ``_q_turn_length_quantiles``; cost is
+    three streaming scans (histogram, boundary-group probe, final
+    filter) + a histogram-sized exchange, vs a full-corpus range sort.
+    Returns Dataset[(doc_id, score, tokens)].
+    """
+    from ray.data.aggregate import Sum
+
+    def score_pass(batch: pa.Table) -> pa.Table:
+        batch = quality_stats(batch, text_col)
+        batch = token_counts(batch, text_col)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": batch["n_words"],
+                "tokens": batch["n_bpe_tokens"],
+            }
+        )
+
+    scored = ds.map_batches(score_pass, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        grp = batch.group_by(["score"]).aggregate([("tokens", "sum")])
+        return pa.table(
+            {"score": grp["score"], "tok": grp["tokens_sum"]}
+        )
+
+    h = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("tok", alias_name="tok"))
+        .to_pandas()
+        .sort_values("score", ascending=False)
+        .reset_index(drop=True)
+    )
+    if h.empty:
+        return scored
+    cum = h["tok"].cumsum()
+    over = cum > budget
+    if not over.any():
+        return scored  # everything fits
+    b = int(over.idxmax())  # first (highest-score-first) bucket that overflows
+    s_star = int(h.loc[b, "score"])
+    prev_total = int(cum[b - 1]) if b > 0 else 0
+    residual = budget - prev_total
+
+    # boundary group: every doc with score == s_star, ranked by id
+    grp = (
+        scored.filter(expr=f"score == {s_star}")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    run = grp["tokens"].cumsum()
+    fits = run <= residual
+    cutoff_id = int(grp.loc[fits, id_col].max()) if fits.any() else None
+
+    def keep(batch: pa.Table) -> pa.Table:
+        above = pc.greater(batch["score"], pa.scalar(s_star))
+        if cutoff_id is None:
+            return batch.filter(above)
+        at = pc.and_(
+            pc.equal(batch["score"], pa.scalar(s_star)),
+            pc.less_equal(batch[id_col], pa.scalar(cutoff_id)),
+        )
+        return batch.filter(pc.or_(above, at))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
