@@ -800,6 +800,30 @@ def _q_token_budget(sf_dir: str):
     return token_budget_select(ds, budget=20000).sort("doc_id")
 
 
+def _q_conv_integrity(sf_dir: str):
+    """Transcript structural validation (gaps, role alternation, opening
+    role) — the pre-training corpus gate, window-function oracle."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import conv_integrity
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    )
+    return conv_integrity(ds)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (row_number window oracle): 3 longest docs per
+    language; partial top-k per block caps the shuffle at k rows per
+    (block, group) — stages/retrieval.py::grouped_topk."""
+    from texoo_ray.stages.retrieval import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_topk(ds, group_col="lang", order_col="n_chars", k=3)
+    return out.sort(["lang", "doc_id"]).select_columns(["lang", "doc_id", "n_chars"])
+
+
 def _q_curate_training_set(sf_dir: str):
     """Flagship curation chain: quality gate -> decontamination vs the
     doc 0-19 'benchmark' -> stratified hash sample — one streaming pass,
@@ -1424,6 +1448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
         "token_budget": _q_token_budget,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "conv_integrity": _q_conv_integrity,
         "response_latency": _q_response_latency,
         "tool_usage": _q_tool_usage,
         "turn_length_histogram": _q_turn_length_histogram,
@@ -1669,6 +1695,35 @@ def oracle_sql() -> dict[str, str]:
               AND substring(md5(text), 1, 8) <
                   CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
             ORDER BY doc_id
+        """,
+        "conv_integrity": """
+            WITH t AS (
+              SELECT conv_id, turn_idx, role,
+                     lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+                     row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            a AS (
+              SELECT conv_id,
+                     count(*)::BIGINT AS n_turns,
+                     max(turn_idx)::BIGINT AS max_turn_idx,
+                     bool_or(turn_idx != rn) AS has_gap,
+                     sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)::BIGINT
+                       AS n_role_repeats,
+                     (min(turn_idx) = 0 AND arg_min(role, turn_idx) = 'user')
+                       AS starts_with_user
+              FROM t GROUP BY conv_id)
+            SELECT conv_id, n_turns, max_turn_idx, has_gap, n_role_repeats,
+                   starts_with_user,
+                   (NOT has_gap AND n_role_repeats = 0 AND starts_with_user) AS ok
+            FROM a ORDER BY conv_id
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 3 ORDER BY lang, doc_id
         """,
         "token_budget": r"""
             WITH q AS (

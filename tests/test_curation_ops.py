@@ -266,3 +266,60 @@ class TestTokenBudgetSelect:
         docs = [(1, "x y"), (2, "x y z")]
         assert len(token_budget_select(self._ds(docs), budget=100).to_pandas()) == 2
         assert len(token_budget_select(self._ds(docs), budget=2).to_pandas()) == 0
+
+
+class TestGroupedTopk:
+    def test_ties_and_small_groups(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.retrieval import grouped_topk
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "g": pa.array(["a", "a", "a", "a", "b", "b", "c", "a"]),
+                "v": pa.array([5, 9, 9, 1, 3, 3, 7, 9], pa.int64()),
+            }
+        )
+        out = (
+            grouped_topk(
+                ray.data.from_arrow(tbl).repartition(4),
+                group_col="g", order_col="v", k=2,
+            )
+            .sort(["g", "doc_id"])
+            .to_pandas()
+        )
+        got = list(zip(out["g"], out["doc_id"]))
+        # a: v=9 ties at ids 1,2,7 -> lowest ids 1,2; b: both rows; c: 1 row
+        assert got == [("a", 1), ("a", 2), ("b", 4), ("b", 5), ("c", 6)]
+
+
+class TestConvIntegrity:
+    def test_flags(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import conv_integrity
+
+        rows = [
+            # clean alternating conv
+            ("ok", 0, "user"), ("ok", 1, "assistant"), ("ok", 2, "user"),
+            # gap: missing turn 1
+            ("gap", 0, "user"), ("gap", 2, "assistant"),
+            # role repeat + system start
+            ("rep", 0, "system"), ("rep", 1, "user"), ("rep", 2, "user"),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                    "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                    "role": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(3)
+        out = conv_integrity(ds).to_pandas().set_index("conv_id")
+        assert bool(out.loc["ok", "ok"]) and not out.loc["ok", "has_gap"]
+        assert bool(out.loc["gap", "has_gap"]) and not out.loc["gap", "ok"]
+        assert out.loc["rep", "n_role_repeats"] == 1
+        assert not out.loc["rep", "starts_with_user"]
+        assert out["n_turns"].tolist() == [2, 3, 3]

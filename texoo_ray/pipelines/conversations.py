@@ -225,3 +225,49 @@ def pack_sequences(
         .groupby(id_col)
         .map_groups(pack_conv, batch_format="pyarrow")
     )
+
+
+def conv_integrity(ds, id_col: str = "conv_id"):
+    """Per-conversation structural validation — the gate a transcript
+    corpus runs before training (malformed conversations poison packing
+    and loss masking):
+
+    - ``n_turns``, ``max_turn_idx``
+    - ``has_gap`` — turn_idx sequence is not exactly 0..n-1
+      (missing/duplicate turns)
+    - ``n_role_repeats`` — adjacent turns (in turn_idx order) with the
+      same role (broken user/assistant alternation)
+    - ``starts_with_user`` — turn 0 exists and is a user turn
+    - ``ok`` — all of the above clean
+
+    Same lag-over-ordered-group shape as :func:`response_latency`
+    (adjacency needs whole conversations); vectorized numpy per group,
+    group size bounded by per-conversation turn counts. SQL equivalent:
+    LAG() OVER (PARTITION BY conv_id ORDER BY turn_idx)."""
+
+    def per_conv(group: pa.Table) -> pa.Table:
+        idx = np.asarray(group["turn_idx"].combine_chunks(), dtype=np.int64)
+        order = np.argsort(idx, kind="stable")
+        idx = idx[order]
+        roles = np.asarray(group["role"].to_pylist(), dtype=object)[order]
+        n = len(idx)
+        has_gap = bool((idx != np.arange(n)).any())
+        repeats = int((roles[1:] == roles[:-1]).sum()) if n > 1 else 0
+        starts_user = bool(n > 0 and idx[0] == 0 and roles[0] == "user")
+        return pa.table(
+            {
+                id_col: pa.array([group[id_col][0].as_py()], pa.string()),
+                "n_turns": pa.array([n], pa.int64()),
+                "max_turn_idx": pa.array([int(idx.max()) if n else -1], pa.int64()),
+                "has_gap": pa.array([has_gap], pa.bool_()),
+                "n_role_repeats": pa.array([repeats], pa.int64()),
+                "starts_with_user": pa.array([starts_user], pa.bool_()),
+                "ok": pa.array(
+                    [not has_gap and repeats == 0 and starts_user], pa.bool_()
+                ),
+            }
+        )
+
+    return (
+        ds.groupby(id_col).map_groups(per_conv, batch_format="pyarrow").sort(id_col)
+    )

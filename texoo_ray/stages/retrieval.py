@@ -166,3 +166,45 @@ def passage_candidates(
         )
 
     return queries_ds.map_batches(run, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+):
+    """Top-k rows PER GROUP (SQL ``row_number() OVER (PARTITION BY g
+    ORDER BY v DESC, id) <= k``), deterministic tie-break on ``id_col``.
+
+    Scale shape: a per-BATCH partial top-k first (each block contributes
+    at most k rows per group it contains), so the ``groupby`` exchange
+    moves O(blocks x groups_per_block x k) rows instead of the corpus;
+    the per-group finalizer then re-ranks <= blocks*k rows. Skew-safe:
+    a hot group's shuffle volume is capped by k per source block.
+    """
+
+    def order_tuple(tbl: pa.Table):
+        return [
+            (group_col, "ascending"),
+            (order_col, "descending" if descending else "ascending"),
+            (id_col, "ascending"),
+        ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by(order_tuple(batch))
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return group.sort_by(order_tuple(group)).slice(0, k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
