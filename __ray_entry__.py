@@ -910,6 +910,17 @@ def _q_bigram_vocab(sf_dir: str):
     return build_ngram_vocab(ds, n=2, top_k=50)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF top-5 terms per document: per-doc tf (no
+    shuffle) -> partial-agg df -> BIG-BIG hash join on word -> integer-
+    micro scoring -> capped per-group top-k."""
+    from texoo_ray.stages.encoders import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    return tfidf_top_terms(ds, n_docs=n_docs, k=5)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape over lineitem: per-batch partial aggregation into
     integer cents, tiny global groupby."""
@@ -1440,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "region_part_revenue": _q_region_part_revenue,
         "bigram_vocab": _q_bigram_vocab,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1880,6 +1892,28 @@ def oracle_sql() -> dict[str, str]:
                             THEN epoch_us(ts) - epoch_us(prev_ts) ELSE 0 END)::BIGINT
                      AS sum_gap_us
             FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        "tfidf_top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, count(*)::BIGINT AS tf
+              FROM t GROUP BY doc_id, word
+            ), df AS (
+              SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word
+            ), s AS (
+              SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                     CAST(floor(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df)
+                                * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+              FROM tf JOIN df USING (word)
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf_micro DESC, word ASC) AS rn
+              FROM s
+            )
+            SELECT doc_id, word, tf, df, tfidf_micro FROM r WHERE rn <= 5
         """,
         "bigram_vocab": """
             WITH w AS (

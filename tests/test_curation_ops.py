@@ -293,6 +293,68 @@ class TestGroupedTopk:
         # a: v=9 ties at ids 1,2,7 -> lowest ids 1,2; b: both rows; c: 1 row
         assert got == [("a", 1), ("a", 2), ("b", 4), ("b", 5), ("c", 6)]
 
+    def test_multi_column_order_by(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.retrieval import grouped_topk
+
+        tbl = pa.table(
+            {
+                "g": pa.array(["a"] * 4 + ["b"] * 2),
+                "v": pa.array([9, 9, 9, 1, 5, 5], pa.int64()),
+                "w": pa.array(["z", "m", "q", "a", "b", "a"]),
+            }
+        )
+        out = (
+            grouped_topk(
+                ray.data.from_arrow(tbl).repartition(3),
+                group_col="g", k=2,
+                order_by=[("v", "descending"), ("w", "ascending")],
+            )
+            .sort(["g", "w"])
+            .to_pandas()
+        )
+        assert list(zip(out["g"], out["w"])) == [
+            ("a", "m"), ("a", "q"), ("b", "a"), ("b", "b")
+        ]
+
+
+class TestTfIdf:
+    def test_scores_and_topk(self, ray_session):
+        import math
+
+        import ray.data
+
+        from texoo_ray.stages.encoders import tfidf_top_terms
+
+        docs = [
+            (1, "cat cat dog"),
+            (2, "dog fish"),
+            (3, "fish fish fish bird"),
+            (4, "dog dog"),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs]),
+                }
+            )
+        ).repartition(2)
+        out = tfidf_top_terms(ds, n_docs=4, k=2).to_pandas()
+        by_doc = {
+            d: list(zip(g["word"], g["tfidf_micro"]))
+            for d, g in out.sort_values(["doc_id", "tfidf_micro", "word"],
+                                        ascending=[True, False, True]).groupby("doc_id")
+        }
+        micro = lambda tf, df: math.floor(tf * math.log(4.0 / df) * 1e6 + 0.5)
+        # doc1: cat(tf2,df1) >> dog(tf1,df3)
+        assert by_doc[1] == [("cat", micro(2, 1)), ("dog", micro(1, 3))]
+        # doc3: fish(tf3,df2) then bird(tf1,df1)
+        assert by_doc[3] == [("fish", micro(3, 2)), ("bird", micro(1, 1))]
+        # doc4 has only one distinct word
+        assert by_doc[4] == [("dog", micro(2, 3))]
+
 
 class TestConvIntegrity:
     def test_flags(self, ray_session):

@@ -99,6 +99,128 @@ def build_ngram_vocab(
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(top_k)
 
 
+def doc_term_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Explode documents into one row per (doc, word) with the term
+    frequency. Each input row is a whole document, so per-row ``Counter``
+    inside ``map_batches`` yields COMPLETE tf values with no groupby —
+    the only later shuffles operate on the (much smaller) distinct-term
+    rows. Returns Dataset[(id_col, word, tf:int64)]."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            counts: Dict[str, int] = {}
+            for w in _ASCII_WORD_RE.findall((t or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+            ids.extend([i] * len(counts))
+            words.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "word": pa.array(words, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds,
+    n_docs: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+):
+    """Distributed TF-IDF: top-k highest-scoring terms per document.
+
+    The reference scores retrieval baselines with Lucene's TF-IDF/BM25
+    (texoo-cdv EvaluateBaselineRetrieval.java:15,45); this is the same
+    statistic computed corpus-wide as a composed Ray Data pipeline:
+
+      1. per-doc term counts (complete per batch, no shuffle);
+      2. document frequency = per-batch partial row-counts per word
+         -> ``groupby(word).sum`` (shuffle moves distinct words/block);
+      3. tf >< df BIG-BIG hash join on word — the vocabulary of a
+         100 TB corpus does not fit in a broadcast dict;
+      4. score + per-doc top-k via ``grouped_topk`` (shuffle capped at
+         k rows per group per block).
+
+    Scores are stabilized to integer micros with floor(x*1e6+0.5) (DuckDB
+    round semantics) and idf uses one libm ``math.log`` per distinct df
+    so values hash-match the SQL oracle bit-for-bit.
+    Returns Dataset[(id_col, word, tf, df, tfidf_micro)]."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _compact, _join_partitions
+    from .retrieval import grouped_topk
+
+    P = _join_partitions(cap=num_partitions or 16)
+    terms = doc_term_counts(ds, id_col=id_col, text_col=text_col)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        grp = batch.group_by(["word"]).aggregate([("word", "count")])
+        return pa.table(
+            {"w": grp["word"], "df": grp["word_count"].cast(pa.int64())}
+        )
+
+    df_ds = (
+        terms.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    # _compact: Ray 2.49's hash aggregate emits SCHEMA-LESS blocks for
+    # empty hash partitions; feeding one into the join's aggregator dies
+    # with "No match ... for key field w" (stages/dedup.py::_compact).
+    # Bounded by VOCABULARY size (distinct words), never the corpus.
+    df_ds = _compact(df_ds)
+    if df_ds is None:
+        return terms.limit(0)
+
+    joined = terms.join(df_ds, "inner", P, on=("word",), right_on=("w",))
+
+    n = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf_micro": pa.array([], pa.int64()),
+                }
+            )
+        tf = np.asarray(batch["tf"], dtype=np.float64)
+        dfv = np.asarray(batch["df"], dtype=np.float64)
+        uniq, inv = np.unique(dfv, return_inverse=True)
+        idf = np.array([math.log(n / d) for d in uniq], dtype=np.float64)[inv]
+        micro = np.floor(tf * idf * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "word": batch["word"],
+                "tf": batch["tf"],
+                "df": batch["df"],
+                "tfidf_micro": pa.array(micro),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored,
+        group_col=id_col,
+        k=k,
+        id_col="word",
+        order_by=[("tfidf_micro", "descending"), ("word", "ascending")],
+    )
+
+
 class BagOfWordsEncoder:
     """vocab -> index map; encode(words) = count vector over the vocab."""
 

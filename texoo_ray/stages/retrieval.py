@@ -171,13 +171,17 @@ def passage_candidates(
 def grouped_topk(
     ds,
     group_col: str,
-    order_col: str,
-    k: int,
+    order_col: str = None,
+    k: int = 10,
     id_col: str = "doc_id",
     descending: bool = True,
+    order_by: List[tuple] = None,
 ):
     """Top-k rows PER GROUP (SQL ``row_number() OVER (PARTITION BY g
     ORDER BY v DESC, id) <= k``), deterministic tie-break on ``id_col``.
+    Pass either ``order_col``/``descending`` (single key + id tie-break)
+    or an explicit ``order_by`` list of (column, "ascending"|"descending")
+    pairs applied after the group column.
 
     Scale shape: a per-BATCH partial top-k first (each block contributes
     at most k rows per group it contains), so the ``groupby`` exchange
@@ -185,13 +189,14 @@ def grouped_topk(
     the per-group finalizer then re-ranks <= blocks*k rows. Skew-safe:
     a hot group's shuffle volume is capped by k per source block.
     """
-
-    def order_tuple(tbl: pa.Table):
-        return [
-            (group_col, "ascending"),
+    if order_by is None:
+        order_by = [
             (order_col, "descending" if descending else "ascending"),
             (id_col, "ascending"),
         ]
+
+    def order_tuple(tbl: pa.Table):
+        return [(group_col, "ascending")] + list(order_by)
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.sort_by(order_tuple(batch))
