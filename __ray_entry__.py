@@ -921,6 +921,32 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=5)
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style duplicated-line removal over the transcript corpus:
+    heavy-hitter line set (partial-agg groupby, bounded size) broadcast
+    into a stateless strip pass — zero corpus shuffle."""
+    import ray.data
+
+    from texoo_ray.stages.dedup import line_dedup
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    out = line_dedup(ds, max_occurrences=30, keep_cols=["conv_id", "turn_idx"])
+    return out.sort(["conv_id", "turn_idx"])
+
+
+def _q_lm_score(sf_dir: str):
+    """CCNet-style bigram LM scoring: the model is trained on the corpus
+    (distributed unigram/bigram counts), assembled by a vocab-bounded
+    join, and applied by one big-big hash join + integer-micro log-prob
+    aggregation per document."""
+    from texoo_ray.stages.lm import ngram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_logprob(ds)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape over lineitem: per-batch partial aggregation into
     integer cents, tiny global groupby."""
@@ -1452,6 +1478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_part_revenue": _q_region_part_revenue,
         "bigram_vocab": _q_bigram_vocab,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "lm_score": _q_lm_score,
+        "line_dedup": _q_line_dedup,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1914,6 +1942,70 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT doc_id, word, tf, df, tfidf_micro FROM r WHERE rn <= 5
+        """,
+        "line_dedup": """
+            WITH t0 AS (
+              SELECT conv_id, turn_idx, str_split(text, chr(10)) AS arr
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            ), ll AS (
+              SELECT conv_id, turn_idx, arr,
+                     unnest(range(1, len(arr) + 1)) AS idx
+              FROM t0
+            ), lines AS (
+              SELECT conv_id, turn_idx, idx, arr[idx] AS line FROM ll
+            ), c AS (
+              SELECT line, count(*)::BIGINT AS cnt FROM lines GROUP BY line
+            ), keep AS (
+              SELECT lines.conv_id, lines.turn_idx, lines.idx, lines.line
+              FROM lines JOIN c USING (line) WHERE c.cnt <= 30
+            ), agg AS (
+              SELECT conv_id, turn_idx,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                     count(*)::BIGINT AS n_kept
+              FROM keep GROUP BY conv_id, turn_idx
+            )
+            SELECT t0.conv_id, t0.turn_idx,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
+            ORDER BY conv_id, turn_idx
+        """,
+        "lm_score": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents
+            ), pos AS (
+              SELECT unnest(arr) AS u FROM tok
+            ), uni AS (
+              SELECT u, count(*)::BIGINT AS cu FROM pos GROUP BY u
+            ), v AS (
+              SELECT count(*)::BIGINT AS v FROM uni
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i+1])) AS bgk
+              FROM tok
+            ), cb AS (
+              SELECT bgk, count(*)::BIGINT AS cuv FROM bg GROUP BY bgk
+            ), scored AS (
+              SELECT bg.doc_id,
+                     CAST(floor(ln((cb.cuv + 1)::DOUBLE / (uni.cu + v.v))
+                                * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM bg
+              JOIN cb USING (bgk)
+              JOIN uni ON uni.u = split_part(bg.bgk, ' ', 1)
+              CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(micro)::BIGINT AS sum_logprob_micro
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(a.sum_logprob_micro, 0)::BIGINT AS sum_logprob_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "bigram_vocab": """
             WITH w AS (

@@ -1,0 +1,124 @@
+"""Bigram-LM scoring unit tests (stages/lm.py)."""
+
+import math
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(docs):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    ).repartition(2)
+
+
+def _micro(cuv, cu, V):
+    return math.floor(math.log(float(cuv + 1) / (float(cu) + float(V))) * 1e6 + 0.5)
+
+
+class TestLineDedup:
+    def _ds(self, rows):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            )
+        ).repartition(2)
+
+    def test_removes_only_above_threshold(self, ray_session):
+        from texoo_ray.stages.dedup import line_dedup
+
+        boiler = "ACCEPT COOKIES"
+        rows = [(i, boiler + "\ncontent %d" % i) for i in range(4)]
+        rows.append((99, "at threshold\nunique tail"))
+        rows.append((98, "at threshold\nother tail"))
+        # boiler occurs 4x (> max=3, removed); "at threshold" 2x (kept)
+        out = (
+            line_dedup(self._ds(rows), max_occurrences=3)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "clean_text"] == "content 0"
+        assert out.loc[0, "n_removed"] == 1 and out.loc[0, "n_kept"] == 1
+        assert out.loc[99, "clean_text"] == "at threshold\nunique tail"
+        assert out.loc[99, "n_removed"] == 0
+
+    def test_exact_match_no_normalization(self, ray_session):
+        from texoo_ray.stages.dedup import line_dedup
+
+        rows = [(i, "dup line \nbody %d" % i) for i in range(3)] + [
+            (9, "dup line\nbody2")
+        ]
+        out = (
+            line_dedup(self._ds(rows), max_occurrences=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # "dup line " (trailing space, 3x) removed; "dup line" (1x) kept
+        assert out.loc[0, "clean_text"] == "body 0"
+        assert out.loc[9, "clean_text"] == "dup line\nbody2"
+
+    def test_fully_removed_doc_is_empty_string(self, ray_session):
+        from texoo_ray.stages.dedup import line_dedup
+
+        rows = [(i, "same") for i in range(5)]
+        out = line_dedup(self._ds(rows), max_occurrences=1).to_pandas()
+        assert (out["clean_text"] == "").all()
+        assert (out["n_kept"] == 0).all() and (out["n_removed"] == 1).all()
+
+
+class TestNgramLogprob:
+    def test_hand_computed_scores(self, ray_session):
+        from texoo_ray.stages.lm import ngram_logprob
+
+        # corpus: "a b a b" / "a b c"
+        # unigrams: a=3 b=3 c=1 -> V=3
+        # bigrams: "a b"=3, "b a"=1, "b c"=1
+        docs = [(1, "a b a b"), (2, "a b c")]
+        out = ngram_logprob(_ds(docs)).to_pandas().set_index("doc_id")
+        V = 3
+        d1 = _micro(3, 3, V) * 2 + _micro(1, 3, V)  # a-b, b-a, a-b
+        d2 = _micro(3, 3, V) + _micro(1, 3, V)      # a-b, b-c
+        assert out.loc[1, "n_bigrams"] == 3
+        assert out.loc[1, "sum_logprob_micro"] == d1
+        assert out.loc[2, "n_bigrams"] == 2
+        assert out.loc[2, "sum_logprob_micro"] == d2
+
+    def test_short_and_empty_docs_score_zero(self, ray_session):
+        from texoo_ray.stages.lm import ngram_logprob
+
+        docs = [(1, "hello world hello"), (2, "single"), (3, ""), (4, "   ")]
+        out = ngram_logprob(_ds(docs)).to_pandas().set_index("doc_id")
+        assert len(out) == 4
+        for d in (2, 3, 4):
+            assert out.loc[d, "n_bigrams"] == 0
+            assert out.loc[d, "sum_logprob_micro"] == 0
+        assert out.loc[1, "n_bigrams"] == 2
+
+    def test_all_docs_tokenless(self, ray_session):
+        from texoo_ray.stages.lm import ngram_logprob
+
+        docs = [(1, ""), (2, "!!"), (3, None)]
+        out = ngram_logprob(_ds(docs)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3]
+        assert (out["n_bigrams"] == 0).all()
+        assert (out["sum_logprob_micro"] == 0).all()
+
+    def test_repeated_doc_scores_identical(self, ray_session):
+        from texoo_ray.stages.lm import ngram_logprob
+
+        docs = [(i, "the cat sat on the mat") for i in range(6)]
+        out = ngram_logprob(_ds(docs)).to_pandas()
+        assert out["sum_logprob_micro"].nunique() == 1
+        assert (out["n_bigrams"] == 5).all()

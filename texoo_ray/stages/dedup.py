@@ -969,3 +969,87 @@ def simhash_dedup(
         bucket_edges, batch_format="pyarrow"
     )
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
+
+
+def duplicated_lines(ds, text_col: str = "text", min_count: int = 31):
+    """Corpus-wide heavy-hitter lines: Dataset[(line, cnt)] for every
+    exact line (``\\n``-split, no normalization) occurring at least
+    ``min_count`` times across the corpus.
+
+    Shape: per-batch partial Counter (one row per distinct line per
+    block) -> ``groupby(line).sum`` -> filter. The result is bounded by
+    total_lines / min_count rows — a heavy-hitter set is SMALL by
+    definition, which is what makes the broadcast in ``line_dedup``
+    scale-safe."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for ln in (t or "").split("\n"):
+                counts[ln] = counts.get(ln, 0) + 1
+        return pa.table(
+            {
+                "line": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.filter(expr="cnt >= %d" % int(min_count))
+
+
+def line_dedup(
+    ds,
+    max_occurrences: int = 30,
+    text_col: str = "text",
+    keep_cols: Optional[List[str]] = None,
+):
+    """CCNet-style duplicated-line removal (Wenzek et al., LREC 2020
+    §3.1: drop lines repeated across a shard — boilerplate navigation,
+    cookie banners, "Key points follow:"-style templates).
+
+    A line is removed when its EXACT text occurs more than
+    ``max_occurrences`` times corpus-wide. Two passes, zero corpus
+    shuffle:
+
+    1. ``duplicated_lines`` builds the heavy-hitter set (bounded by
+       total_lines / max_occurrences rows) which is collected once and
+       broadcast via ``ray.put`` — the small-side-broadcast join shape;
+    2. a stateless ``map_batches`` pass splits, filters against the
+       broadcast set and rejoins each document in place. No explode, no
+       join, no per-document reassembly shuffle.
+
+    Returns Dataset[keep_cols + (clean_text, n_kept, n_removed)].
+    """
+    import ray
+
+    keep_cols = list(keep_cols or ["doc_id"])
+    hh = duplicated_lines(ds, text_col=text_col, min_count=max_occurrences + 1)
+    blocked = set(hh.select_columns(["line"]).to_pandas()["line"])
+    blocked_ref = ray.put(blocked)
+
+    class StripLines:
+        def __init__(self):
+            self.blocked = ray.get(blocked_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cleans, kept, removed = [], [], []
+            bl = self.blocked
+            for t in batch[text_col].to_pylist():
+                lines = (t or "").split("\n")
+                keep = [ln for ln in lines if ln not in bl]
+                cleans.append("\n".join(keep))
+                kept.append(len(keep))
+                removed.append(len(lines) - len(keep))
+            cols = {c: batch[c] for c in keep_cols}
+            cols["clean_text"] = pa.array(cleans, pa.string())
+            cols["n_kept"] = pa.array(kept, pa.int64())
+            cols["n_removed"] = pa.array(removed, pa.int64())
+            return pa.table(cols)
+
+    return ds.map_batches(StripLines, batch_format="pyarrow", concurrency=(1, 8))

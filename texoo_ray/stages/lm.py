@@ -1,0 +1,236 @@
+"""Distributed n-gram language-model scoring (CCNet-style quality filter).
+
+The reference's encoder family trains a corpus statistic once and then
+applies it per document (BagOfWordsEncoder.java:64-118 trainModel ->
+encode); here the trained statistic is a Laplace-smoothed bigram LM over
+the corpus itself and the application is per-document log-probability —
+the perplexity-filter shape of CCNet (Wenzek et al., LREC 2020, public
+paper), which ranks web documents by LM score before keeping the
+best-scoring tercile.
+
+Scale shape (everything stays a Dataset; nothing corpus-sized touches
+the driver):
+
+1. unigram counts: per-batch partial Counter -> ``groupby(u).sum`` —
+   the shuffle moves one row per distinct word per block;
+2. bigram counts: same shape over adjacent-pair keys;
+3. model assembly: the (bigram -> count) table joins the (word -> count)
+   table on the bigram's FIRST word — a vocabulary-bounded hash join,
+   never the corpus;
+4. scoring: the per-document bigram rows (with multiplicity, so a
+   document contributes one row per DISTINCT bigram) hash-join the
+   model table once, then integer-micro log-probs aggregate per doc.
+
+Log-probs are stabilized to integer micros (floor(x*1e6+0.5), DuckDB
+round semantics) BEFORE summing, so the per-document sum is an integer
+and order-independent — bit-equal across engines. ``math.log`` is
+evaluated once per distinct (c_uv, c_u) pair (libm, same as DuckDB ln).
+
+At 100 TB the bigram table wants a count cutoff (drop hapax bigrams
+before the model join — smoothing already assigns them the +1 floor);
+the parameter is exposed but defaults to keeping everything so the SQL
+oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .encoders import _ASCII_WORD_RE
+
+
+def _token_lists(batch: pa.Table, text_col: str):
+    return [
+        _ASCII_WORD_RE.findall((t or "").lower())
+        for t in batch[text_col].to_pylist()
+    ]
+
+
+def ngram_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+):
+    """Per-document bigram LM score: Dataset[(id_col, n_bigrams,
+    sum_logprob_micro)], one row per input document (documents with < 2
+    tokens score (0, 0)).
+
+    p(v|u) = (c(uv) + 1) / (c(u) + V) with corpus-wide counts and
+    vocabulary size V (Laplace smoothing); the score is the sum over the
+    document's token bigrams of floor(ln(p)*1e6 + 0.5).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _compact, _join_partitions
+
+    P = _join_partitions(cap=num_partitions or 16)
+
+    # --- corpus unigram counts ------------------------------------------
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        counts: Dict[str, int] = {}
+        for toks in _token_lists(batch, text_col):
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "u": pa.array(list(counts.keys()), pa.string()),
+                "cu": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    uni = _compact(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("cu", alias_name="cu"))
+    )
+    id_type = pa.int64()
+    empty = pa.table(
+        {
+            id_col: pa.array([], id_type),
+            "n_bigrams": pa.array([], pa.int64()),
+            "sum_logprob_micro": pa.array([], pa.int64()),
+        }
+    )
+    if uni is None:  # corpus has no tokens at all
+        def zeros_only(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_bigrams": pa.array([0] * n, pa.int64()),
+                    "sum_logprob_micro": pa.array([0] * n, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(zeros_only, batch_format="pyarrow")
+
+    vocab_size = uni.count()
+
+    # --- per-document bigram rows (distinct bigram + multiplicity) ------
+    def bg_explode(batch: pa.Table) -> pa.Table:
+        ids_t = batch[id_col].to_pylist()
+        ids, bgs, mults = [], [], []
+        for i, toks in zip(ids_t, _token_lists(batch, text_col)):
+            counts: Dict[str, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                k = a + " " + b
+                counts[k] = counts.get(k, 0) + 1
+            ids.extend([i] * len(counts))
+            bgs.extend(counts.keys())
+            mults.extend(counts.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "bgk": pa.array(bgs, pa.string()),
+                "mult": pa.array(mults, pa.int64()),
+            }
+        )
+
+    doc_bigrams = ds.map_batches(bg_explode, batch_format="pyarrow")
+
+    # --- corpus bigram counts -> model table (bgk, cuv, cu) -------------
+    def cb_partial(batch: pa.Table) -> pa.Table:
+        grp = batch.group_by(["bgk"]).aggregate([("mult", "sum")])
+        return pa.table({"b": grp["bgk"], "cuv": grp["mult_sum"].cast(pa.int64())})
+
+    cb = _compact(
+        doc_bigrams.map_batches(cb_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("cuv", alias_name="cuv"))
+    )
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        """(id, 0, 0) rows for documents with no bigrams — unioned into
+        the final aggregate instead of a corpus-wide left-outer join."""
+        ids = [
+            i
+            for i, toks in zip(
+                batch[id_col].to_pylist(), _token_lists(batch, text_col)
+            )
+            if len(toks) < 2
+        ]
+        if not ids:
+            return empty.cast(
+                pa.schema(
+                    [
+                        (id_col, batch.schema.field(id_col).type),
+                        ("n_bigrams", pa.int64()),
+                        ("sum_logprob_micro", pa.int64()),
+                    ]
+                )
+            )
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "n_bigrams": pa.array([0] * len(ids), pa.int64()),
+                "sum_logprob_micro": pa.array([0] * len(ids), pa.int64()),
+            }
+        )
+
+    zero_rows = ds.map_batches(zeros, batch_format="pyarrow")
+    if cb is None:  # every document is < 2 tokens
+        return zero_rows.groupby(id_col).aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("sum_logprob_micro", alias_name="sum_logprob_micro"),
+        )
+
+    def first_word(batch: pa.Table) -> pa.Table:
+        words = [b.split(" ", 1)[0] for b in batch["b"].to_pylist()]
+        return batch.append_column("fw", pa.array(words, pa.string()))
+
+    model = _compact(
+        cb.map_batches(first_word, batch_format="pyarrow").join(
+            uni, "inner", max(2, P // 2), on=("fw",), right_on=("u",)
+        )
+    )
+
+    joined = doc_bigrams.join(model, "inner", P, on=("bgk",), right_on=("b",))
+
+    V = float(vocab_size)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cuv" not in batch.column_names:
+            return empty
+        cuv = np.asarray(batch["cuv"], dtype=np.int64)
+        cu = np.asarray(batch["cu"], dtype=np.int64)
+        mult = np.asarray(batch["mult"], dtype=np.int64)
+        # one libm log per distinct (cuv, cu) pair
+        pairs = np.stack([cuv, cu], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        logs = np.array(
+            [math.log(float(a + 1) / (float(b) + V)) for a, b in uniq],
+            dtype=np.float64,
+        )
+        micro = np.floor(logs[inv] * 1e6 + 0.5).astype(np.int64) * mult
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(mult),
+                "sum_logprob_micro": pa.array(micro),
+            }
+        )
+        grp = t.group_by([id_col]).aggregate(
+            [("n_bigrams", "sum"), ("sum_logprob_micro", "sum")]
+        )
+        return pa.table(
+            {
+                id_col: grp[id_col],
+                "n_bigrams": grp["n_bigrams_sum"],
+                "sum_logprob_micro": grp["sum_logprob_micro_sum"],
+            }
+        )
+
+    partials = joined.map_batches(score, batch_format="pyarrow")
+    return (
+        partials.union(zero_rows)
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("sum_logprob_micro", alias_name="sum_logprob_micro"),
+        )
+    )
