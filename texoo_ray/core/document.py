@@ -24,7 +24,7 @@ from typing import List, Optional
 
 from .sentences import sentence_spans
 from .spans import Sentence, Token, tokens_to_text
-from .tokenizer import tokenize_spans
+from .tokenizer import _tokenize_spans_cached
 
 
 class Newlines(Enum):
@@ -71,8 +71,19 @@ def segment_text(text: str, newlines: Newlines = Newlines.DISCARD) -> Document:
     nl_offset = 0  # chars compacted away so far (DISCARD only)
     for s_begin, s_end in sentence_spans(text):
         sentence_text = text[s_begin:s_end]
+        spans = _tokenize_spans_cached(sentence_text)
+        if "\n" not in sentence_text:
+            # fast path: no newline bookkeeping; offsets shift by a const
+            off = s_begin - nl_offset
+            token_list = [
+                Token(sentence_text[b:e], off + b, off + e) for b, e in spans
+            ]
+            if token_list:
+                count_newlines = 0
+                doc.sentences.append(Sentence(token_list))
+            continue
         token_list: List[Token] = []
-        for t_begin, t_end in tokenize_spans(sentence_text):
+        for t_begin, t_end in spans:
             token_text = sentence_text[t_begin:t_end]
             if token_text == "\n":
                 count_newlines += 1

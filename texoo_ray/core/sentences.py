@@ -37,19 +37,19 @@ from .abbrev import ends_with_abbreviation
 
 _EOS_RE = re.compile(r"[.!?\n]")
 
+# C-speed scans; ``\s`` matches exactly the ``str.isspace`` set (verified
+# over the full whitespace range), so these are drop-in equivalents of
+# the former per-char loops.
+_NONWS_RUN_RE = re.compile(r"\S*")
+_WS_RUN_RE = re.compile(r"\s*")
+
 
 def _first_ws(s: str, pos: int) -> int:
-    n = len(s)
-    while pos < n and not s[pos].isspace():
-        pos += 1
-    return pos
+    return _NONWS_RUN_RE.match(s, pos).end()
 
 
 def _first_non_ws(s: str, pos: int) -> int:
-    n = len(s)
-    while pos < n and s[pos].isspace():
-        pos += 1
-    return pos
+    return _WS_RUN_RE.match(s, pos).end()
 
 
 def _eval_split(s: str, cint: int) -> bool:

@@ -111,8 +111,8 @@ def _chunk_spans(chunk: str) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
-def tokenize_spans(text: str) -> List[Tuple[int, int]]:
-    """Full tokenization: pass 1 + pass 2. Returns (begin, end) spans."""
+@lru_cache(maxsize=65536)
+def _tokenize_spans_cached(text: str) -> Tuple[Tuple[int, int], ...]:
     out: List[Tuple[int, int]] = []
     append = out.append
     chunk_spans = _chunk_spans
@@ -125,7 +125,17 @@ def tokenize_spans(text: str) -> List[Tuple[int, int]]:
         else:
             for rb, re_ in spans:
                 append((begin + rb, begin + re_))
-    return out
+    return tuple(out)
+
+
+def tokenize_spans(text: str) -> List[Tuple[int, int]]:
+    """Full tokenization: pass 1 + pass 2. Returns (begin, end) spans.
+
+    Memoized on the full input string (on top of the per-chunk cache):
+    the inputs are SENTENCES, which are Zipf-distributed in transcript
+    corpora (boilerplate lines recur across otherwise-distinct turns),
+    so the hit rate survives even when whole-turn memoization misses."""
+    return list(_tokenize_spans_cached(text))
 
 
 def tokenize(text: str) -> List[str]:

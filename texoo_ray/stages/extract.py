@@ -374,6 +374,16 @@ class ExtractStage:
         self.newlines = Newlines(newlines)
         self.strip = strip
         self.text_col = text_col
+        # Per-actor memo of fully-extracted SHORT turns: transcript turn
+        # texts are Zipf-distributed ("ok", "thanks", tool boilerplate —
+        # 25-38% exact-duplicate rate measured on the bench corpus), and
+        # every output column is a pure function of (text, config), so a
+        # repeat costs one dict hit instead of a re-extraction. Bounded:
+        # only texts <= memo_chars are cached, at most memo_entries per
+        # actor (~4 KB/row of list-of-dict payload -> <=100 MB heap).
+        self.memo_chars = 128
+        self.memo_entries = 25_000
+        self._memo: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -384,36 +394,46 @@ class ExtractStage:
         tag_c: List[list] = []
         men_c: List[list] = []
         sec_c: List[list] = []
+        memo = self._memo
         for raw in texts:
             raw = raw or ""
-            text = strip_markup(raw) if self.strip else raw
-            lang = detect_language(text)
-            doc = segment_text(text, self.newlines)
-            sents, toks = schema.doc_to_row_lists(doc)
-            tagger = self.taggers.get(lang or "en", self.taggers["en"])
-            labels, confs = tagger.tag_sentences(doc.sentences)
-            if not self.lean:
-                bio2 = bioes_to_bio2(labels)
-                tags = [
-                    {"bio2": b2, "bioes": be, "type": "GENERIC" if be != "O" else "", "confidence": c}
-                    for b2, be, c in zip(bio2, labels, confs)
-                ]
-                tag_c.append(tags)
-            mentions = mentions_from_bioes(
-                [s.tokens for s in doc.sentences],
-                labels,
-                confidences=confs,
-                source="PRED",
-            )
-            if self.gaz is not None:
-                mentions = mentions + self.gaz.annotate(text, doc.tokens())
-            if self.resolve_mentions and mentions:
-                from ..core.annotations import resolve_sources
+            cacheable = len(raw) <= self.memo_chars
+            row = memo.get(raw) if cacheable else None
+            if row is None:
+                text = strip_markup(raw) if self.strip else raw
+                lang = detect_language(text)
+                doc = segment_text(text, self.newlines)
+                sents, toks = schema.doc_to_row_lists(doc)
+                tagger = self.taggers.get(lang or "en", self.taggers["en"])
+                labels, confs = tagger.tag_sentences(doc.sentences)
+                if self.lean:
+                    tags = None
+                else:
+                    bio2 = bioes_to_bio2(labels)
+                    tags = [
+                        {"bio2": b2, "bioes": be, "type": "GENERIC" if be != "O" else "", "confidence": c}
+                        for b2, be, c in zip(bio2, labels, confs)
+                    ]
+                mentions = mentions_from_bioes(
+                    [s.tokens for s in doc.sentences],
+                    labels,
+                    confidences=confs,
+                    source="PRED",
+                )
+                if self.gaz is not None:
+                    mentions = mentions + self.gaz.annotate(text, doc.tokens())
+                if self.resolve_mentions and mentions:
+                    from ..core.annotations import resolve_sources
 
-                mentions = resolve_sources(mentions, priority=("SILVER", "PRED"))
-            secs = self.sections._sections_for(doc)
+                    mentions = resolve_sources(mentions, priority=("SILVER", "PRED"))
+                secs = self.sections._sections_for(doc)
+                row = (text, lang, sents, toks, tags, mentions, secs)
+                if cacheable and len(memo) < self.memo_entries:
+                    memo[raw] = row
+            text, lang, sents, toks, tags, mentions, secs = row
             if not self.lean:
                 clean_c.append(text)
+                tag_c.append(tags)
             lang_c.append(lang)
             sent_c.append(sents)
             tok_c.append(toks)
