@@ -936,6 +936,32 @@ def _q_line_dedup(sf_dir: str):
     return out.sort(["conv_id", "turn_idx"])
 
 
+def _q_boilerplate_lines(sf_dir: str):
+    """Heavy-hitter boilerplate extraction: the corpus-wide duplicated-
+    line set (bounded by total_lines/min_count) as a first-class result."""
+    import ray.data
+
+    from texoo_ray.stages.dedup import duplicated_lines
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir), columns=["text"])
+    out = duplicated_lines(ds, min_count=31)
+    return out.sort(["cnt", "line"], descending=[True, False])
+
+
+def _q_intra_line_dedup(sf_dir: str):
+    """Within-document repeated-line removal (keep first occurrence):
+    row-local, zero shuffle."""
+    import ray.data
+
+    from texoo_ray.stages.dedup import intra_doc_line_dedup
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    out = intra_doc_line_dedup(ds, keep_cols=["conv_id", "turn_idx"])
+    return out.sort(["conv_id", "turn_idx"])
+
+
 def _q_lm_score(sf_dir: str):
     """CCNet-style bigram LM scoring: the model is trained on the corpus
     (distributed unigram/bigram counts), assembled by a vocab-bounded
@@ -1480,6 +1506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
         "line_dedup": _q_line_dedup,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "intra_line_dedup": _q_intra_line_dedup,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1942,6 +1970,44 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT doc_id, word, tf, df, tfidf_micro FROM r WHERE rn <= 5
+        """,
+        "boilerplate_lines": """
+            WITH t0 AS (
+              SELECT str_split(text, chr(10)) AS arr
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            ), l AS (
+              SELECT unnest(arr) AS line FROM t0
+            )
+            SELECT line, count(*)::BIGINT AS cnt
+            FROM l GROUP BY line HAVING count(*) >= 31
+            ORDER BY cnt DESC, line ASC
+        """,
+        "intra_line_dedup": """
+            WITH t0 AS (
+              SELECT conv_id, turn_idx, str_split(text, chr(10)) AS arr
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            ), ll AS (
+              SELECT conv_id, turn_idx, idx, arr[idx] AS line
+              FROM (SELECT conv_id, turn_idx, arr,
+                           unnest(range(1, len(arr) + 1)) AS idx
+                    FROM t0)
+            ), fst AS (
+              SELECT conv_id, turn_idx, idx, line,
+                     row_number() OVER (PARTITION BY conv_id, turn_idx, line
+                                        ORDER BY idx) AS rn
+              FROM ll
+            ), agg AS (
+              SELECT conv_id, turn_idx,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                     count(*)::BIGINT AS n_kept
+              FROM fst WHERE rn = 1 GROUP BY conv_id, turn_idx
+            )
+            SELECT t0.conv_id, t0.turn_idx,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
+            ORDER BY conv_id, turn_idx
         """,
         "line_dedup": """
             WITH t0 AS (

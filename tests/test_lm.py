@@ -78,6 +78,26 @@ class TestLineDedup:
         assert (out["n_kept"] == 0).all() and (out["n_removed"] == 1).all()
 
 
+class TestIntraDocLineDedup:
+    def test_keep_first_order_preserved(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import intra_doc_line_dedup
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a\nb\na\nc\nb", "x"]),
+                }
+            )
+        )
+        out = intra_doc_line_dedup(ds).to_pandas().set_index("doc_id")
+        assert out.loc[1, "clean_text"] == "a\nb\nc"
+        assert out.loc[1, "n_kept"] == 3 and out.loc[1, "n_removed"] == 2
+        assert out.loc[2, "clean_text"] == "x" and out.loc[2, "n_removed"] == 0
+
+
 class TestNgramLogprob:
     def test_hand_computed_scores(self, ray_session):
         from texoo_ray.stages.lm import ngram_logprob

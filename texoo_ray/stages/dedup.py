@@ -1003,6 +1003,36 @@ def duplicated_lines(ds, text_col: str = "text", min_count: int = 31):
     return agg.filter(expr="cnt >= %d" % int(min_count))
 
 
+def intra_doc_line_dedup(ds, text_col: str = "text", keep_cols: Optional[List[str]] = None):
+    """Order-preserving keep-first removal of lines repeated WITHIN each
+    document (Gopher-style repetition cleanup, complementary to the
+    corpus-wide ``line_dedup``): purely row-local, zero shuffle.
+
+    Returns Dataset[keep_cols + (clean_text, n_kept, n_removed)]."""
+    keep_cols = list(keep_cols or ["doc_id"])
+
+    def strip(batch: pa.Table) -> pa.Table:
+        cleans, kept, removed = [], [], []
+        for t in batch[text_col].to_pylist():
+            lines = (t or "").split("\n")
+            seen = set()
+            keep = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    keep.append(ln)
+            cleans.append("\n".join(keep))
+            kept.append(len(keep))
+            removed.append(len(lines) - len(keep))
+        cols = {c: batch[c] for c in keep_cols}
+        cols["clean_text"] = pa.array(cleans, pa.string())
+        cols["n_kept"] = pa.array(kept, pa.int64())
+        cols["n_removed"] = pa.array(removed, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
 def line_dedup(
     ds,
     max_occurrences: int = 30,
