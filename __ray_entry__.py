@@ -738,6 +738,105 @@ def _q_purchase_attribution(sf_dir: str):
     return out
 
 
+def _q_clicks_before_purchase(sf_dir: str):
+    """Time-bounded range-aggregate join (LEFT JOIN ... ON ts BETWEEN
+    oracle): for each purchase, the count and cent-sum of the same
+    user's clicks in the preceding hour. One hash exchange on user_id;
+    per-group double-searchsorted + prefix-sum window resolution
+    (pipelines/joins.py::range_agg_join)."""
+    from texoo_ray.pipelines.joins import range_agg_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    out = range_agg_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        left_cols=["event_id"],
+        window_us=3_600_000_000,
+        right_value_col="value",
+    )
+    return out.sort("event_id")
+
+
+def _q_customers_no_open_orders(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS oracle): customers with no
+    open ('O') order. Big-big shape — the right side is reduced to
+    distinct keys per batch, then ONE hash exchange co-locates both
+    sides (pipelines/joins.py::anti_join); no broadcast of either
+    table. Account balance is stabilized to integer cents."""
+    from texoo_ray.pipelines.joins import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["c_acctbal"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "acctbal_cents": c,
+            }
+        )
+
+    cust = cust.map_batches(cents, batch_format="pyarrow")
+    open_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'O'"
+    )
+
+    def as_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"]})
+
+    right = open_orders.map_batches(as_key, batch_format="pyarrow")
+    out = anti_join(
+        cust, right, key="c_custkey", left_cols=["c_name", "acctbal_cents"]
+    )
+    return out.sort("c_custkey")
+
+
+def _q_rolling_value_sum(sf_dir: str):
+    """Per-key rolling ROWS window (SQL window-function oracle): each
+    event's 5-row trailing cent-sum per user, ordered by (ts, event_id).
+    One hash exchange; per-group prefix-sum difference, no global sort
+    (pipelines/analytics.py::rolling_window_sum)."""
+    from texoo_ray.pipelines.analytics import rolling_window_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return rolling_window_sum(ds, preceding=4).sort("event_id")
+
+
+def _q_doc_len_quantiles(sf_dir: str):
+    """Per-group EXACT quantiles (percentile_disc ... GROUP BY oracle)
+    via the grouped histogram-inversion shape — only the (lang, len)
+    histogram is ever collected (pipelines/analytics.py::
+    grouped_quantiles)."""
+    from texoo_ray.pipelines.analytics import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantiles(ds, "lang", "n_chars")
+
+
+def _q_order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP in one pass (DuckDB ROLLUP oracle): finest-level
+    partial aggregation per batch rolled up locally to all three levels,
+    one small global groupby (pipelines/relational.py::order_rollup)."""
+    from texoo_ray.pipelines.relational import order_rollup
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return order_rollup(ds)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrubbing (emails/IPv4/phones -> placeholder tokens), fully
     vectorized in Arrow RE2; hash-checked against DuckDB regexp_replace
@@ -1513,6 +1612,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "curate_training_set": _q_curate_training_set,
         "purchase_attribution": _q_purchase_attribution,
+        "clicks_before_purchase": _q_clicks_before_purchase,
+        "customers_no_open_orders": _q_customers_no_open_orders,
+        "rolling_value_sum": _q_rolling_value_sum,
+        "doc_len_quantiles": _q_doc_len_quantiles,
+        "order_rollup": _q_order_rollup,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
         "token_budget": _q_token_budget,
@@ -2144,6 +2248,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, rank, vec_id FROM r WHERE rank <= 3
             ORDER BY qid, rank
+        """,
+        "clicks_before_purchase": """
+            SELECT p.event_id, p.user_id,
+                   count(c.event_id)::BIGINT AS n_in_window,
+                   COALESCE(SUM(CAST(floor(c.value * 100 + 0.5) AS BIGINT)), 0)::BIGINT
+                     AS sum_cents_in_window
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
+        """,
+        "customers_no_open_orders": """
+            SELECT c_custkey, c_name,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+            )
+            ORDER BY c_custkey
+        """,
+        "rolling_value_sum": """
+            SELECT event_id, user_id,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )::BIGINT AS roll_cents
+            FROM events
+            ORDER BY event_id
+        """,
+        "doc_len_quantiles": """
+            WITH t AS (SELECT lang, n_chars FROM documents),
+            qs AS (
+              SELECT lang, 0.25 AS q,
+                     percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS n_chars
+              FROM t GROUP BY lang
+              UNION ALL
+              SELECT lang, 0.5,
+                     percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)::BIGINT
+              FROM t GROUP BY lang
+              UNION ALL
+              SELECT lang, 0.75,
+                     percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)::BIGINT
+              FROM t GROUP BY lang
+              UNION ALL
+              SELECT lang, 0.95,
+                     percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)::BIGINT
+              FROM t GROUP BY lang
+            )
+            SELECT * FROM qs ORDER BY lang, q
+        """,
+        "order_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                     AS total_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
         """,
         "knn_ivf": """
             WITH q AS (

@@ -141,3 +141,117 @@ def test_purchase_attribution_matches_duckdb(ray_session, tmp_path):
     for col in ["click_id", "gap_us"]:
         a, b = ours[col], oracle[col]
         assert bool(((a.isna() & b.isna()) | (a == b)).all()), col
+
+
+def test_range_agg_join_boundaries(ray_session):
+    from texoo_ray.pipelines.joins import range_agg_join
+
+    left = _mk(
+        [(1, 7, 100), (2, 7, 200), (3, 8, 100)],
+        ["lid", "k", "t"],
+        [pa.int64(), pa.int64(), pa.int64()],
+    )
+    # window 50: [t-50, t)
+    right = _mk(
+        [
+            (21, 7, 50, 1.0),   # == 100-50 -> included for lid=1
+            (22, 7, 100, 2.0),  # == left ts -> EXCLUDED for lid=1
+            (23, 7, 199, 4.0),  # in window for lid=2
+            (24, 9, 10, 8.0),   # right-only key dropped
+        ],
+        ["rid", "k", "t", "val"],
+        [pa.int64(), pa.int64(), pa.int64(), pa.float64()],
+    )
+    out = (
+        range_agg_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            key="k", ts_col="t", left_cols=["lid"],
+            window_us=50, right_value_col="val",
+        )
+        .sort("lid")
+        .to_pandas()
+        .set_index("lid")
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_in_window"] == 1          # only rid=21
+    assert out.loc[1, "sum_cents_in_window"] == 100
+    assert out.loc[2, "n_in_window"] == 1          # window [150,200): only rid=23
+    assert out.loc[2, "sum_cents_in_window"] == 400
+    assert out.loc[3, "n_in_window"] == 0          # key 8: no right rows
+    assert out.loc[3, "sum_cents_in_window"] == 0
+
+
+def test_range_agg_join_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from texoo_ray.pipelines.joins import range_agg_join
+
+    rng = np.random.RandomState(11)
+    n = 500
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 20, n), pa.int64()),
+            "t": pa.array(rng.randint(0, 10_000, n), pa.int64()),
+            "kind": pa.array(rng.choice(["l", "r"], n), pa.string()),
+            "value": pa.array(np.round(rng.rand(n) * 100, 2), pa.float64()),
+        }
+    )
+    p = str(tmp_path / "rj.parquet")
+    pq.write_table(tbl, p)
+    ds = ray.data.read_parquet(p)
+    ours = (
+        range_agg_join(
+            ds.filter(expr="kind == 'l'").select_columns(["event_id", "user_id", "t"]),
+            ds.filter(expr="kind == 'r'").select_columns(["event_id", "user_id", "t", "value"]),
+            key="user_id", ts_col="t", left_cols=["event_id"],
+            window_us=500, right_value_col="value",
+        )
+        .sort("event_id")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    oracle = duckdb.sql(
+        f"""
+        SELECT l.event_id,
+               count(r.event_id)::BIGINT AS n_in_window,
+               COALESCE(SUM(CAST(floor(r.value*100+0.5) AS BIGINT)),0)::BIGINT AS s
+        FROM (SELECT * FROM '{p}' WHERE kind='l') l
+        LEFT JOIN (SELECT * FROM '{p}' WHERE kind='r') r
+          ON r.user_id = l.user_id AND r.t >= l.t - 500 AND r.t < l.t
+        GROUP BY l.event_id ORDER BY l.event_id
+        """
+    ).df()
+    assert len(ours) == len(oracle) > 0
+    assert (ours["n_in_window"].values == oracle["n_in_window"].values).all()
+    assert (ours["sum_cents_in_window"].values == oracle["s"].values).all()
+
+
+def test_anti_and_semi_join(ray_session):
+    from texoo_ray.pipelines.joins import anti_join
+
+    left = _mk(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        ["k", "pay"],
+        [pa.int64(), pa.string()],
+    )
+    right = _mk(
+        [(2, 0), (2, 1), (4, 2), (9, 3)],  # dup right keys + right-only key
+        ["k", "junk"],
+        [pa.int64(), pa.int64()],
+    )
+    l = ray.data.from_arrow(left).repartition(2)
+    r = ray.data.from_arrow(right).repartition(3)
+    anti = anti_join(l, r, key="k", left_cols=["pay"]).sort("k").to_pandas()
+    assert list(anti["k"]) == [1, 3] and list(anti["pay"]) == ["a", "c"]
+    semi = anti_join(l, r, key="k", left_cols=["pay"], semi=True).sort("k").to_pandas()
+    assert list(semi["k"]) == [2, 4]
+    # left duplicates survive an anti/semi join untouched
+    l2 = ray.data.from_arrow(
+        _mk([(1, "x"), (1, "y")], ["k", "pay"], [pa.int64(), pa.string()])
+    )
+    out = anti_join(l2, r, key="k", left_cols=["pay"]).sort("pay").to_pandas()
+    assert list(out["pay"]) == ["x", "y"]

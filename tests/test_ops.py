@@ -396,3 +396,117 @@ class TestCuration:
         assert out["n_words"].tolist() == [9, 6]
         # BPE-ish tokens: same as words here (no punctuation)
         assert out["n_bpe_tokens"].tolist() == [9, 6]
+
+
+def test_rolling_window_sum_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from texoo_ray.pipelines.analytics import rolling_window_sum
+
+    rng = np.random.RandomState(3)
+    n = 600
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 15, n), pa.int64()),
+            "ts": pa.array(
+                rng.randint(0, 10**8, n).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "value": pa.array(np.round(rng.rand(n) * 50 - 10, 2), pa.float64()),
+        }
+    )
+    p = str(tmp_path / "roll.parquet")
+    pq.write_table(tbl, p)
+    ours = (
+        rolling_window_sum(ray.data.read_parquet(p), preceding=4)
+        .sort("event_id")
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""
+        SELECT event_id,
+               SUM(CAST(floor(value*100+0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::BIGINT AS roll_cents
+        FROM '{p}' ORDER BY event_id
+        """
+    ).df()
+    assert (ours["roll_cents"].values == oracle["roll_cents"].values).all()
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from texoo_ray.pipelines.analytics import grouped_quantiles
+
+    rng = np.random.RandomState(5)
+    n = 800
+    tbl = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n), pa.string()),
+            "v": pa.array(rng.randint(0, 200, n), pa.int64()),
+        }
+    )
+    p = str(tmp_path / "gq.parquet")
+    pq.write_table(tbl, p)
+    ours = grouped_quantiles(
+        ray.data.read_parquet(p).repartition(4), "g", "v"
+    ).reset_index(drop=True)
+    oracle = duckdb.sql(
+        f"""
+        WITH t AS (SELECT g, v FROM '{p}')
+        SELECT g, q, pv FROM (
+          SELECT g, 0.25 AS q, percentile_disc(0.25) WITHIN GROUP (ORDER BY v)::BIGINT pv FROM t GROUP BY g
+          UNION ALL
+          SELECT g, 0.5, percentile_disc(0.5) WITHIN GROUP (ORDER BY v)::BIGINT FROM t GROUP BY g
+          UNION ALL
+          SELECT g, 0.75, percentile_disc(0.75) WITHIN GROUP (ORDER BY v)::BIGINT FROM t GROUP BY g
+          UNION ALL
+          SELECT g, 0.95, percentile_disc(0.95) WITHIN GROUP (ORDER BY v)::BIGINT FROM t GROUP BY g
+        ) ORDER BY g, q
+        """
+    ).df()
+    assert list(ours["g"]) == list(oracle["g"])
+    assert (ours["v"].values == oracle["pv"].values).all()
+
+
+def test_order_rollup_levels(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from texoo_ray.pipelines.relational import order_rollup
+
+    rng = np.random.RandomState(9)
+    n = 300
+    tbl = pa.table(
+        {
+            "o_orderpriority": pa.array(rng.choice(["1-HI", "2-LO"], n), pa.string()),
+            "o_orderstatus": pa.array(rng.choice(["O", "F"], n), pa.string()),
+            "o_totalprice": pa.array(np.round(rng.rand(n) * 1000, 2), pa.float64()),
+        }
+    )
+    out = order_rollup(ray.data.from_arrow(tbl).repartition(5)).to_pandas()
+    total = out[out["o_orderpriority"] == "ALL"]
+    assert len(total) == 1 and int(total["n_orders"].iloc[0]) == n
+    fine = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] != "ALL")]
+    mid = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] == "ALL")]
+    # every level sums to the same grand totals
+    assert int(fine["n_orders"].sum()) == n == int(mid["n_orders"].sum())
+    assert (
+        int(fine["total_cents"].sum())
+        == int(mid["total_cents"].sum())
+        == int(total["total_cents"].iloc[0])
+    )
+    # mid level equals the fine level re-aggregated
+    re = fine.groupby("o_orderpriority")["total_cents"].sum()
+    for pr, v in re.items():
+        assert int(mid[mid["o_orderpriority"] == pr]["total_cents"].iloc[0]) == int(v)

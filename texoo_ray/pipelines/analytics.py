@@ -102,6 +102,120 @@ def sliding_windows(ds, size_minutes: int = 60, stride_minutes: int = 30):
     )
 
 
+def rolling_window_sum(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    preceding: int = 4,
+):
+    """Per-key rolling ROWS window (SQL ``SUM(x) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN k PRECEDING AND CURRENT ROW)``):
+    Dataset[(id, key, roll_cents)].
+
+    ONE hash exchange on ``key``; inside each group a stable sort by
+    (ts, id) then a prefix-sum difference computes every window at once
+    — no per-row loop, no global sort.  Values are stabilized to integer
+    cents BEFORE summing (per-row floor(x*100+0.5), then exact int64
+    sums) so the result is bit-equal across engines regardless of float
+    summation order.  Partitioning assumption: one key's rows fit in a
+    group (salt hot keys by time range, replicating ``preceding`` rows
+    across the boundary — SCALE.md).
+    """
+    import numpy as np
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch[value_col], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key: batch[key],
+                id_col: batch[id_col],
+                "__ts": batch[ts_col].cast(pa.int64()),
+                "__cents": cents,
+            }
+        )
+
+    def window(group: pa.Table) -> pa.Table:
+        ts = np.asarray(group["__ts"].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(group[id_col].combine_chunks(), dtype=np.int64)
+        cents = np.asarray(group["__cents"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, ts))
+        c = cents[order]
+        prefix = np.concatenate(([0], np.cumsum(c)))
+        n = len(c)
+        hi = np.arange(1, n + 1)
+        lo = np.maximum(hi - (preceding + 1), 0)
+        roll = prefix[hi] - prefix[lo]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key: group[key].take(pa.array(order)),
+                "roll_cents": pa.array(roll),
+            }
+        )
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str, qs=(0.25, 0.5, 0.75, 0.95)):
+    """EXACT per-group quantiles over an integer domain
+    (``percentile_disc(q) WITHIN GROUP ... GROUP BY group_col``):
+    pandas DataFrame[(group_col, q, value_col)].
+
+    Same histogram-inversion shape as the global quantile query: each
+    batch emits (group, value) partial counts, one small groupby sums
+    them, and the driver inverts the cumulative histogram per group —
+    the data is never sorted or materialized; only the histogram
+    (|groups| x |distinct values| rows, bounded for integer domains)
+    leaves the cluster.  percentile_disc semantics: smallest value whose
+    cumulative count reaches ceil(q*n).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                value_col: pc.cast(batch[value_col], pa.int64()),
+            }
+        )
+        grp = t.group_by([group_col, value_col]).aggregate([(value_col, "count")])
+        return pa.table(
+            {
+                group_col: grp[group_col],
+                value_col: grp[value_col],
+                "n": pc.cast(grp[f"{value_col}_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort([group_col, value_col])
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in hist.groupby(group_col, sort=True):
+        total = int(sub["n"].sum())
+        cum = sub["n"].cumsum()
+        for q in qs:
+            target = math.ceil(q * total)
+            val = int(sub[value_col][cum >= target].iloc[0])
+            rows.append({group_col: g, "q": q, value_col: val})
+    return pd.DataFrame(rows)
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """Session windows per user: Dataset[(user_id, n_sessions, n_events)].
 

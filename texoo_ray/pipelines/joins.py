@@ -159,6 +159,179 @@ def asof_join(
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def range_agg_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str,
+    left_cols: List[str],
+    window_us: int,
+    right_value_col: Optional[str] = None,
+):
+    """Time-bounded range join with aggregation: for every left row,
+    count (and optionally sum, in integer cents) the right rows of the
+    same ``key`` whose timestamp lies in ``[left.ts - window_us,
+    left.ts)``.  LEFT semantics — every left row is emitted, zero-match
+    rows get count 0.
+
+    The naive SQL shape (``JOIN ... ON r.ts BETWEEN l.ts - w AND l.ts``)
+    is a quadratic non-equi join; distributed engines without interval
+    joins re-express it as ONE hash exchange on ``key`` plus a per-group
+    sorted-merge: sort the group's right timestamps once, then two
+    ``searchsorted`` probes per left row give the window as an index
+    interval, and counts/sums fall out of prefix sums — O((|L|+|R|) log
+    |R|) per key, fully vectorized.  Same partitioning assumption as
+    ``asof_join`` (one key's rows fit in one group; salt hot keys by
+    time range with boundary replication — SCALE.md).
+
+    Returns Dataset[key, *left_cols, n_in_window(, sum_cents_in_window)].
+    """
+    left_payload = [c for c in left_cols if c != key]
+    left_schema = left_ds.schema()
+    ltypes = [left_schema.base_schema.field(c).type for c in left_payload]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            key: batch[key],
+            _SIDE: pa.array(np.full(n, 0, dtype=np.int8)),
+            "__ts": batch[ts_col].cast(pa.int64()),
+            "__cents": pa.nulls(n, pa.int64()),
+        }
+        for c in left_payload:
+            cols["L_" + c] = batch[c]
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if right_value_col is None:
+            cents = pa.nulls(n, pa.int64())
+        else:
+            cents = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(batch[right_value_col], 100.0), 0.5)
+                ),
+                pa.int64(),
+            )
+        cols = {
+            key: batch[key],
+            _SIDE: pa.array(np.full(n, 1, dtype=np.int8)),
+            "__ts": batch[ts_col].cast(pa.int64()),
+            "__cents": cents,
+        }
+        for c, typ in zip(left_payload, ltypes):
+            cols["L_" + c] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    out_fields = [(key, left_schema.base_schema.field(key).type)] + [
+        ("L_" + c, t) for c, t in zip(left_payload, ltypes)
+    ]
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        lmask = side == 0
+        nl = int(lmask.sum())
+        if nl == 0:
+            cols = {name: pa.array([], typ) for name, typ in out_fields}
+            cols["n_in_window"] = pa.array([], pa.int64())
+            if right_value_col is not None:
+                cols["sum_cents_in_window"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        ts = _ts_int64(group["__ts"])
+        lt = ts[lmask]
+        rt = ts[~lmask]
+        order = np.argsort(rt, kind="stable")
+        rt_sorted = rt[order]
+        lo = np.searchsorted(rt_sorted, lt - window_us, side="left")
+        hi = np.searchsorted(rt_sorted, lt, side="left")
+        take_l = pa.array(np.flatnonzero(lmask))
+        cols = {key: group[key].take(take_l)}
+        for c in left_payload:
+            cols["L_" + c] = group["L_" + c].take(take_l)
+        cols["n_in_window"] = pa.array((hi - lo).astype(np.int64))
+        if right_value_col is not None:
+            cents = np.asarray(
+                group["__cents"].combine_chunks().fill_null(0), dtype=np.int64
+            )[~lmask][order]
+            prefix = np.concatenate(([0], np.cumsum(cents)))
+            cols["sum_cents_in_window"] = pa.array(prefix[hi] - prefix[lo])
+        return pa.table(cols)
+
+    out = unioned.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [n[2:] if n.startswith("L_") else n for n in batch.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def anti_join(left_ds, right_ds, key: str, left_cols: List[str], semi: bool = False):
+    """Distributed anti-join (``NOT EXISTS``) / semi-join (``EXISTS``)
+    on one key, without broadcasting either side.
+
+    Shape: project the right side to distinct keys PER BATCH (a partial
+    dedup that caps the shuffle at one row per key per block), tag both
+    sides into a union schema, ONE hash exchange on ``key``, and inside
+    each group emit the left rows iff a right row is (semi) / is not
+    (anti) present.  This is the big-big analogue of the broadcast
+    blocklist filter (``ContaminationStage``): use that one when the
+    right side's distinct keys fit in memory, this one when they don't.
+
+    Returns Dataset[key, *left_cols].
+    """
+    left_payload = [c for c in left_cols if c != key]
+    left_schema = left_ds.schema()
+    ltypes = [left_schema.base_schema.field(c).type for c in left_payload]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            key: batch[key],
+            _SIDE: pa.array(np.full(batch.num_rows, 0, dtype=np.int8)),
+        }
+        for c in left_payload:
+            cols["L_" + c] = batch[c]
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch[key].combine_chunks())
+        cols = {
+            key: keys,
+            _SIDE: pa.array(np.full(len(keys), 1, dtype=np.int8)),
+        }
+        for c, typ in zip(left_payload, ltypes):
+            cols["L_" + c] = pa.nulls(len(keys), typ)
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns([key]).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        has_right = bool((side == 1).any())
+        keep = has_right if semi else not has_right
+        lidx = np.flatnonzero(side == 0) if keep else np.array([], dtype=np.int64)
+        take = pa.array(lidx)
+        cols = {key: group[key].take(take)}
+        for c in left_payload:
+            cols["L_" + c] = group["L_" + c].take(take)
+        return pa.table(cols)
+
+    out = unioned.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [n[2:] if n.startswith("L_") else n for n in batch.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def purchase_attribution(events_ds, strict: bool = True):
     """Flagship as-of query: each ``purchase`` event attributed to the
     same user's most recent strictly-earlier ``click``.

@@ -263,3 +263,69 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
         Sum("revenue_cents", alias_name="revenue_cents")
     )
     return out.sort("n_name")
+
+
+def order_rollup(orders_ds):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) in ONE pass:
+    Dataset[(o_orderpriority, o_orderstatus, n_orders, total_cents)]
+    with the super-aggregate levels keyed 'ALL'.
+
+    A rollup is NOT three scans: each batch groups once at the finest
+    level, then rolls those (tiny) partials up to the (priority, ALL)
+    and (ALL, ALL) levels locally — the shuffle carries <= 3x the
+    finest-level cardinality per block (bounded by |priorities| x
+    |statuses|, independent of data size), and one small global groupby
+    finishes all levels together.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(_cents(batch["o_totalprice"]))
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": cents,
+            }
+        )
+        fine = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        levels = [
+            pa.table(
+                {
+                    "o_orderpriority": fine["o_orderpriority"],
+                    "o_orderstatus": fine["o_orderstatus"],
+                    "n_orders": pc.cast(fine["cents_count"], pa.int64()),
+                    "total_cents": fine["cents_sum"],
+                }
+            )
+        ]
+        for keys in (["o_orderpriority"], []):
+            g = fine.group_by(keys).aggregate(
+                [("cents_sum", "sum"), ("cents_count", "sum")]
+            )
+            n = g.num_rows
+            levels.append(
+                pa.table(
+                    {
+                        "o_orderpriority": g["o_orderpriority"]
+                        if keys
+                        else pa.array(["ALL"] * n),
+                        "o_orderstatus": pa.array(["ALL"] * n),
+                        "n_orders": pc.cast(g["cents_count_sum"], pa.int64()),
+                        "total_cents": g["cents_sum_sum"],
+                    }
+                )
+            )
+        return pa.concat_tables(levels)
+
+    return (
+        orders_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort(["o_orderpriority", "o_orderstatus"])
+    )
