@@ -257,3 +257,86 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", n: int = 3) -> pa.
         for w, tc, g, d in zip(tw, top, tn, dn)
     ]
     return batch.append_column("rep_keep", pa.array(keep, pa.bool_()))
+
+
+def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str = "source"):
+    """Cross-source n-gram overlap matrix — the decontamination analytic
+    behind "how much does corpus A leak into corpus B": for every source
+    pair, the number of distinct word ``n``-grams they share.
+    pandas DataFrame[(source_a, source_b, n_shared_ngrams)].
+
+    Shape (no per-gram Python, no quadratic join):
+    1. collect the distinct sources (tiny aggregate) and assign each a
+       BIT in an int64 mask — sources are low-cardinality by definition
+       (cap 63 here; beyond that, span several mask columns),
+    2. each batch emits DISTINCT (md5(ngram), bit) rows — the per-batch
+       dedup caps the shuffle at one row per gram per source per block,
+       and the 16-byte digest is the shuffle-thin gram identity,
+    3. ``groupby((g, bit)).count`` dedupes globally; ``groupby(g).
+       Sum(bit)`` then reconstructs each gram's exact source-set mask
+       (every bit now appears once, so SUM == OR),
+    4. one vectorized pass turns each mask block into a membership
+       matrix B and accumulates the pair-count matrix B^T @ B — the
+       |sources|^2 result is driver-sized, the grams never are.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    srcs = sorted(
+        r[source_col]
+        for r in ds.groupby(source_col).count().take_all()
+    )
+    if len(srcs) > 63:
+        raise ValueError("cross_source_overlap: >63 sources needs multi-column masks")
+    bit_of = {s: 1 << i for i, s in enumerate(srcs)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t, s in zip(batch[text_col].to_pylist(), batch[source_col].to_pylist()):
+            words = (t or "").strip().split()
+            b = bit_of[s]
+            for i in range(len(words) - n + 1):
+                g = hashlib.md5(
+                    " ".join(words[i : i + n]).encode("utf-8")
+                ).digest()
+                seen.add((g, b))
+        if not seen:
+            return pa.table(
+                {"g": pa.array([], pa.binary()), "bit": pa.array([], pa.int64())}
+            )
+        gs, bs = zip(*seen)
+        return pa.table({"g": pa.array(list(gs), pa.binary()), "bit": pa.array(bs, pa.int64())})
+
+    masks = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "bit"])
+        .count()
+        .groupby("g")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+
+    S = len(srcs)
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["mask"].combine_chunks(), dtype=np.int64)
+        B = ((m[:, None] >> np.arange(S)[None, :]) & 1).astype(np.int32)
+        C = B.T @ B
+        a_idx, b_idx = np.triu_indices(S, k=1)
+        cnt = C[a_idx, b_idx].astype(np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "source_a": pa.array([srcs[i] for i in a_idx[keep]], pa.string()),
+                "source_b": pa.array([srcs[j] for j in b_idx[keep]], pa.string()),
+                "n_shared_ngrams": pa.array(cnt[keep]),
+            }
+        )
+
+    out = (
+        masks.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_shared_ngrams", alias_name="n_shared_ngrams"))
+        .sort(["source_a", "source_b"])
+    )
+    return out
