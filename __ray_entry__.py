@@ -868,6 +868,40 @@ def _q_pii_redact(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-window chunking: every doc split into 64-word chunks at
+    stride 48 (overlap 16) — the pre-training long-doc sharding op.
+    Vectorized flat-map (pipelines/curation.py::chunk_documents);
+    hash-checked against a DuckDB LATERAL list-slice oracle."""
+    from texoo_ray.pipelines.curation import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, size=64, stride=48).sort(["doc_id", "chunk_idx"])
+
+
+def _q_props_stats(sf_dir: str):
+    """Semi-structured JSON extraction: pull the integer `k` field out
+    of the events props column with vectorized RE2 and aggregate per
+    event_type (pipelines/analytics.py::props_stats); hash-checked
+    against DuckDB json_extract."""
+    from texoo_ray.pipelines.analytics import props_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return props_stats(ds, key="k")
+
+
+def _q_cross_source_overlap(sf_dir: str):
+    """Cross-source n-gram overlap matrix (decontamination analytic):
+    for every source pair, the count of distinct 8-word n-grams they
+    share.  Bitmask shape — two thin shuffles + vectorized B^T@B pair
+    counting (stages/text_stats.py::cross_source_overlap); hash-checked
+    against a DuckDB LATERAL self-join oracle."""
+    from texoo_ray.stages.text_stats import cross_source_overlap
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    return cross_source_overlap(ds, n=8)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition filters (top-word fraction, duplicate
     3-gram fraction) — per-doc integer stats + the keep verdict, all
@@ -1619,6 +1653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rollup": _q_order_rollup,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
+        "cross_source_overlap": _q_cross_source_overlap,
+        "chunk_documents": _q_chunk_documents,
+        "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "conv_integrity": _q_conv_integrity,
@@ -1910,6 +1947,53 @@ def oracle_sql() -> dict[str, str]:
                   FROM q)
             SELECT doc_id, score, tokens FROM r
             WHERE run <= 20000 ORDER BY doc_id
+        """,
+        "chunk_documents": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS w
+              FROM documents),
+            n AS (SELECT doc_id, w, len(w) AS n,
+                         CASE WHEN len(w) = 0 THEN 0
+                              WHEN len(w) <= 64 THEN 1
+                              ELSE (len(w) - 64 + 47) // 48 + 1 END AS n_chunks
+                  FROM words)
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(w[i*48 + 1 : least(i*48 + 64, n)], ' ')
+                     AS chunk_text,
+                   least(i*48 + 64, n) - i*48 AS n_words_chunk
+            FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+            ORDER BY doc_id, chunk_idx
+        """,
+        "props_stats": r"""
+            WITH x AS (
+              SELECT event_type,
+                     json_extract_string(props, '$.k')::BIGINT AS v
+              FROM events)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(v)::BIGINT AS n_with_key,
+                   sum(v)::BIGINT AS sum_v,
+                   min(v)::BIGINT AS min_v,
+                   max(v)::BIGINT AS max_v
+            FROM x GROUP BY 1 ORDER BY 1
+        """,
+        "cross_source_overlap": r"""
+            WITH words AS (
+              SELECT source,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS w
+              FROM documents),
+            g AS (SELECT DISTINCT source,
+                         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                         w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                         w[i+6] || ' ' || w[i+7] AS gram
+                  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+                  WHERE len(w) >= 8)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared_ngrams
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY source_a, source_b
         """,
         "doc_repetition": r"""
             WITH w AS (

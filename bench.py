@@ -118,6 +118,10 @@ def run_queries() -> dict:
         "html_main_content",
         "layout_main_content",
         "knn_ivf",
+        "clicks_before_purchase",
+        "rolling_value_sum",
+        "cross_source_overlap",
+        "chunk_documents",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -385,3 +385,149 @@ class TestConvIntegrity:
         assert out.loc["rep", "n_role_repeats"] == 1
         assert not out.loc["rep", "starts_with_user"]
         assert out["n_turns"].tolist() == [2, 3, 3]
+
+
+class TestCrossSourceOverlap:
+    def test_known_overlaps(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import cross_source_overlap
+
+        shared = "a b c d e f g h"          # one 8-gram, shared by A and B
+        rows = [
+            ("A", shared + " tail one"),
+            ("A", "unique alpha " + shared),  # same gram again in A: distinct-counted once
+            ("B", "prefix text " + shared),
+            ("B", "totally different words with no overlap at all here"),
+            ("C", "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # no overlap with anyone
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([r[0] for r in rows], pa.string()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(3)
+        out = cross_source_overlap(ds, n=8).to_pandas()
+        # Only the (A, B) pair shares grams; C appears in no pair.
+        assert out[["source_a", "source_b"]].values.tolist() == [["A", "B"]]
+        # Grams of "a b c d e f g h" windows shared by both sides:
+        # A row1: [a..h, b..one(2 windows after)] => windows of row1: 3 grams
+        # Simpler: compute expected via brute force.
+        import itertools
+
+        def grams(t):
+            w = t.split()
+            return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+
+        per_src = {}
+        for s, t in rows:
+            per_src.setdefault(s, set()).update(grams(t))
+        expected = len(per_src["A"] & per_src["B"])
+        assert out["n_shared_ngrams"].tolist() == [expected]
+
+    def test_short_and_empty_docs(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import cross_source_overlap
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["A", "B"], pa.string()),
+                    "text": pa.array(["too short", None], pa.string()),
+                }
+            )
+        )
+        assert cross_source_overlap(ds, n=8).count() == 0
+
+
+class TestChunkDocuments:
+    def _chunks_brute(self, text, size, stride):
+        w = (text or "").split()
+        if not w:
+            return []
+        out = []
+        i = 0
+        idx = 0
+        while True:
+            out.append((idx, " ".join(w[i : i + size]), min(size, len(w) - i)))
+            if i + size >= len(w):
+                break
+            i += stride
+            idx += 1
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import chunk_documents
+
+        texts = [
+            " ".join(f"w{i}" for i in range(n)) for n in (0, 1, 5, 64, 65, 112, 113, 200)
+        ]
+        texts[0] = "   "  # whitespace-only doc: 0 chunks
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(3)
+        out = (
+            chunk_documents(ds, size=64, stride=48)
+            .sort(["doc_id", "chunk_idx"])
+            .to_pandas()
+        )
+        expected = []
+        for d, t in enumerate(texts):
+            for idx, chunk, nw in self._chunks_brute(t, 64, 48):
+                expected.append((d, idx, chunk, nw))
+        got = list(
+            out[["doc_id", "chunk_idx", "chunk_text", "n_words_chunk"]].itertuples(
+                index=False, name=None
+            )
+        )
+        assert got == expected
+
+    def test_bad_params(self, ray_session):
+        import pytest
+
+        from texoo_ray.pipelines.curation import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(None, size=4, stride=8)
+
+
+class TestPropsStats:
+    def test_extract_and_agg(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import props_stats
+
+        rows = [
+            ("click", '{"k": 5}'),
+            ("click", '{"k": -2}'),
+            ("click", '{"other": 1}'),
+            ("view", '{"k": 0}'),
+            ("view", None),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([r[0] for r in rows], pa.string()),
+                    "props": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(2)
+        out = props_stats(ds).to_pandas().set_index("event_type")
+        assert out.loc["click", "n_events"] == 3
+        assert out.loc["click", "n_with_key"] == 2
+        assert out.loc["click", "sum_v"] == 3
+        assert out.loc["click", "min_v"] == -2
+        assert out.loc["click", "max_v"] == 5
+        assert out.loc["view", "n_events"] == 2
+        assert out.loc["view", "n_with_key"] == 1
+        assert out.loc["view", "sum_v"] == 0

@@ -274,3 +274,51 @@ def sessionize(ds, gap_minutes: int = 30):
         .groupby("user_id")
         .map_groups(merge_user, batch_format="pandas")
     )
+
+
+def props_stats(ds, key: str = "k"):
+    """Semi-structured extraction + aggregate: pull the integer field
+    ``key`` out of the JSON ``props`` column (vectorized RE2
+    ``extract_regex``, no per-row json.loads) and aggregate per
+    event_type — n_events, n_with_key, sum/min/max of the value.
+
+    Scale shape: per-batch partial aggregation (one row per event_type
+    per block) before a tiny global groupby — the JSON strings never
+    leave the reading stage.  Returns Dataset sorted by event_type.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    pat = r'"' + key + r'":\s*(?P<v>-?\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.struct_field(
+            pc.extract_regex(pc.fill_null(batch["props"], ""), pat), "v"
+        )
+        vi = pc.cast(v, pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": vi,
+                "has": pc.cast(pc.is_valid(vi), pa.int64()),
+                "one": pa.array([1] * len(batch), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("has", "sum"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        return g.rename_columns(
+            ["event_type", "n_events", "n_with_key", "sum_v", "min_v", "max_v"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_with_key", alias_name="n_with_key"),
+            Sum("sum_v", alias_name="sum_v"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .sort("event_type")
+    )

@@ -244,3 +244,91 @@ def token_budget_select(
         return batch.filter(pc.or_(above, at))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Context-window chunking: split each document's whitespace words
+    into chunks of ``size`` words advancing by ``stride`` (overlap =
+    size - stride), the standard pre-training sharding of long docs
+    into model-context pieces.  A doc with n words emits
+    ``1 + ceil((n - size) / stride)`` chunks (0 if empty); the last
+    chunk may be short.  Returns Dataset[(doc_id, chunk_idx,
+    chunk_text, n_words_chunk)].
+
+    Fully vectorized flat-map — NO Python loop over docs or chunks:
+    Arrow ``utf8_split_whitespace`` -> flatten, mask edge-empties with a
+    cumsum over the list offsets, then one ``take`` with a
+    numpy-composed gather index rebuilds every (overlapping) chunk as a
+    ListArray rejoined by ``binary_join``.  Purely per-batch: streams,
+    no shuffle, no state; output rows/input row ~= n/stride so block
+    sizes stay bounded by the input block size times a small constant.
+    """
+    import numpy as np
+
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        lst = pc.utf8_split_whitespace(
+            pc.fill_null(batch[text_col], "")
+        ).combine_chunks()
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep)
+        # non-empty word count + start offset per doc
+        o = np.asarray(lst.offsets)
+        cum = np.concatenate(
+            [[0], np.cumsum(np.asarray(keep, dtype=np.int64))]
+        )
+        w_start = cum[o[:-1]]
+        n_words = cum[o[1:]] - w_start
+        n_chunks = np.where(
+            n_words == 0,
+            0,
+            np.where(
+                n_words <= size, 1, (n_words - size + stride - 1) // stride + 1
+            ),
+        )
+        total = int(n_chunks.sum())
+        ids = batch[id_col].combine_chunks()
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_words_chunk": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(n_chunks)), n_chunks)
+        excl = np.cumsum(n_chunks) - n_chunks
+        chunk_idx = np.arange(total) - np.repeat(excl, n_chunks)
+        starts = chunk_idx * stride
+        ends = np.minimum(starts + size, n_words[doc_idx])
+        lengths = ends - starts
+        cl = np.cumsum(lengths)
+        gidx = (
+            np.arange(int(cl[-1]))
+            - np.repeat(cl - lengths, lengths)
+            + np.repeat(w_start[doc_idx] + starts, lengths)
+        )
+        chunk_words = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], cl]), pa.int32()),
+            words.take(pa.array(gidx, pa.int64())),
+        )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_idx, pa.int64())),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "chunk_text": pc.binary_join(chunk_words, " "),
+                "n_words_chunk": pa.array(lengths, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
