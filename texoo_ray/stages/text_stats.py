@@ -269,12 +269,16 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
     1. collect the distinct sources (tiny aggregate) and assign each a
        BIT in an int64 mask — sources are low-cardinality by definition
        (cap 63 here; beyond that, span several mask columns),
-    2. each batch emits DISTINCT (md5(ngram), bit) rows — the per-batch
-       dedup caps the shuffle at one row per gram per source per block,
-       and the 16-byte digest is the shuffle-thin gram identity,
-    3. ``groupby((g, bit)).count`` dedupes globally; ``groupby(g).
-       Sum(bit)`` then reconstructs each gram's exact source-set mask
-       (every bit now appears once, so SUM == OR),
+    2. each batch emits DISTINCT (gram-hash128, bit) rows — the
+       per-batch dedup caps the shuffle at one row per gram per source
+       per block.  The gram identity is two independent 64-bit
+       polynomial combines over per-WORD md5 halves: words are
+       dictionary-encoded per batch so md5 runs once per distinct word,
+       and the n-gram windows are pure numpy (no Python loop over
+       grams; window validity masks doc boundaries),
+    3. ``groupby((gh, gl, bit)).count`` dedupes globally; ``groupby(
+       (gh, gl)).Sum(bit)`` then reconstructs each gram's exact
+       source-set mask (every bit now appears once, so SUM == OR),
     4. one vectorized pass turns each mask block into a membership
        matrix B and accumulates the pair-count matrix B^T @ B — the
        |sources|^2 result is driver-sized, the grams never are.
@@ -289,30 +293,70 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
     )
     if len(srcs) > 63:
         raise ValueError("cross_source_overlap: >63 sources needs multi-column masks")
-    bit_of = {s: 1 << i for i, s in enumerate(srcs)}
+    bit_of = {s: np.int64(1 << i) for i, s in enumerate(srcs)}
+    P1, P2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
 
     def partial(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for t, s in zip(batch[text_col].to_pylist(), batch[source_col].to_pylist()):
-            words = (t or "").strip().split()
-            b = bit_of[s]
-            for i in range(len(words) - n + 1):
-                g = hashlib.md5(
-                    " ".join(words[i : i + n]).encode("utf-8")
-                ).digest()
-                seen.add((g, b))
-        if not seen:
-            return pa.table(
-                {"g": pa.array([], pa.binary()), "bit": pa.array([], pa.int64())}
-            )
-        gs, bs = zip(*seen)
-        return pa.table({"g": pa.array(list(gs), pa.binary()), "bit": pa.array(bs, pa.int64())})
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "gl": pa.array([], pa.int64()),
+                "bit": pa.array([], pa.int64()),
+            }
+        )
+        lst = pc.utf8_split_whitespace(
+            pc.fill_null(batch[text_col], "")
+        ).combine_chunks()
+        flat = lst.flatten()
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep).dictionary_encode()
+        codes = np.asarray(words.indices, dtype=np.int64)
+        if len(codes) < n:
+            return empty
+        # md5 once per DISTINCT word in the batch; fancy-index to flat
+        vocab = words.dictionary.to_pylist()
+        vh = np.empty(len(vocab), dtype=np.uint64)
+        vl = np.empty(len(vocab), dtype=np.uint64)
+        for i, w in enumerate(vocab):
+            d = hashlib.md5(w.encode("utf-8")).digest()
+            vh[i] = int.from_bytes(d[:8], "little")
+            vl[i] = int.from_bytes(d[8:], "little")
+        wh, wl = vh[codes], vl[codes]
+        # doc id per flat word position (empty-filtered counts via offsets)
+        o = np.asarray(lst.offsets)
+        cum = np.concatenate([[0], np.cumsum(np.asarray(keep, dtype=np.int64))])
+        n_words = cum[o[1:]] - cum[o[:-1]]
+        doc_of = np.repeat(np.arange(len(n_words)), n_words)
+        # rolling polynomial combine over n positions (uint64 wraparound)
+        m = len(codes) - n + 1
+        gh = np.zeros(m, dtype=np.uint64)
+        gl = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            gh = gh * P1 + wh[j : j + m]
+            gl = gl * P2 + wl[j : j + m]
+        valid = doc_of[: m] == doc_of[n - 1 :]
+        if not valid.any():
+            return empty
+        bits = np.array(
+            [bit_of[s] for s in batch[source_col].to_pylist()], dtype=np.int64
+        )[doc_of[:m][valid]]
+        tr = np.stack(
+            [gh[valid].view(np.int64), gl[valid].view(np.int64), bits], axis=1
+        )
+        tr = np.unique(tr, axis=0)  # per-batch distinct caps the shuffle
+        return pa.table(
+            {
+                "gh": pa.array(tr[:, 0], pa.int64()),
+                "gl": pa.array(tr[:, 1], pa.int64()),
+                "bit": pa.array(tr[:, 2], pa.int64()),
+            }
+        )
 
     masks = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["g", "bit"])
+        .groupby(["gh", "gl", "bit"])
         .count()
-        .groupby("g")
+        .groupby(["gh", "gl"])
         .aggregate(Sum("bit", alias_name="mask"))
     )
 
