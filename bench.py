@@ -6,9 +6,14 @@ deterministic synthetic transcript corpus sized from $GRAFT_SF_DIR
 (default /root/testdata/sf0.1 -> ~700k turns), plus timed operator
 queries over the sf tables. Prints ONE JSON line.
 
---scaling: reruns this script in fresh processes at num_cpus=8 and 32 on
-the SAME corpus (generated+cached beforehand, cache warmed) and reports
-both throughputs and the scaling efficiency (t8/t32)/(32/8).
+--scaling: reruns the headline in fresh processes at num_cpus=8 and 32 on
+the SAME corpus (generated+cached by the first child, warm read untimed)
+and reports both throughputs and the scaling efficiency (t8/t32)/(32/8).
+
+Every timed unit (each headline trial, the query suite) runs in its own
+process + Ray session: identical runs inside one session degrade
+monotonically on this sandbox (accumulated session state), fresh sessions
+repeat within noise — see _spawn.
 
 Env: GRAFT_SF_DIR, RAY_GRAFT_CPUS (default 32).
 """
@@ -139,7 +144,7 @@ def run_queries() -> dict:
     return out
 
 
-def main_bench() -> dict:
+def _ray_session():
     import ray
 
     ray.init(
@@ -152,17 +157,60 @@ def main_bench() -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
 
-    turns_dir = ensure_bench_corpus()
+
+def main_headline_once() -> dict:
+    """One headline run in THIS process's own fresh Ray session."""
+    ray = _ray_session()
+    out = run_headline(ensure_bench_corpus())
+    ray.shutdown()
+    return out
+
+
+def main_queries_once() -> dict:
+    """The operator-query suite in THIS process's own fresh Ray session."""
+    ray = _ray_session()
+    out = run_queries()
+    ray.shutdown()
+    return out
+
+
+def _spawn(flag: str, ncpu: int = None) -> dict:
+    """Run one measurement unit in a FRESH process + Ray session.
+
+    Measured on this sandbox: identical back-to-back headline runs inside
+    ONE Ray session degrade monotonically (76s -> 143s -> 204s; accumulated
+    session state), while fresh sessions repeat within noise (85/69/81s).
+    Every timed unit therefore gets its own process; min-of-trials then
+    actually measures the pipeline, not session age.
+    """
+    env = dict(os.environ)
+    if ncpu is not None:
+        env["RAY_GRAFT_CPUS"] = str(ncpu)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError("bench child %s failed (rc=%d)" % (flag, proc.returncode))
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main_bench() -> dict:
     # Hypervisor steal on this VM adds up to ~25% wall-time noise (noise
-    # only ever ADDS time); min-of-trials is the standard estimator.
+    # only ever ADDS time); min-of-trials in fresh sessions is the
+    # estimator (see _spawn).
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     headline = min(
-        (run_headline(turns_dir) for _ in range(max(1, trials))),
+        (_spawn("--headline-once") for _ in range(max(1, trials))),
         key=lambda r: r["sec"],
     )
-    queries = run_queries()
-    ray.shutdown()
+    queries = _spawn("--queries-once")
 
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
     return {
@@ -178,7 +226,8 @@ def main_bench() -> dict:
 
 
 def main_scaling() -> dict:
-    """Same job in fresh processes at 8 and 32 CPUs; corpus pre-generated.
+    """Headline job in fresh processes at 8 and 32 CPUs (no query suite);
+    corpus generated+cached by the first child, outside its timed region.
 
     Each level runs multiple trials and reports the MINIMUM wall time —
     the standard noise-robust estimator on shared hardware (this sandbox
@@ -187,32 +236,20 @@ def main_scaling() -> dict:
     for transparency.
     """
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_TRIALS="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
     lo, hi = 8, 32
-    trials_lo = [run(lo) for _ in range(2)]
-    trials_hi = [run(hi) for _ in range(3)]
-    r_lo = min(trials_lo, key=lambda r: r["value"])
-    r_hi = min(trials_hi, key=lambda r: r["value"])
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    trials_lo = [_spawn("--headline-once", ncpu=lo) for _ in range(2)]
+    trials_hi = [_spawn("--headline-once", ncpu=hi) for _ in range(3)]
+    r_lo = min(trials_lo, key=lambda r: r["sec"])
+    r_hi = min(trials_hi, key=lambda r: r["sec"])
+    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh ray sessions, min of trials)",
-        "sf": r_lo["sf"],
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "turns": r_lo["turns"],
-        "sec_%d" % lo: r_lo["value"],
-        "sec_%d" % hi: r_hi["value"],
-        "trials_sec_%d" % lo: [r["value"] for r in trials_lo],
-        "trials_sec_%d" % hi: [r["value"] for r in trials_hi],
+        "sec_%d" % lo: r_lo["sec"],
+        "sec_%d" % hi: r_hi["sec"],
+        "trials_sec_%d" % lo: [r["sec"] for r in trials_lo],
+        "trials_sec_%d" % hi: [r["sec"] for r in trials_hi],
         "turns_per_sec_%d" % lo: r_lo["turns_per_sec"],
         "turns_per_sec_%d" % hi: r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
@@ -222,5 +259,9 @@ def main_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
+    elif "--headline-once" in sys.argv:
+        print(json.dumps(main_headline_once()))
+    elif "--queries-once" in sys.argv:
+        print(json.dumps(main_queries_once()))
     else:
         print(json.dumps(main_bench()))

@@ -384,6 +384,18 @@ class ExtractStage:
         self.memo_chars = 128
         self.memo_entries = 25_000
         self._memo: dict = {}
+        # GC hygiene: CPython full (gen-2) collections rescan every cache
+        # entry (memo rows + tokenizer LRUs -> millions of small objects),
+        # and extraction is allocation-heavy, so gen-2 passes fire often
+        # and measured up to ~2x per-batch slowdown as caches fill.
+        # Extraction emits acyclic dicts/lists (refcounting frees them);
+        # freeze the init-time state and push gen-2 out of reach while
+        # keeping young-gen collection for cycle safety.
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(700, 10, 100_000)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
