@@ -1592,6 +1592,79 @@ def _q_media_features(sf_dir: str):
     ).sort("media_id")
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic content-keyed train/val/test split (90/5/5) +
+    per-(split, lang) counts (pipelines/curation.py::hash_split).
+    Duplicate texts land in the same split by construction; hash-checked
+    against the same md5-hex boundary compare in DuckDB."""
+    from texoo_ray.pipelines.curation import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return (
+        hash_split(ds, fractions=(0.9, 0.05))
+        .groupby(["split", "lang"])
+        .count()
+        .rename_columns({"count()": "n_docs"})
+        .sort(["split", "lang"])
+    )
+
+
+def _q_source_mixture(sf_dir: str):
+    """Corpus mixing: resample the 20-source documents table to a
+    4:2:1:...:1 source mixture (src0 4x, src1 2x, rest 1x) with
+    exact-integer hash acceptance (pipelines/curation.py::
+    source_mixture); kept doc ids hash-checked against a DuckDB CTE
+    computing the identical integer plan."""
+    from texoo_ray.pipelines.curation import source_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    weights = {"src%d" % i: (4 if i == 0 else 2 if i == 1 else 1) for i in range(20)}
+    return (
+        source_mixture(ds, weights=weights)
+        .select_columns(["doc_id", "source"])
+        .sort("doc_id")
+    )
+
+
+def _q_source_sample(sf_dir: str):
+    """Deterministic per-source sample: 5 docs per source, ordered by
+    content hash (grouped_topk with capped shuffle volume —
+    stages/retrieval.py); hash-checked against a ROW_NUMBER oracle."""
+    import pyarrow as pa
+    import hashlib
+
+    from texoo_ray.stages.retrieval import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    out = grouped_topk(
+        ds.map_batches(with_hash, batch_format="pyarrow"),
+        group_col="source",
+        k=5,
+        id_col="doc_id",
+        order_by=[("h", "ascending"), ("doc_id", "ascending")],
+    )
+    return out.select_columns(["source", "doc_id"]).sort(["source", "doc_id"])
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids as exact-integer partial sums
+    (stages/knn.py::label_centroids — shuffle is O(blocks x labels x
+    dim), corpus-size independent); hash-checked against a DuckDB
+    LATERAL unnest oracle over the same quantization."""
+    from texoo_ray.stages.knn import label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(ds).sort(["label", "dim"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -1655,6 +1728,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "cross_source_overlap": _q_cross_source_overlap,
         "chunk_documents": _q_chunk_documents,
+        "dataset_split": _q_dataset_split,
+        "source_mixture": _q_source_mixture,
+        "source_sample": _q_source_sample,
+        "label_centroids": _q_label_centroids,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1964,6 +2041,47 @@ def oracle_sql() -> dict[str, str]:
                    least(i*48 + 64, n) - i*48 AS n_words_chunk
             FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "dataset_split": """
+            SELECT CASE WHEN substring(md5(text), 1, 8) < 'e6666666' THEN 'train'
+                        WHEN substring(md5(text), 1, 8) < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1, 2 ORDER BY split, lang
+        """,
+        "source_mixture": """
+            WITH c AS (SELECT source, count(*)::BIGINT AS n_s,
+                              CASE WHEN source = 'src0' THEN 4
+                                   WHEN source = 'src1' THEN 2
+                                   ELSE 1 END::BIGINT AS wt
+                       FROM documents GROUP BY source),
+            tot AS (SELECT sum(wt)::BIGINT AS W FROM c),
+            t AS (SELECT min(n_s * W // wt)::BIGINT AS T FROM c, tot),
+            plan AS (SELECT source, n_s, wt * T // W AS need FROM c, tot, t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN plan USING (source)
+            WHERE CAST(('0x' || substring(md5(d.text), 1, 8))::UBIGINT AS BIGINT)
+                    * plan.n_s < plan.need * 4294967296
+            ORDER BY d.doc_id
+        """,
+        "source_sample": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(text), 1, 8), doc_id) AS rn
+              FROM documents)
+            SELECT source, doc_id FROM r WHERE rn <= 5
+            ORDER BY source, doc_id
+        """,
+        "label_centroids": """
+            SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+                   sum(CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT))::BIGINT
+                     AS sum_q,
+                   count(*)::BIGINT AS n_vecs
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+            GROUP BY 1, 2 ORDER BY label, dim
         """,
         "props_stats": r"""
             WITH x AS (

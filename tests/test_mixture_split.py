@@ -1,0 +1,163 @@
+"""Tests for corpus mixing / splitting / per-source sampling / vector
+centroids (pipelines/curation.py::hash_split/source_mixture,
+stages/retrieval.py::grouped_topk sampling shape, stages/knn.py::
+label_centroids)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+class TestHashSplit:
+    def test_duplicates_colocate_and_boundaries_match(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import hash_split
+
+        rows = [(i, "doc text %d" % (i % 40), "s") for i in range(120)]
+        ds = ray.data.from_arrow(_docs_table(rows)).repartition(4)
+        out = hash_split(ds, fractions=(0.6, 0.2)).to_pandas()
+        assert set(out["split"]) <= {"train", "val", "test"}
+        # duplicate texts (i % 40 collides) always share a split
+        per_text = out.groupby("text")["split"].nunique()
+        assert (per_text == 1).all()
+        # membership equals the Python-side md5 boundary compare
+        b1 = format(int(0.6 * 16**8), "08x")
+        b2 = format(int(0.8 * 16**8), "08x")
+        for t, s in zip(out["text"], out["split"]):
+            h = hashlib.md5(t.encode()).hexdigest()[:8]
+            expect = "train" if h < b1 else ("val" if h < b2 else "test")
+            assert s == expect
+
+
+class TestSourceMixture:
+    def test_uniform_weights_downsample_to_min(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import source_mixture
+
+        rows = [(i, "a text %d" % i, "A") for i in range(40)] + [
+            (100 + i, "b text %d" % i, "B") for i in range(10)
+        ]
+        ds = ray.data.from_arrow(_docs_table(rows)).repartition(3)
+        out = source_mixture(ds).to_pandas()
+        # plan: W=2, T=min(40*2//1, 10*2//1)=20, need=1*20//2=10 each
+        for _, r in out.iterrows():
+            n_s = 40 if r["source"] == "A" else 10
+            h32 = int(
+                hashlib.md5(
+                    ("a text %d" % r["doc_id"]).encode()
+                    if r["source"] == "A"
+                    else ("b text %d" % (r["doc_id"] - 100)).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            assert h32 * n_s < 10 * 4294967296
+        # B's acceptance rate is need/n_s = 1.0 -> all 10 B docs kept
+        assert (out["source"] == "B").sum() == 10
+        # A is hash-thinned toward 10 (binomial; bounded well below 40)
+        assert 1 <= (out["source"] == "A").sum() <= 25
+
+    def test_zero_weight_drops_source(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import source_mixture
+
+        rows = [(i, "t%d" % i, "A") for i in range(10)] + [
+            (50 + i, "u%d" % i, "B") for i in range(10)
+        ]
+        ds = ray.data.from_arrow(_docs_table(rows))
+        out = source_mixture(ds, weights={"A": 1}).to_pandas()
+        assert set(out["source"]) <= {"A"}
+        assert len(out) == 10  # rate A = need/n = 10/10 = 1.0
+
+
+class TestSourceSample:
+    def test_exactly_k_per_source_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.retrieval import grouped_topk
+
+        rows = [
+            (s * 100 + i, "text %d %d" % (s, i), "src%d" % s)
+            for s in range(3)
+            for i in range(10)
+        ]
+        tbl = _docs_table(rows)
+
+        def with_hash(batch: pa.Table) -> pa.Table:
+            h = [
+                hashlib.md5((t or "").encode()).hexdigest()[:8]
+                for t in batch["text"].to_pylist()
+            ]
+            return batch.append_column("h", pa.array(h, pa.string()))
+
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = (
+            grouped_topk(
+                ds.map_batches(with_hash, batch_format="pyarrow"),
+                group_col="source",
+                k=2,
+                id_col="doc_id",
+                order_by=[("h", "ascending"), ("doc_id", "ascending")],
+            )
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+        )
+        expect = {}
+        for did, t, s in rows:
+            expect.setdefault(s, []).append(
+                (hashlib.md5(t.encode()).hexdigest()[:8], did)
+            )
+        want = sorted(
+            (s, did)
+            for s, lst in expect.items()
+            for _, did in sorted(lst)[:2]
+        )
+        assert list(map(tuple, out[["source", "doc_id"]].values)) == want
+
+
+class TestLabelCentroids:
+    def test_exact_integer_sums_block_invariant(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.knn import label_centroids
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(50, 4)).astype(np.float32)
+        labels = (np.arange(50) % 3).astype(np.int64)
+        tbl = pa.table(
+            {
+                "label": pa.array(labels, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        q = np.floor(vecs.astype(np.float64) * (1 << 20) + 0.5).astype(np.int64)
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = (
+                label_centroids(ds)
+                .to_pandas()
+                .sort_values(["label", "dim"])
+                .reset_index(drop=True)
+            )
+            for lab in range(3):
+                mask = labels == lab
+                sub = out[out["label"] == lab]
+                assert sub["n_vecs"].tolist() == [int(mask.sum())] * 4
+                assert sub["sum_q"].tolist() == q[mask].sum(axis=0).tolist()

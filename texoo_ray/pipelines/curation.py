@@ -332,3 +332,89 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def hash_split(
+    ds,
+    fractions: Tuple[float, float] = (0.9, 0.05),
+    text_col: str = "text",
+):
+    """Attach a deterministic ``split`` column ('train'/'val'/'test') keyed
+    by content hash: ``md5(text)[:8]`` is a uniform 32-bit draw, compared
+    against the cumulative fraction boundaries. A pure function of the row
+    (the reference's ``Dataset.getSplit`` — model/Dataset.java:81-88 — is
+    positional and single-process; content-keyed hashing is the shape that
+    survives re-partitioning and cluster-size changes): no RNG, no
+    coordination, reproducible at any scale, and duplicate texts always
+    land in the SAME split (no train/test leakage from exact dups).
+
+    Boundaries use the same ``format(int(f * 16**8), "08x")`` integer
+    truncation as the DuckDB oracle's hex-substring compare.
+    """
+    b1 = format(int(fractions[0] * 16**8), "08x")
+    b2 = format(int((fractions[0] + fractions[1]) * 16**8), "08x")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        splits = []
+        for t in batch[text_col].to_pylist():
+            h = hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
+            splits.append("train" if h < b1 else ("val" if h < b2 else "test"))
+        return batch.append_column("split", pa.array(splits, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def source_mixture(
+    ds,
+    weights: Dict[str, int] = None,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Resample a multi-source corpus to INTEGER target mixture weights
+    (the data-mixing step of LLM corpus assembly: e.g. web:books:code =
+    4:2:1). Two phases, both scale-safe:
+
+    1. per-source counts — a partial-agg ``groupby(source).count()``
+       collected to the driver (|sources| rows, tiny);
+    2. the largest feasible total T = min_s(n_s * W / w_s) (integer
+       floor) gives per-source keep targets need_s = w_s * T // W; each
+       row is kept iff ``uint32(md5(text)[:8]) * n_s < need_s * 2**32``
+       — an EXACT-integer acceptance test (no float thresholds, so the
+       engine and the SQL oracle agree bit-for-bit), evaluated row-local
+       with the (source -> n_s, need_s) dict broadcast in the closure.
+
+    Unspecified sources get weight 0 (dropped). The kept count per
+    source is binomial around need_s — mixture targets are statistical,
+    membership is deterministic and content-keyed.
+    """
+    counts = {
+        r[source_col]: r["count()"]
+        for r in ds.groupby(source_col).count().take_all()
+    }
+    if weights is None:
+        weights = {s: 1 for s in counts}
+    # weight mass only over sources actually present, so a weights dict
+    # written for the full corpus stays valid on a subset (and matches an
+    # oracle that derives everything from the data)
+    W = sum(w for s, w in weights.items() if s in counts)
+    feasible = [counts[s] * W // w for s, w in weights.items() if w > 0 and s in counts]
+    T = min(feasible) if feasible else 0
+    # source -> (n_s, need_s); acceptance: h32 * n_s < need_s << 32
+    plan = {
+        s: (counts[s], weights.get(s, 0) * T // W)
+        for s in counts
+    }
+
+    def accept(batch: pa.Table) -> pa.Table:
+        keep = []
+        for t, s in zip(
+            batch[text_col].to_pylist(), batch[source_col].to_pylist()
+        ):
+            n_s, need = plan.get(s, (1, 0))
+            h32 = int(
+                hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16
+            )
+            keep.append(h32 * n_s < need * 4294967296)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(accept, batch_format="pyarrow")

@@ -211,3 +211,57 @@ def multi_query_topk(
         .map_groups(topk, batch_format="pyarrow")
         .sort(["query_idx", "rank"])
     )
+
+
+def label_centroids(
+    ds,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+):
+    """Per-label element-wise vector aggregate — the distributed form of
+    the reference's mean-of-sentence-vectors labeling
+    (SectorAnnotator.java:332-363) lifted to corpus scale: one centroid
+    per class over millions of vectors.
+
+    Returns Dataset[(label, dim, sum_q, n_vecs)] where
+    ``sum_q = sum(floor(v * 2**scale_bits + 0.5))`` — elements are
+    quantized to EXACT int64 before summation, so the sum is
+    order-independent (bit-equal across block layouts, cluster sizes,
+    and the SQL oracle; float accumulation is neither). The caller
+    derives ``centroid = sum_q / n_vecs / 2**scale_bits``.
+
+    Scale shape: each batch reduces to at most |labels| x dim partial
+    rows via one vectorized ``np.add.at`` (no Python loop over vectors),
+    and the only shuffle is a ``groupby((label, dim)).Sum`` over those
+    partials — shuffle volume is O(blocks x labels x dim), independent
+    of corpus size.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    scale = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col).astype(np.float64)
+        q = np.floor(mat * scale + 0.5).astype(np.int64)
+        labels = np.asarray(batch[label_col], dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)), pa.int64()),
+                "sum_q": pa.array(sums.reshape(-1), pa.int64()),
+                "n_vecs": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n_vecs", alias_name="n_vecs"))
+    )
