@@ -1665,6 +1665,21 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(ds).sort(["label", "dim"])
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """One exact distributed Lloyd step: label-centroid init
+    (stages/knn.py::label_centroids) -> broadcast integer centroids ->
+    shuffle-free vectorized int64 nearest-centroid assignment
+    (stages/knn.py::kmeans_assign); bit-equal to a DuckDB oracle doing
+    the identical integer arithmetic."""
+    import pyarrow as pa
+
+    from texoo_ray.stages.knn import kmeans_assign, label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    cent = pa.Table.from_pylist(label_centroids(ds).take_all())
+    return kmeans_assign(ds, cent).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -1732,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": _q_source_mixture,
         "source_sample": _q_source_sample,
         "label_centroids": _q_label_centroids,
+        "kmeans_assign": _q_kmeans_assign,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -2082,6 +2098,31 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings,
                  LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
             GROUP BY 1, 2 ORDER BY label, dim
+        """,
+        "kmeans_assign": """
+            WITH cent AS (
+              SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+                     sum(CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT))::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+              GROUP BY 1, 2),
+            cq AS (SELECT label, dim,
+                     ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+                   FROM cent),
+            vq AS (SELECT vec_id, (i - 1)::BIGINT AS dim,
+                     CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+                   FROM embeddings,
+                        LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+            d AS (SELECT vq.vec_id, cq.label,
+                         sum((vq.v - cq.c) * (vq.v - cq.c))::BIGINT AS d2
+                  FROM vq JOIN cq USING (dim) GROUP BY 1, 2),
+            best AS (SELECT vec_id, label, d2,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, label) AS rn
+                     FROM d)
+            SELECT vec_id, label AS assigned_label, d2
+            FROM best WHERE rn = 1 ORDER BY vec_id
         """,
         "props_stats": r"""
             WITH x AS (

@@ -161,3 +161,48 @@ class TestLabelCentroids:
                 sub = out[out["label"] == lab]
                 assert sub["n_vecs"].tolist() == [int(mask.sum())] * 4
                 assert sub["sum_q"].tolist() == q[mask].sum(axis=0).tolist()
+
+
+class TestKmeansAssign:
+    def test_exact_assignment_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.knn import kmeans_assign, label_centroids
+
+        rng = np.random.default_rng(11)
+        # two well-separated clusters + one ambiguous point
+        a = rng.normal(0.0, 0.05, size=(20, 3))
+        b = rng.normal(1.0, 0.05, size=(20, 3))
+        vecs = np.vstack([a, b]).astype(np.float32)
+        labels = np.array([0] * 20 + [1] * 20, dtype=np.int64)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(40), pa.int64()),
+                "label": pa.array(labels, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        cent = pa.Table.from_pylist(label_centroids(ds).take_all())
+        out = (
+            kmeans_assign(ds, cent)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        # brute force in the same integer arithmetic
+        q = np.floor(vecs.astype(np.float64) * (1 << 20) + 0.5).astype(np.int64)
+        cq = np.stack(
+            [
+                (2 * q[labels == l].sum(axis=0) + (labels == l).sum())
+                // (2 * (labels == l).sum())
+                for l in (0, 1)
+            ]
+        )
+        d2 = ((q[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        assert out["assigned_label"].tolist() == d2.argmin(axis=1).tolist()
+        assert out["d2"].tolist() == d2.min(axis=1).tolist()
+        # clusters are separated: assignment reproduces the labels
+        assert (out["assigned_label"].values == labels).all()

@@ -265,3 +265,54 @@ def label_centroids(
         .groupby(["label", "dim"])
         .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n_vecs", alias_name="n_vecs"))
     )
+
+
+def kmeans_assign(
+    ds,
+    centroids: pa.Table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+):
+    """One exact distributed Lloyd assignment step: each vector goes to
+    the nearest centroid, ENTIRELY in int64 arithmetic so the result is
+    bit-equal across block layouts, cluster sizes and the SQL oracle.
+
+    ``centroids`` is the (label, dim, sum_q, n_vecs) table produced by
+    :func:`label_centroids` (driver-sized: labels x dim rows). Each
+    centroid element is rounded to the same 2**scale_bits grid as the
+    vectors via floor((2*sum_q + n) / (2*n)) — exact round-half-up of
+    sum_q/n in pure integer math — and distances are
+    sum((v_q - c_q)^2), which fits int64 (|v_q| ~ 3 * 2^20, squared and
+    summed over <=2^10 dims < 2^63). Ties break to the lowest label
+    (np.argmin takes the first minimum; the oracle orders by (d2,
+    label)).
+
+    Scale shape: the centroid matrix is closure-broadcast (KB-sized);
+    assignment is one stateless vectorized ``map_batches`` — no shuffle
+    at all. Iterating Lloyd = alternate this with
+    :func:`label_centroids` on the assigned label.
+    """
+    t = centroids.sort_by([("label", "ascending"), ("dim", "ascending")])
+    labels = np.unique(np.asarray(t["label"], dtype=np.int64))
+    dim = len(t) // len(labels)
+    s = np.asarray(t["sum_q"], dtype=np.int64).reshape(len(labels), dim)
+    n = np.asarray(t["n_vecs"], dtype=np.int64).reshape(len(labels), dim)
+    cq = (2 * s + n) // (2 * n)  # numpy // floors, matching the oracle
+    scale = float(1 << scale_bits)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col).astype(np.float64)
+        vq = np.floor(mat * scale + 0.5).astype(np.int64)
+        diff = vq[:, None, :] - cq[None, :, :]
+        d2 = np.einsum("ijk,ijk->ij", diff, diff)
+        best = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "assigned_label": pa.array(labels[best], pa.int64()),
+                "d2": pa.array(d2[np.arange(len(best)), best], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
