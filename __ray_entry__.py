@@ -1680,6 +1680,17 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, cent).sort("vec_id")
 
 
+def _q_kmeans_iter2(sf_dir: str):
+    """Two full Lloyd rounds (centroids -> reassign -> centroids ->
+    reassign), every step exact int64 (stages/knn.py::kmeans_iterate):
+    an ITERATIVE distributed algorithm whose whole trajectory
+    hash-matches a DuckDB oracle with the rounds unrolled as CTEs."""
+    from texoo_ray.stages.knn import kmeans_iterate
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    return kmeans_iterate(ds, n_iter=2).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -1748,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_sample": _q_source_sample,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
+        "kmeans_iter2": _q_kmeans_iter2,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -2123,6 +2135,43 @@ def oracle_sql() -> dict[str, str]:
                      FROM d)
             SELECT vec_id, label AS assigned_label, d2
             FROM best WHERE rn = 1 ORDER BY vec_id
+        """,
+        "kmeans_iter2": """
+            WITH vq AS (
+              SELECT vec_id, (i - 1)::BIGINT AS dim,
+                     CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+            init AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+            c1 AS (SELECT init.label, vq.dim, sum(vq.v)::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM vq JOIN init USING (vec_id) GROUP BY 1, 2),
+            q1 AS (SELECT label, dim,
+                     ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+                   FROM c1),
+            d1 AS (SELECT vq.vec_id, q1.label,
+                          sum((vq.v - q1.c) * (vq.v - q1.c))::BIGINT AS d2
+                   FROM vq JOIN q1 USING (dim) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, label
+                   FROM (SELECT vec_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                   ORDER BY d2, label) AS rn
+                         FROM d1) WHERE rn = 1),
+            c2 AS (SELECT a1.label, vq.dim, sum(vq.v)::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM vq JOIN a1 USING (vec_id) GROUP BY 1, 2),
+            q2 AS (SELECT label, dim,
+                     ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+                   FROM c2),
+            d2t AS (SELECT vq.vec_id, q2.label,
+                           sum((vq.v - q2.c) * (vq.v - q2.c))::BIGINT AS d2
+                    FROM vq JOIN q2 USING (dim) GROUP BY 1, 2)
+            SELECT vec_id, label AS assigned_label, d2
+            FROM (SELECT vec_id, label, d2,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, label) AS rn
+                  FROM d2t) WHERE rn = 1
+            ORDER BY vec_id
         """,
         "props_stats": r"""
             WITH x AS (

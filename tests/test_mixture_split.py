@@ -206,3 +206,52 @@ class TestKmeansAssign:
         assert out["d2"].tolist() == d2.min(axis=1).tolist()
         # clusters are separated: assignment reproduces the labels
         assert (out["assigned_label"].values == labels).all()
+
+
+class TestKmeansIterate:
+    def test_two_rounds_reassign_and_converge(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.knn import kmeans_assign, kmeans_iterate, label_centroids
+
+        rng = np.random.default_rng(3)
+        # two tight clusters, but the INIT labels are wrong for 5 points:
+        # round 1 fixes the assignment, round 2 is then a fixpoint
+        a = rng.normal(0.0, 0.02, size=(15, 3))
+        b = rng.normal(1.0, 0.02, size=(15, 3))
+        vecs = np.vstack([a, b]).astype(np.float32)
+        init = np.array([0] * 10 + [1] * 5 + [1] * 15, dtype=np.int64)
+        true = np.array([0] * 15 + [1] * 15, dtype=np.int64)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(30), pa.int64()),
+                "label": pa.array(init, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out2 = (
+            kmeans_iterate(ds, n_iter=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert out2["assigned_label"].tolist() == true.tolist()
+        # one round equals label_centroids + kmeans_assign composed by hand
+        cent = pa.Table.from_pylist(label_centroids(ds).take_all())
+        by_hand = (
+            kmeans_assign(ds, cent)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        out1 = (
+            kmeans_iterate(ds, n_iter=1)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert out1["assigned_label"].tolist() == by_hand["assigned_label"].tolist()
+        assert out1["d2"].tolist() == by_hand["d2"].tolist()

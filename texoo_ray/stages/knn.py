@@ -267,12 +267,25 @@ def label_centroids(
     )
 
 
+def _centroid_matrix(centroids: pa.Table):
+    """(labels, cq) from a label_centroids table: round-half-up integer
+    centroid elements via pure floor arithmetic (matches the oracle's
+    floor-division formula on negatives too)."""
+    t = centroids.sort_by([("label", "ascending"), ("dim", "ascending")])
+    labels = np.unique(np.asarray(t["label"], dtype=np.int64))
+    dim = len(t) // len(labels)
+    s = np.asarray(t["sum_q"], dtype=np.int64).reshape(len(labels), dim)
+    n = np.asarray(t["n_vecs"], dtype=np.int64).reshape(len(labels), dim)
+    return labels, (2 * s + n) // (2 * n)
+
+
 def kmeans_assign(
     ds,
     centroids: pa.Table,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale_bits: int = 20,
+    keep_vec: bool = False,
 ):
     """One exact distributed Lloyd assignment step: each vector goes to
     the nearest centroid, ENTIRELY in int64 arithmetic so the result is
@@ -290,15 +303,10 @@ def kmeans_assign(
 
     Scale shape: the centroid matrix is closure-broadcast (KB-sized);
     assignment is one stateless vectorized ``map_batches`` — no shuffle
-    at all. Iterating Lloyd = alternate this with
-    :func:`label_centroids` on the assigned label.
+    at all. ``keep_vec=True`` carries the vector column through for a
+    following centroid pass (:func:`kmeans_iterate`).
     """
-    t = centroids.sort_by([("label", "ascending"), ("dim", "ascending")])
-    labels = np.unique(np.asarray(t["label"], dtype=np.int64))
-    dim = len(t) // len(labels)
-    s = np.asarray(t["sum_q"], dtype=np.int64).reshape(len(labels), dim)
-    n = np.asarray(t["n_vecs"], dtype=np.int64).reshape(len(labels), dim)
-    cq = (2 * s + n) // (2 * n)  # numpy // floors, matching the oracle
+    labels, cq = _centroid_matrix(centroids)
     scale = float(1 << scale_bits)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -307,12 +315,54 @@ def kmeans_assign(
         diff = vq[:, None, :] - cq[None, :, :]
         d2 = np.einsum("ijk,ijk->ij", diff, diff)
         best = np.argmin(d2, axis=1)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "assigned_label": pa.array(labels[best], pa.int64()),
-                "d2": pa.array(d2[np.arange(len(best)), best], pa.int64()),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "assigned_label": pa.array(labels[best], pa.int64()),
+        }
+        if keep_vec:
+            cols[vec_col] = batch[vec_col]
+        else:
+            cols["d2"] = pa.array(d2[np.arange(len(best)), best], pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_iterate(
+    ds,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_label_col: str = "label",
+    scale_bits: int = 20,
+):
+    """Lloyd's algorithm, distributed and EXACT: alternate
+    :func:`label_centroids` (one pass, tiny integer partial-sum shuffle)
+    and :func:`kmeans_assign` (one shuffle-free broadcast pass) for
+    ``n_iter`` rounds, starting from the ``init_label_col`` seeding.
+
+    The driver loop iterates over PLANS, not data — per round the only
+    driver-side materialization is the labels x dim centroid table
+    (``take_all`` of a KB-sized aggregate). Because every step is int64
+    arithmetic, the trajectory is bit-reproducible at any cluster size
+    and block layout (and SQL-checkable by unrolling the rounds — the
+    ``kmeans_iter2`` oracle does exactly that).
+
+    Returns the final assignment Dataset[(id, assigned_label, d2)].
+    """
+    current, label_col = ds, init_label_col
+    for round_idx in range(n_iter):
+        cent = pa.Table.from_pylist(
+            label_centroids(
+                current, label_col=label_col, vec_col=vec_col, scale_bits=scale_bits
+            ).take_all()
+        )
+        last = round_idx == n_iter - 1
+        nxt = kmeans_assign(
+            ds, cent, vec_col=vec_col, id_col=id_col,
+            scale_bits=scale_bits, keep_vec=not last,
+        )
+        if last:
+            return nxt
+        current, label_col = nxt, "assigned_label"
+    return current
