@@ -127,6 +127,10 @@ def run_queries() -> dict:
         "rolling_value_sum",
         "cross_source_overlap",
         "chunk_documents",
+        "label_centroids",
+        "kmeans_iter2",
+        "source_mixture",
+        "dataset_split",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
