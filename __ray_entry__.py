@@ -1691,6 +1691,28 @@ def _q_kmeans_iter2(sf_dir: str):
     return kmeans_iterate(ds, n_iter=2).sort("vec_id")
 
 
+def _q_event_funnel(sf_dir: str):
+    """Ordered funnel (view -> click-after -> purchase-after): one
+    user-bucket hash exchange + segmented-min numpy chain per bucket
+    (pipelines/analytics.py::event_funnel); hash-checked against a
+    DuckDB chained-min-join oracle."""
+    from texoo_ray.pipelines.analytics import event_funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return event_funnel(ds).sort("step")
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-activity-day cohorts x day
+    offsets, exact distinct-user counts from bucket-local partials —
+    pipelines/analytics.py::cohort_retention); hash-checked against a
+    DuckDB DISTINCT-join oracle."""
+    from texoo_ray.pipelines.analytics import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds).sort(["cohort_day", "day_offset"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -1760,6 +1782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_iter2": _q_kmeans_iter2,
+        "event_funnel": _q_event_funnel,
+        "cohort_retention": _q_cohort_retention,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -2069,6 +2093,32 @@ def oracle_sql() -> dict[str, str]:
                    least(i*48 + 64, n) - i*48 AS n_words_chunk
             FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "event_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+            s1 AS (SELECT user_id, min(t) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
+            SELECT step, event_type, n_users FROM (
+              SELECT 1::BIGINT AS step, 'view' AS event_type,
+                     (SELECT count(*) FROM s1)::BIGINT AS n_users
+              UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+            ORDER BY step
+        """,
+        "cohort_retention": """
+            WITH d AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day FROM events),
+            f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+            a AS (SELECT DISTINCT f.cohort, d.day - f.cohort AS day_offset,
+                         d.user_id
+                  FROM d JOIN f USING (user_id))
+            SELECT cohort::BIGINT AS cohort_day, day_offset::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "dataset_split": """
             SELECT CASE WHEN substring(md5(text), 1, 8) < 'e6666666' THEN 'train'

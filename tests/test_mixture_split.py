@@ -255,3 +255,66 @@ class TestKmeansIterate:
         )
         assert out1["assigned_label"].tolist() == by_hand["assigned_label"].tolist()
         assert out1["d2"].tolist() == by_hand["d2"].tolist()
+
+
+def _events_table(rows):
+    # rows: (user_id, event_type, ts_us)
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+DAY = 86_400_000_000
+
+
+class TestEventFunnel:
+    def test_strict_after_chain(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import event_funnel
+
+        rows = [
+            # user 1: full funnel in order
+            (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+            # user 2: click BEFORE first view -> stops at step 1
+            (2, "click", 50), (2, "view", 100), (2, "purchase", 200),
+            # user 3: view+click, purchase before click -> stops at step 2
+            (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+            # user 4: never views
+            (4, "click", 10), (4, "purchase", 20),
+            # user 5: second click after view counts even if first was before
+            (5, "click", 5), (5, "view", 10), (5, "click", 15), (5, "purchase", 20),
+        ]
+        ds = ray.data.from_arrow(_events_table(rows)).repartition(3)
+        out = event_funnel(ds).to_pandas().sort_values("step")
+        assert out["event_type"].tolist() == ["view", "click", "purchase"]
+        # step1: users 1,2,3,5 viewed. step2 (click strictly after first
+        # view): 1 (200>100), 3 (20>10), 5 (15>10) — NOT 2 (only click is
+        # at 50 < view@100). step3 (purchase strictly after that click):
+        # 1 (300>200), 5 (20>15) — NOT 3 (purchase@15 < click@20).
+        assert out["n_users"].tolist() == [4, 3, 2]
+
+
+class TestCohortRetention:
+    def test_matrix_counts(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import cohort_retention
+
+        rows = [
+            (1, "view", 0 * DAY + 5), (1, "click", 2 * DAY + 5),
+            (2, "view", 0 * DAY + 9), (2, "view", 0 * DAY + 10),
+            (3, "view", 2 * DAY + 1), (3, "error", 3 * DAY),
+        ]
+        ds = ray.data.from_arrow(_events_table(rows)).repartition(2)
+        out = cohort_retention(ds).to_pandas()
+        got = {
+            (r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()
+        }
+        # cohort day0: users 1,2 on offset 0; user 1 again on offset 2
+        # cohort day2: user 3 on offsets 0 and 1
+        assert got == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}

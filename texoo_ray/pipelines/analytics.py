@@ -322,3 +322,113 @@ def props_stats(ds, key: str = "k"):
         )
         .sort("event_type")
     )
+
+
+def _user_buckets(ds, n_buckets: int, user_col: str = "user_id"):
+    """Attach a deterministic bucket from a multiplicative hash of the
+    integer user id. One hash exchange on ``bucket`` then gives every
+    per-user computation ALL of that user's rows in one block, with P
+    map_groups calls total (not one per user) — the same
+    per-group-overhead fix as the shingle bucketing in stages/dedup.py."""
+    import numpy as np
+
+    def add(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[user_col], dtype=np.int64)
+        b = (u * np.int64(2654435761)) % np.int64(n_buckets)
+        return batch.append_column("bucket", pa.array(np.abs(b), pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def event_funnel(ds, steps=("view", "click", "purchase"), n_buckets: int = 64):
+    """Ordered funnel: how many users performed step 1, then step 2
+    STRICTLY AFTER their first step-1 event, then step 3 strictly after
+    that (greedy first-occurrence chain — the standard funnel
+    definition). Returns Dataset[(step, event_type, n_users)].
+
+    Shape: ONE hash exchange co-locates each user's events; inside each
+    bucket the whole chain is segmented-min numpy (np.minimum.at over
+    user slots — no per-user Python); buckets emit |steps| count rows
+    and a final tiny ``groupby(step).Sum`` folds them. Shuffle volume =
+    the events table once, final aggregate is |steps| x buckets rows.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    steps = list(steps)
+    INF = np.int64(1) << 62
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(group["ts"].cast(pa.int64()), dtype=np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        uu, inv = np.unique(u, return_inverse=True)
+        prev = np.full(len(uu), -(INF), dtype=np.int64)  # step 0: no bound
+        counts = []
+        for s in steps:
+            m = np.asarray(pc.equal(et, s)) & (ts > prev[inv])
+            cur = np.full(len(uu), INF, dtype=np.int64)
+            np.minimum.at(cur, inv[m], ts[m])
+            counts.append(int((cur < INF).sum()))
+            prev = cur
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+                "event_type": pa.array(steps, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        _user_buckets(ds.select_columns(["user_id", "event_type", "ts"]), n_buckets)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .groupby(["step", "event_type"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+def cohort_retention(ds, n_buckets: int = 64):
+    """Cohort retention matrix: users grouped by first-activity day;
+    ``n_users`` = distinct users of cohort ``cohort_day`` active
+    ``day_offset`` days later. Returns
+    Dataset[(cohort_day, day_offset, n_users)].
+
+    Shape: the user-bucket exchange co-locates each user's events, so
+    distinct-user counting is EXACT from per-bucket partial counts (a
+    user never spans buckets) — the global aggregate only sums
+    bucket-local (cohort, offset, n) rows, never sees user ids.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(group["ts"].cast(pa.int64()), dtype=np.int64)
+        day = ts // np.int64(86_400_000_000)
+        uu, inv = np.unique(u, return_inverse=True)
+        first = np.full(len(uu), np.int64(1) << 62, dtype=np.int64)
+        np.minimum.at(first, inv, day)
+        pairs = np.unique(np.stack([inv, day], axis=1), axis=0)
+        cohort = first[pairs[:, 0]]
+        off = pairs[:, 1] - cohort
+        keys, n = np.unique(np.stack([cohort, off], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(keys[:, 0], pa.int64()),
+                "day_offset": pa.array(keys[:, 1], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _user_buckets(ds.select_columns(["user_id", "ts"]), n_buckets)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
