@@ -1713,6 +1713,17 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(ds).sort(["cohort_day", "day_offset"])
 
 
+def _q_term_cooccurrence(sf_dir: str):
+    """Top-50 co-occurring frequent-term pairs (collocation counting
+    with bounded pair explosion — stages/text_stats.py::
+    term_cooccurrence); hash-checked against a DuckDB LATERAL self-join
+    oracle with the identical (count, word) tie-break order."""
+    from texoo_ray.stages.text_stats import term_cooccurrence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_cooccurrence(ds, vocab_size=500, top_k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -1784,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_iter2": _q_kmeans_iter2,
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
+        "term_cooccurrence": _q_term_cooccurrence,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -2093,6 +2105,25 @@ def oracle_sql() -> dict[str, str]:
                    least(i*48 + 64, n) - i*48 AS n_words_chunk
             FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "term_cooccurrence": r"""
+            WITH w AS (
+              SELECT DISTINCT doc_id, w0[i] AS word FROM (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')), '\w+') AS w0
+                FROM documents),
+                LATERAL (SELECT unnest(range(1, len(w0) + 1)) AS i)),
+            v AS (SELECT word FROM (SELECT word, count(*) AS c FROM w
+                  GROUP BY 1 ORDER BY c DESC, word LIMIT 500)),
+            wf AS (SELECT doc_id, word FROM w
+                   WHERE word IN (SELECT word FROM v)),
+            p AS (SELECT a.word AS word_a, b.word AS word_b,
+                         count(*)::BIGINT AS n_docs
+                  FROM wf a JOIN wf b
+                    ON a.doc_id = b.doc_id AND a.word < b.word
+                  GROUP BY 1, 2)
+            SELECT word_a, word_b, n_docs FROM p
+            ORDER BY n_docs DESC, word_a, word_b LIMIT 50
         """,
         "event_funnel": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

@@ -318,3 +318,31 @@ class TestCohortRetention:
         # cohort day0: users 1,2 on offset 0; user 1 again on offset 2
         # cohort day2: user 3 on offsets 0 and 1
         assert got == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+class TestTermCooccurrence:
+    def test_pairs_and_order(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import term_cooccurrence
+
+        docs = [
+            "alpha beta gamma",
+            "alpha beta",
+            "alpha beta delta",
+            "gamma delta",
+            "alpha alpha alpha",  # repeats count once per doc
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = term_cooccurrence(ds, vocab_size=10, top_k=3).to_pandas()
+        rows = list(map(tuple, out[["word_a", "word_b", "n_docs"]].values))
+        # (alpha, beta) in docs 0,1,2 -> 3; ties at 1 broken alphabetically
+        assert rows[0] == ("alpha", "beta", 3)
+        assert rows[1] == ("alpha", "delta", 1)
+        assert len(rows) == 3 and all(r[2] >= rows[-1][2] for r in rows)

@@ -384,3 +384,110 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
         .sort(["source_a", "source_b"])
     )
     return out
+
+
+def term_cooccurrence(
+    ds,
+    vocab_size: int = 500,
+    top_k: int = 50,
+    text_col: str = "text",
+):
+    """Top co-occurring frequent-term pairs: among the ``vocab_size``
+    highest-document-frequency words, the ``top_k`` unordered pairs that
+    share the most documents (the counting core of PMI / collocation
+    mining). Returns Dataset[(word_a, word_b, n_docs)], word_a < word_b,
+    ordered by (n_docs desc, word_a, word_b) — a total order, so the
+    cut is deterministic and oracle-checkable.
+
+    Scale shape — pair explosion bounded at every step:
+    1. frequent-vocab pass: per-batch DISTINCT (doc, word) then a
+       ``groupby(word).Sum`` of partial doc-counts; top ``vocab_size``
+       by (count, word) collected ONCE to the driver (vocab-sized) and
+       closure-broadcast;
+    2. pair pass: per doc only vocab members survive, giving <=
+       C(k_doc, 2) index pairs via one triu per doc row-local, and the
+       batch pre-aggregates duplicate pairs (np.unique) before the
+       shuffle — the exchange carries (a, b, n) partials, never docs;
+    3. ``groupby((a, b)).Sum`` then a pair-table-sized sort + limit.
+    """
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.UNICODE)
+
+    def doc_words(batch: pa.Table) -> List[set]:
+        return [
+            set(word_re.findall((t or "").lower()))
+            for t in batch[text_col].to_pylist()
+        ]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for ws in doc_words(batch):
+            for w in ws:
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()
+    )
+    vocab = {r["word"]: i for i, r in enumerate(df)}
+    words_sorted = sorted(vocab, key=lambda w: vocab[w])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pairs: List[np.ndarray] = []
+        for ws in doc_words(batch):
+            idx = np.array(sorted(vocab[w] for w in ws if w in vocab), dtype=np.int64)
+            if len(idx) >= 2:
+                iu, ju = np.triu_indices(len(idx), k=1)
+                pairs.append(idx[iu] * np.int64(len(vocab)) + idx[ju])
+        if not pairs:
+            return pa.table(
+                {
+                    "p": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        keys, n = np.unique(np.concatenate(pairs), return_counts=True)
+        return pa.table(
+            {"p": pa.array(keys, pa.int64()), "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    counted = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["p"], dtype=np.int64)
+        a = p // len(vocab)
+        b = p % len(vocab)
+        # pair keys are by vocab RANK (i < j); present alphabetically so
+        # (word_a < word_b) matches the oracle's a.word < b.word join
+        pairs = [
+            tuple(sorted((words_sorted[i], words_sorted[j])))
+            for i, j in zip(a, b)
+        ]
+        return pa.table(
+            {
+                "word_a": pa.array([x for x, _ in pairs], pa.string()),
+                "word_b": pa.array([y for _, y in pairs], pa.string()),
+                "n_docs": batch["n_docs"],
+            }
+        )
+
+    return (
+        counted.map_batches(decode, batch_format="pyarrow")
+        .sort(["n_docs", "word_a", "word_b"], descending=[True, False, False])
+        .limit(top_k)
+    )
