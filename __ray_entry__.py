@@ -732,9 +732,11 @@ def _q_purchase_attribution(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     out = purchase_attribution(ds).sort("event_id").to_pandas()
-    # stabilize nullable int columns for the cross-engine hash
-    out["click_id"] = out["click_id"].astype("Int64")
-    out["gap_us"] = out["gap_us"].astype("Int64")
+    # Match the oracle's physical dtypes exactly: DuckDB fetchdf() returns
+    # nullable BIGINT as float64-with-NaN, and the driver's value hash is
+    # sensitive to Int64-<NA> vs float64-NaN (the one red row in r2).
+    out["click_id"] = out["click_id"].astype("float64")
+    out["gap_us"] = out["gap_us"].astype("float64")
     return out
 
 
