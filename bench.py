@@ -81,7 +81,12 @@ def run_headline(turns_dir: str) -> dict:
     # actor pool so the last wave isn't mostly idle. The strategy is
     # scoped to the headline — queries run under the default strategy.
     concurrency, prev_shuffle = configure_shuffle(NUM_CPUS, num_partitions=64)
-    num_blocks = max(48, 4 * concurrency)
+    # Keep the map-side block count ~2-3x the actor pool: the hash
+    # exchange cost grows sharply with input block count (measured on the
+    # 2.8M-turn corpus, same epoch: 64 blocks 59-63s, 96 blocks 70-79s,
+    # 128 blocks 139s, 192 blocks 122-158s). 32 also divides the 128
+    # corpus files evenly at small cpu counts (no 1-vs-2-file skew).
+    num_blocks = max(32, 2 * concurrency + 16)
 
     # warm page cache (untimed read) so we measure compute + shuffle
     warm = ray.data.read_parquet(turns_dir).count()

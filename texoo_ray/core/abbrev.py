@@ -55,3 +55,13 @@ def ends_with_abbreviation(text: str) -> bool:
         if len(text) >= n and text[-n:] in ABBREVIATIONS_ALL:
             return True
     return False
+
+
+def ends_with_abbreviation_at(s: str, begin: int, end: int) -> bool:
+    """``ends_with_abbreviation(s[begin:end])`` without slicing the whole
+    sentence — probes only the suffix windows."""
+    span = end - begin
+    for n in ABBREV_LENGTHS:
+        if span >= n and s[end - n : end] in ABBREVIATIONS_ALL:
+            return True
+    return False

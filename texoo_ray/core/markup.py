@@ -35,10 +35,20 @@ def extract_section_markers(text: str) -> List[Tuple[int, str]]:
     return [(int(m.group(1)), m.group(2)) for m in _SECTION_MARKER_RE.finditer(text)]
 
 
+# Any char that could make one of the passes below fire: '<' (tags),
+# '&' (entities), '*' (placeholders), '=' (section markers), '\t' or a
+# double space (multispace collapse), ' \n' (trailing-space drop), or a
+# 3+ newline run. One C scan; when it misses, every sub below is a no-op
+# and the result is exactly text.strip().
+_HINT_RE = re.compile(r"[<&*=\t]|  | \n|\n\n\n")
+
+
 def strip_markup(text: str) -> str:
     """Remove HTML tags/entities, wiki placeholders, and section-marker
     lines; collapse runs of spaces left behind. Newlines are preserved
     (they carry paragraph structure for the NL section heuristic)."""
+    if _HINT_RE.search(text) is None:
+        return text.strip()
     t = _SECTION_MARKER_RE.sub("", text)
     t = _TAG_RE.sub("", t)
     t = _PLACEHOLDER_RE.sub("", t)

@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-from .abbrev import ends_with_abbreviation
+from .abbrev import ends_with_abbreviation, ends_with_abbreviation_at
 
 _EOS_RE = re.compile(r"[.!?\n]")
 
@@ -78,34 +78,73 @@ def _eval_split(s: str, cint: int) -> bool:
 
 
 def sentence_spans(text: str) -> List[Tuple[int, int]]:
-    """Return (begin, end) spans of sentences in ``text``."""
+    """Return (begin, end) spans of sentences in ``text``.
+
+    Hot-path form of the original per-candidate loop (same decisions in
+    the same order, pinned by the sentence fixtures):
+    - ``fws`` (end of the non-ws chunk) is only needed for non-``\\n``
+      candidates (the chunk rule is skipped for newlines),
+    - ``_eval_split`` is inlined so the ``nint`` whitespace scan is shared
+      with the newline-suppression check,
+    - the abbreviation guard runs only for ``.`` candidates — every entry
+      of both abbreviation lists ends with ``./a/g``, so a sentence whose
+      last char is ``! ? \\n`` can never match — and probes suffix windows
+      in place instead of slicing the sentence.
+    """
     s = text
     n = len(s)
     enders = [m.start() for m in _EOS_RE.finditer(s)]
+    n_enders = len(enders)
     positions: List[int] = []
     index = 0
 
-    for i, cint in enumerate(enders):
-        fws = _first_ws(s, cint + 1)
-        if s[cint] != "\n" and i + 1 < len(enders) and enders[i + 1] < fws:
-            continue
+    for i in range(n_enders):
+        cint = enders[i]
+        c = s[cint]
+        is_nl = c == "\n"
+        if not is_nl:
+            fws = _NONWS_RUN_RE.match(s, cint + 1).end()
+            if i + 1 < n_enders and enders[i + 1] < fws:
+                continue
         if positions and cint < positions[-1]:
             continue
 
-        if s[cint] == "\n":
+        if is_nl:
             split = True
         else:
-            split = _eval_split(s, cint)
-            nint = _first_non_ws(s, cint + 1)
-            if nint < n and s[nint] == "\n":
-                split = False
-
-        if split and not ends_with_abbreviation(s[index : cint + 1]):
-            if index != cint:
-                if s[cint] != "\n":
-                    positions.append(_first_non_ws(s, _first_ws(s, cint + 1)))
+            split = True
+            if c == ".":
+                # ellipsis / dot runs never split
+                if cint > 0 and s[cint - 1] == ".":
+                    split = False
                 else:
-                    positions.append(_first_non_ws(s, cint + 1))
+                    # enumeration markers: standalone 1-2 digit run
+                    j = cint
+                    while j > 0 and s[j - 1].isdigit():
+                        j -= 1
+                    ndigits = cint - j
+                    if 1 <= ndigits <= 2 and (j == 0 or s[j - 1].isspace()):
+                        split = False
+            # must be last char or followed by whitespace
+            if split and cint + 1 < n and not s[cint + 1].isspace():
+                split = False
+            if split:
+                nint = _WS_RUN_RE.match(s, cint + 1).end()
+                if nint < n:
+                    nc = s[nint]
+                    # don't split before a lowercase continuation (.)
+                    # nor before a newline (the newline will split)
+                    if nc == "\n" or (c == "." and nc.islower()):
+                        split = False
+
+        if split and (
+            c != "." or not ends_with_abbreviation_at(s, index, cint + 1)
+        ):
+            if index != cint:
+                if is_nl:
+                    positions.append(_WS_RUN_RE.match(s, cint + 1).end())
+                else:
+                    positions.append(_WS_RUN_RE.match(s, fws).end())
             index = cint + 1
 
     if not positions:

@@ -34,7 +34,10 @@ class FeatureTagger:
     def __init__(self, language: str = "en", threshold: float = 0.5):
         self.threshold = threshold
         self.stopwords = STOPWORDS_DE if language == "de" else STOPWORDS_EN
-        self._cache: dict = {}
+        # split position-0 / position>0 score caches: one plain-string dict
+        # get per token on the hot path (no tuple-key allocation)
+        self._cache0: dict = {}
+        self._cache1: dict = {}
 
     def entity_score(self, token: str, position: int) -> float:
         """Deterministic [0,1] evidence that a token is part of a mention."""
@@ -98,20 +101,31 @@ class FeatureTagger:
 
     def _entity_scores(self, tokens: Sequence[str]) -> List[float]:
         T = len(tokens)
-        cache = self._cache
+        c0 = self._cache0
+        c1 = self._cache1
         ent = [0.0] * T
         for i, tok in enumerate(tokens):
-            key = (tok, i > 0)
-            e = cache.get(key)
+            cache = c1 if i else c0
+            e = cache.get(tok)
             if e is None:
-                e = self.entity_score(tok, 1 if i > 0 else 0)
+                e = self.entity_score(tok, 1 if i else 0)
                 if len(cache) < 200_000:
-                    cache[key] = e
+                    cache[tok] = e
             ent[i] = e
-        # connectors join two entity tokens ("University of Oslo")
+        # connectors join two entity tokens ("University of Oslo");
+        # all connectors are <=3 chars, so gate the lower() call on length.
+        # Updates are sequential in i on purpose: a bumped connector can
+        # enable the next one's left-neighbor check (same as the original
+        # in-place loop).
         th = self.threshold
         for i in range(1, T - 1):
-            if tokens[i].lower() in _CONNECTORS and ent[i - 1] >= th and ent[i + 1] >= th:
+            t = tokens[i]
+            if (
+                len(t) <= 3
+                and ent[i - 1] >= th
+                and ent[i + 1] >= th
+                and t.lower() in _CONNECTORS
+            ):
                 ent[i] = th + 0.1
         return ent
 

@@ -157,7 +157,10 @@ def run_extract(
     ds = ray.data.read_parquet(input_path, columns=list(columns) if columns else None)
     ds = extract_turns(ds, lean=drop_heavy, **kwargs)
     if sort_output:
-        ds = ordered(ds)
+        # hash exchange + per-block sort when the hash shuffle strategy is
+        # configured (measured ~8x cheaper reduce CPU than the global
+        # range sort, BASELINE.md); falls back to ordered() otherwise
+        ds = ordered_by_conversation(ds)
     os.makedirs(out_dir, exist_ok=True)
     ds = ds.write_parquet(out_dir)
     import pyarrow.dataset as pads

@@ -349,6 +349,7 @@ class ExtractStage:
         text_col: str = "text",
         lean: bool = False,
         resolve_mentions: bool = False,
+        use_fast: Optional[bool] = None,
     ):
         # lean=True skips the clean_text/tags output columns entirely (the
         # analogue of the reference's clearVectors before serialization,
@@ -384,6 +385,33 @@ class ExtractStage:
         self.memo_chars = 128
         self.memo_entries = 25_000
         self._memo: dict = {}
+        # Vectorized fused core (stages/fast_extract.py): exact under the
+        # KEEP newline policy with NL sections and no source resolution —
+        # the flagship/bench configuration. Other configs (DISCARD's
+        # cross-sentence nlOffset state, embedding section methods,
+        # resolve_mentions) stay on the object path below.
+        eligible = (
+            self.newlines is Newlines.KEEP
+            and section_method == "nl"
+            and not resolve_mentions
+        )
+        if use_fast is None:
+            use_fast = eligible
+        elif use_fast and not eligible:
+            raise ValueError("fast path requires keep/nl/no-resolve config")
+        self._fast = None
+        if use_fast:
+            from .fast_extract import FastExtractor
+
+            self._fast = FastExtractor(
+                self.taggers,
+                self.gaz,
+                lean=self.lean,
+                strip=strip,
+                text_col=text_col,
+                memo_chars=self.memo_chars,
+                memo_entries=self.memo_entries,
+            )
         # GC hygiene: CPython full (gen-2) collections rescan every cache
         # entry (memo rows + tokenizer LRUs -> millions of small objects),
         # and extraction is allocation-heavy, so gen-2 passes fire often
@@ -398,6 +426,8 @@ class ExtractStage:
         gc.set_threshold(700, 10, 100_000)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._fast is not None:
+            return self._fast(batch)
         texts = batch[self.text_col].to_pylist()
         clean_c: List[str] = []
         lang_c: List[str] = []
