@@ -267,6 +267,53 @@ class TestTokenBudgetSelect:
         assert len(token_budget_select(self._ds(docs), budget=100).to_pandas()) == 2
         assert len(token_budget_select(self._ds(docs), budget=2).to_pandas()) == 0
 
+    def test_skewed_boundary_group_recursive_cutoff(self, ray_session):
+        """EVERY doc shares the boundary score — the cutoff search must
+        rank the whole corpus by id without a corpus-sized driver
+        collection. limit=4 forces multiple histogram levels, including
+        a level whose first bucket overflows (accepted_max path)."""
+        from texoo_ray.pipelines.curation import _boundary_cutoff, token_budget_select
+
+        docs = [(i, "w x y") for i in range(1, 41)]  # all score 3, tokens 3
+        # budget 3*7 = 21 -> docs 1..7 fit exactly
+        out = token_budget_select(self._ds(docs), budget=21).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(1, 8))
+        # direct cutoff checks with a tiny limit to exercise recursion
+        import ray.data
+
+        bnd = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(1, 41)), pa.int64()),
+                    "tokens": pa.array([3] * 40, pa.int64()),
+                }
+            )
+        ).repartition(5)
+        assert _boundary_cutoff(bnd, 21, "doc_id", limit=4) == 7
+        assert _boundary_cutoff(bnd, 120, "doc_id", limit=4) == 40  # all fit
+        assert _boundary_cutoff(bnd, 2, "doc_id", limit=4) is None  # none fits
+        assert _boundary_cutoff(bnd, 0, "doc_id", limit=4) is None
+
+    def test_sparse_ids_recursive_cutoff(self, ray_session):
+        """Ids far apart (wide id window, few docs) — histogram levels
+        must still converge and pick the exact prefix."""
+        import ray.data
+
+        from texoo_ray.pipelines.curation import _boundary_cutoff
+
+        ids = [10, 10_000, 3_000_000, 4_000_000_000, 4_000_000_001]
+        bnd = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "tokens": pa.array([5, 5, 5, 5, 5], pa.int64()),
+                }
+            )
+        ).repartition(2)
+        assert _boundary_cutoff(bnd, 15, "doc_id", limit=2) == 3_000_000
+        assert _boundary_cutoff(bnd, 25, "doc_id", limit=2) == 4_000_000_001
+        assert _boundary_cutoff(bnd, 4, "doc_id", limit=2) is None
+
 
 class TestGroupedTopk:
     def test_ties_and_small_groups(self, ray_session):

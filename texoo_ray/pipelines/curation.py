@@ -153,6 +153,88 @@ def curate_training_set(
     return out.select_columns([id_col, stratum_col, "n_words"])
 
 
+def _boundary_cutoff(bnd, residual: int, id_col: str, limit: int = 65536):
+    """Largest ``cutoff`` such that the boundary-score docs with
+    ``id <= cutoff`` have an inclusive running token sum <= ``residual``
+    (ids are unique, ascending rank order); ``None`` when not even the
+    first fits.
+
+    Distributed radix-style selection: repeatedly histogram the current
+    id window into <= ``limit`` id-range buckets (sum + max-id per
+    bucket, partial per block then a tiny groupby), invert the cumsum on
+    the driver, and descend into the single overflowing bucket. An id
+    window of span <= ``limit`` holds <= ``limit`` docs (ids unique), so
+    the final fetch is driver-sized no matter how skewed the score
+    distribution is; 64-bit ids terminate in <= 4 levels.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if residual <= 0:
+        return None
+    stats = bnd.aggregate(Min(id_col), Max(id_col))
+    lo = stats.get(f"min({id_col})")
+    hi = stats.get(f"max({id_col})")
+    if lo is None:
+        return None
+    lo, hi = int(lo), int(hi)
+    accepted_max = None  # highest id proven accepted in earlier buckets
+
+    while hi - lo + 1 > limit:
+        width = (hi - lo) // limit + 1
+
+        def hist(batch: pa.Table, lo=lo, hi=hi, width=width) -> pa.Table:
+            ids = batch[id_col]
+            m = pc.and_(
+                pc.greater_equal(ids, pa.scalar(lo)),
+                pc.less_equal(ids, pa.scalar(hi)),
+            )
+            batch = batch.filter(m)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"b": pa.array([], pa.int64()),
+                     "tok": pa.array([], pa.int64()),
+                     "max_id": pa.array([], pa.int64())}
+                )
+            b = pc.divide(pc.subtract(batch[id_col], pa.scalar(lo)), pa.scalar(width))
+            t = pa.table({"b": b, "tok": batch["tokens"], "max_id": batch[id_col]})
+            grp = t.group_by(["b"]).aggregate([("tok", "sum"), ("max_id", "max")])
+            return pa.table(
+                {"b": grp["b"], "tok": grp["tok_sum"], "max_id": grp["max_id_max"]}
+            )
+
+        h = (
+            bnd.map_batches(hist, batch_format="pyarrow")
+            .groupby("b")
+            .aggregate(Sum("tok", alias_name="tok"), Max("max_id", alias_name="max_id"))
+            .to_pandas()
+            .sort_values("b")
+            .reset_index(drop=True)
+        )
+        cum = h["tok"].cumsum()
+        over = cum > residual
+        if not over.any():  # defensive: whole window fits
+            return int(h["max_id"].max())
+        k = int(over.idxmax())
+        if k > 0:
+            residual -= int(cum[k - 1])
+            prior = int(h.loc[: k - 1, "max_id"].max())
+            accepted_max = prior if accepted_max is None else max(accepted_max, prior)
+        b_star = int(h.loc[k, "b"])
+        lo, hi = lo + b_star * width, min(hi, lo + (b_star + 1) * width - 1)
+
+    grp = (
+        bnd.filter(expr=f"{id_col} >= {lo} and {id_col} <= {hi}")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    run = grp["tokens"].cumsum()
+    fits = run <= residual
+    if fits.any():
+        return int(grp.loc[fits, id_col].max())
+    return accepted_max
+
+
 def token_budget_select(
     ds,
     budget: int,
@@ -173,8 +255,12 @@ def token_budget_select(
        independent of corpus size),
     3. the driver inverts the histogram's descending cumsum to find the
        boundary score s* and the residual budget r entering it,
-    4. only the s* group (bounded: docs sharing ONE exact score) is
-       pulled to rank its members by id against r,
+    4. the s* group is ranked by id against r DISTRIBUTIVELY
+       (``_boundary_cutoff``): the same histogram inversion one level
+       down, over id-range buckets, recursing until the candidate id
+       window is driver-sized — so a skewed corpus where most documents
+       share the boundary score (uniform short turns) never lands a
+       corpus-scale group on the driver,
     5. a vectorized filter keeps score > s* plus the s* prefix.
 
     The same inversion trick as ``_q_turn_length_quantiles``; cost is
@@ -222,16 +308,15 @@ def token_budget_select(
     prev_total = int(cum[b - 1]) if b > 0 else 0
     residual = budget - prev_total
 
-    # boundary group: every doc with score == s_star, ranked by id
-    grp = (
+    # boundary group: every doc with score == s_star, ranked by id.
+    # Materialized once (two narrow columns) so the histogram levels of
+    # the cutoff search don't re-run the scoring pass per level.
+    bnd = (
         scored.filter(expr=f"score == {s_star}")
-        .to_pandas()
-        .sort_values(id_col)
-        .reset_index(drop=True)
+        .select_columns([id_col, "tokens"])
+        .materialize()
     )
-    run = grp["tokens"].cumsum()
-    fits = run <= residual
-    cutoff_id = int(grp.loc[fits, id_col].max()) if fits.any() else None
+    cutoff_id = _boundary_cutoff(bnd, residual, id_col)
 
     def keep(batch: pa.Table) -> pa.Table:
         above = pc.greater(batch["score"], pa.scalar(s_star))
