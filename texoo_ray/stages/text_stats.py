@@ -99,6 +99,74 @@ def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _doc_word_codes(texts, lower: bool = True):
+    """(doc_of, codes, dictionary) of RE2 ``\\w+`` words per document —
+    fully vectorized: non-word chars become spaces
+    (``replace_substring_regex``), whitespace split, dictionary-encode.
+    ``doc_of[i]`` is the row index of flat word ``i``; ``codes[i]`` its
+    index into ``dictionary`` (the batch's distinct words).
+
+    RE2 word classes are ASCII (``[0-9A-Za-z_]``) — identical to the
+    DuckDB oracles' ``regexp_extract_all(..., '\\w+')``.
+    """
+    t = pc.fill_null(texts, "")
+    if lower:
+        t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\W+", " ")
+    lst = pc.utf8_split_whitespace(t)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    keep = pc.not_equal(flat, "")
+    words = flat.filter(keep).dictionary_encode()
+    codes = np.asarray(words.indices, dtype=np.int64)
+    o = np.asarray(lst.offsets, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(np.asarray(keep, dtype=np.int64))])
+    n_words = cum[o[1:]] - cum[o[:-1]]
+    doc_of = np.repeat(np.arange(len(n_words)), n_words)
+    return doc_of, codes, words.dictionary
+
+
+_GRAM_P1 = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1024)
+def _triu_cached(L: int):
+    """Upper-triangle index pair for segment length L (lengths repeat
+    heavily across documents, so the allocations amortize). Module-level
+    so closures that use it stay cloudpickle-able."""
+    return np.triu_indices(L, k=1)
+
+
+def _gram_hashes(texts, n: int):
+    """(doc_of, gh, gl) — one 128-bit fingerprint (two independent
+    rolling FNV combines over per-word hashes) per word ``n``-gram,
+    windows masked at document boundaries."""
+    from ..core.strhash import utf8_hash64
+
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+    doc_of, codes, dictionary = _doc_word_codes(texts)
+    if len(codes) < n:
+        return empty
+    vh = utf8_hash64(dictionary, seed=0)
+    vl = utf8_hash64(dictionary, seed=1)
+    wh, wl = vh[codes], vl[codes]
+    m = len(codes) - n + 1
+    gh = np.zeros(m, dtype=np.uint64)
+    gl = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        gh = gh * _GRAM_P1 + wh[j : j + m]
+        gl = gl * _GRAM_P2 + wl[j : j + m]
+    valid = doc_of[:m] == doc_of[n - 1 :]
+    if not valid.any():
+        return empty
+    return doc_of[:m][valid], gh[valid], gl[valid]
+
+
 class ContaminationStage:
     """Actor-pool stage: flag documents sharing any word n-gram with a
     benchmark corpus (training-data DECONTAMINATION — e.g. strip eval-set
@@ -109,12 +177,19 @@ class ContaminationStage:
 
     Scale shape: the benchmark n-gram set is built ONCE per actor in
     ``__init__`` from a ``ray.put`` broadcast (stored once in the object
-    store, read zero-copy by every actor) — the corpus streams through
-    ``map_batches`` with NO shuffle at all; cost is one hash-set probe per
-    doc n-gram. A 10M-ngram benchmark set is ~1 GB of Python set — per
-    NODE that is one copy per actor; for larger benchmark sets switch the
-    broadcast to a frozen numpy array of 64-bit gram hashes and probe with
-    ``np.isin`` (sorted + searchsorted), which shares pages zero-copy.
+    store, read zero-copy by every actor) and held as two SORTED numpy
+    uint64 columns (a 128-bit gram fingerprint: independent rolling FNV
+    combines over per-word hashes) — ~16 bytes per benchmark gram, vs ~100
+    for a Python string set. The corpus streams through ``map_batches``
+    with NO shuffle; the doc side is fully vectorized (RE2 word split,
+    dictionary-encode, column-at-a-time word hashes, numpy window
+    combine, ``searchsorted`` membership probe). Matching is by 128-bit
+    fingerprint, not gram text: a false hit needs a 2^-128 collision
+    (~1e-14 expected over 10^12 doc-grams x 10^7 benchmark grams).
+
+    Word extraction is RE2 ``\\w+`` over the lowercased text — exactly the
+    DuckDB oracle's ``regexp_extract_all(lower(text), '\\w+')`` (ASCII word
+    classes; pyarrow and DuckDB share RE2 semantics).
     """
 
     def __init__(self, bench, n: int = 4, text_col: str = "text"):
@@ -122,34 +197,53 @@ class ContaminationStage:
 
         if isinstance(bench, ray.ObjectRef):
             bench = ray.get(bench)
-        # bench: either an iterable of benchmark TEXTS or a prebuilt set
-        # of n-gram strings
-        if isinstance(bench, (set, frozenset)):
-            self.grams = frozenset(bench)
-        else:
-            self.grams = frozenset(
-                g for t in bench for g in self._ngrams(t or "", n)
-            )
         self.n = n
         self.text_col = text_col
-
-    @staticmethod
-    def _ngrams(text: str, n: int):
-        words = _WORD_FINDALL(text.lower())
-        return {
-            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-        }
+        # bench: either an iterable of benchmark TEXTS or a prebuilt set
+        # of n-gram strings ("w1 w2 w3 w4" — each hashes via the same
+        # per-word rolling combine, so text- and gram-built sets agree)
+        if isinstance(bench, (set, frozenset)):
+            texts = pa.array(sorted(bench), pa.string())
+        else:
+            texts = pa.array([t or "" for t in bench], pa.string())
+        _, gh, gl = _gram_hashes(texts, n)
+        if len(gh):
+            order = np.lexsort((gl, gh))
+            self._bench_gh = gh[order]
+            self._bench_gl = gl[order]
+        else:
+            self._bench_gh = np.zeros(0, np.uint64)
+            self._bench_gl = np.zeros(0, np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        grams = self.grams
-        n = self.n
-        hits = []
-        for t in batch[self.text_col].to_pylist():
-            doc_grams = self._ngrams(t or "", n)
-            hits.append(sum(1 for g in doc_grams if g in grams))
+        n_docs = batch.num_rows
+        doc_of, gh, gl = _gram_hashes(batch[self.text_col], self.n)
+        hits = np.zeros(n_docs, np.int64)
+        if len(gh) and len(self._bench_gh):
+            lo = np.searchsorted(self._bench_gh, gh, "left")
+            hi = np.searchsorted(self._bench_gh, gh, "right")
+            cand = lo < hi
+            hit = np.zeros(len(gh), bool)
+            # benchmark gh values are near-unique; ranges longer than 1
+            # (a 64-bit collision inside the benchmark set) get a scan
+            simple = cand & (hi - lo == 1)
+            hit[simple] = self._bench_gl[lo[simple]] == gl[simple]
+            for i in np.flatnonzero(cand & (hi - lo > 1)):
+                hit[i] = bool(
+                    (self._bench_gl[lo[i] : hi[i]] == gl[i]).any()
+                )
+            if hit.any():
+                # count DISTINCT hitting grams per doc
+                tr = np.stack(
+                    [doc_of[hit].astype(np.uint64), gh[hit], gl[hit]], axis=1
+                )
+                tr = np.unique(tr, axis=0)
+                hits = np.bincount(
+                    tr[:, 0].astype(np.int64), minlength=n_docs
+                ).astype(np.int64)
         batch = batch.append_column("n_hits", pa.array(hits, pa.int64()))
         return batch.append_column(
-            "contaminated", pa.array([h > 0 for h in hits], pa.bool_())
+            "contaminated", pa.array(hits > 0, pa.bool_())
         )
 
 
@@ -272,10 +366,11 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
     2. each batch emits DISTINCT (gram-hash128, bit) rows — the
        per-batch dedup caps the shuffle at one row per gram per source
        per block.  The gram identity is two independent 64-bit
-       polynomial combines over per-WORD md5 halves: words are
-       dictionary-encoded per batch so md5 runs once per distinct word,
-       and the n-gram windows are pure numpy (no Python loop over
-       grams; window validity masks doc boundaries),
+       polynomial combines over per-WORD hashes: words are
+       dictionary-encoded per batch and hashed column-at-a-time
+       (core/strhash.utf8_hash64 — no Python loop over words either),
+       and the n-gram windows are pure numpy (window validity masks doc
+       boundaries),
     3. ``groupby((gh, gl, bit)).count`` dedupes globally; ``groupby(
        (gh, gl)).Sum(bit)`` then reconstructs each gram's exact
        source-set mask (every bit now appears once, so SUM == OR),
@@ -283,9 +378,9 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
        matrix B and accumulates the pair-count matrix B^T @ B — the
        |sources|^2 result is driver-sized, the grams never are.
     """
-    import hashlib
-
     from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
 
     srcs = sorted(
         r[source_col]
@@ -313,14 +408,10 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
         codes = np.asarray(words.indices, dtype=np.int64)
         if len(codes) < n:
             return empty
-        # md5 once per DISTINCT word in the batch; fancy-index to flat
-        vocab = words.dictionary.to_pylist()
-        vh = np.empty(len(vocab), dtype=np.uint64)
-        vl = np.empty(len(vocab), dtype=np.uint64)
-        for i, w in enumerate(vocab):
-            d = hashlib.md5(w.encode("utf-8")).digest()
-            vh[i] = int.from_bytes(d[:8], "little")
-            vl[i] = int.from_bytes(d[8:], "little")
+        # two independent 64-bit hashes once per DISTINCT word in the
+        # batch (column-at-a-time FNV); fancy-index to flat
+        vh = utf8_hash64(words.dictionary, seed=0)
+        vl = utf8_hash64(words.dictionary, seed=1)
         wh, wl = vh[codes], vl[codes]
         # doc id per flat word position (empty-filtered counts via offsets)
         o = np.asarray(lst.offsets)
@@ -412,23 +503,22 @@ def term_cooccurrence(
     """
     from ray.data.aggregate import Sum
 
-    word_re = re.compile(r"\w+", re.UNICODE)
-
-    def doc_words(batch: pa.Table) -> List[set]:
-        return [
-            set(word_re.findall((t or "").lower()))
-            for t in batch[text_col].to_pylist()
-        ]
+    _df_empty = pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for ws in doc_words(batch):
-            for w in ws:
-                counts[w] = counts.get(w, 0) + 1
+        doc_of, codes, dictionary = _doc_word_codes(batch[text_col])
+        if len(codes) == 0:
+            return _df_empty
+        V = len(dictionary)
+        u = np.unique(doc_of * V + codes)  # distinct (doc, word)
+        wc = np.bincount(u % V, minlength=V)
+        nz = np.flatnonzero(wc)
         return pa.table(
             {
-                "word": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "word": dictionary.take(pa.array(nz, pa.int64())),
+                "n": pa.array(wc[nz], pa.int64()),
             }
         )
 
@@ -443,20 +533,41 @@ def term_cooccurrence(
     vocab = {r["word"]: i for i, r in enumerate(df)}
     words_sorted = sorted(vocab, key=lambda w: vocab[w])
 
+    _pair_empty = pa.table(
+        {"p": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
     def pair_partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dictionary = _doc_word_codes(batch[text_col])
+        if len(codes) == 0:
+            return _pair_empty
+        # batch-dictionary words -> global vocab ranks (one lookup per
+        # DISTINCT word in the batch, not per occurrence)
+        rank = np.fromiter(
+            (vocab.get(w, -1) for w in dictionary.to_pylist()),
+            np.int64,
+            len(dictionary),
+        )
+        r = rank[codes]
+        keep = r >= 0
+        if not keep.any():
+            return _pair_empty
+        V = np.int64(len(vocab))
+        u = np.unique(doc_of[keep] * V + r[keep])  # distinct (doc, rank)
+        d = u // V
+        rr = u % V
+        cuts = np.flatnonzero(np.diff(d)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(u)]])
         pairs: List[np.ndarray] = []
-        for ws in doc_words(batch):
-            idx = np.array(sorted(vocab[w] for w in ws if w in vocab), dtype=np.int64)
-            if len(idx) >= 2:
-                iu, ju = np.triu_indices(len(idx), k=1)
-                pairs.append(idx[iu] * np.int64(len(vocab)) + idx[ju])
+        for s, e in zip(starts, ends):
+            L = int(e - s)
+            if L >= 2:
+                iu, ju = _triu_cached(L)
+                seg = rr[s:e]  # ascending ranks, so seg[iu] < seg[ju]
+                pairs.append(seg[iu] * V + seg[ju])
         if not pairs:
-            return pa.table(
-                {
-                    "p": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
+            return _pair_empty
         keys, n = np.unique(np.concatenate(pairs), return_counts=True)
         return pa.table(
             {"p": pa.array(keys, pa.int64()), "n": pa.array(n.astype(np.int64), pa.int64())}
