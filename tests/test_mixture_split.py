@@ -83,6 +83,18 @@ class TestSourceMixture:
         assert set(out["source"]) <= {"A"}
         assert len(out) == 10  # rate A = need/n = 10/10 = 1.0
 
+    def test_no_positive_weight_source_present(self, ray_session):
+        """Weights only name absent sources -> empty mixture, not a
+        ZeroDivisionError (W == 0 guard)."""
+        import ray.data
+
+        from texoo_ray.pipelines.curation import source_mixture
+
+        rows = [(i, "t%d" % i, "A") for i in range(5)]
+        ds = ray.data.from_arrow(_docs_table(rows))
+        out = source_mixture(ds, weights={"Z": 3}).to_pandas()
+        assert len(out) == 0
+
 
 class TestSourceSample:
     def test_exactly_k_per_source_matches_bruteforce(self, ray_session):

@@ -282,6 +282,14 @@ def props_stats(ds, key: str = "k"):
     ``extract_regex``, no per-row json.loads) and aggregate per
     event_type — n_events, n_with_key, sum/min/max of the value.
 
+    ASSUMES FLAT, INTEGER-VALUED JSON (the events.props shape): the
+    regex matches ``"key": <int>`` anywhere in the string, so on nested
+    JSON it would also hit keys at depth, inside string values it would
+    hit quoted fragments, and non-integer values are skipped rather than
+    truncated-then-matched. For general JSON swap the partial for a
+    per-batch ``json.loads`` path (or Arrow's ``struct_field`` over a
+    parsed column) — the aggregate shape stays identical.
+
     Scale shape: per-batch partial aggregation (one row per event_type
     per block) before a tiny global groupby — the JSON strings never
     leave the reading stage.  Returns Dataset sorted by event_type.

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from typing import Dict, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -360,7 +361,9 @@ def chunk_documents(
         raise ValueError("need 0 < stride <= size")
 
     def chunks(batch: pa.Table) -> pa.Table:
-        lst = pc.utf8_split_whitespace(
+        # ascii_split_whitespace: words are \S+ runs in the DuckDB oracle
+        # (RE2 ASCII \s), so U+00A0 and friends must NOT split here either
+        lst = pc.ascii_split_whitespace(
             pc.fill_null(batch[text_col], "")
         ).combine_chunks()
         flat = lst.flatten()
@@ -419,6 +422,28 @@ def chunk_documents(
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+def _md5_h32(texts) -> np.ndarray:
+    """Per-row uniform 32-bit draw ``uint32(md5(text)[:8 hex])`` — md5
+    runs once per DISTINCT text in the batch (transcript turns repeat
+    heavily), then gathers through the dictionary codes. md5 itself is
+    pinned by the DuckDB oracles (``substring(md5(text), 1, 8)``), so the
+    hash function can't change — only how often it runs."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    enc = pc.fill_null(texts, "").dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    dic = enc.dictionary.to_pylist()
+    vals = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:4], "big")
+            for w in dic
+        ),
+        np.int64,
+        len(dic),
+    )
+    return vals[codes]
+
+
 def hash_split(
     ds,
     fractions: Tuple[float, float] = (0.9, 0.05),
@@ -434,16 +459,15 @@ def hash_split(
     land in the SAME split (no train/test leakage from exact dups).
 
     Boundaries use the same ``format(int(f * 16**8), "08x")`` integer
-    truncation as the DuckDB oracle's hex-substring compare.
+    truncation as the DuckDB oracle's hex-substring compare (an 8-char
+    lowercase-hex string compare is exactly a uint32 compare).
     """
-    b1 = format(int(fractions[0] * 16**8), "08x")
-    b2 = format(int((fractions[0] + fractions[1]) * 16**8), "08x")
+    b1 = int(fractions[0] * 16**8)
+    b2 = int((fractions[0] + fractions[1]) * 16**8)
 
     def assign(batch: pa.Table) -> pa.Table:
-        splits = []
-        for t in batch[text_col].to_pylist():
-            h = hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
-            splits.append("train" if h < b1 else ("val" if h < b2 else "test"))
+        h32 = _md5_h32(batch[text_col])
+        splits = np.where(h32 < b1, "train", np.where(h32 < b2, "val", "test"))
         return batch.append_column("split", pa.array(splits, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -482,24 +506,29 @@ def source_mixture(
     # written for the full corpus stays valid on a subset (and matches an
     # oracle that derives everything from the data)
     W = sum(w for s, w in weights.items() if s in counts)
-    feasible = [counts[s] * W // w for s, w in weights.items() if w > 0 and s in counts]
-    T = min(feasible) if feasible else 0
-    # source -> (n_s, need_s); acceptance: h32 * n_s < need_s << 32
+    if W <= 0:
+        # no positive-weight source present in the data: empty mixture
+        # (T = 0, every need_s = 0), not a ZeroDivisionError
+        W, T = 1, 0
+    else:
+        feasible = [
+            counts[s] * W // w for s, w in weights.items() if w > 0 and s in counts
+        ]
+        T = min(feasible) if feasible else 0
+    # acceptance h32 * n_s < need_s << 32 rearranged to h32 < thr_s with
+    # thr_s = ceil(need_s * 2^32 / n_s), computed ONCE per source in
+    # arbitrary-precision Python ints (n_s can exceed 2^31 at corpus
+    # scale, so the product form would overflow int64) — the per-row
+    # compare is then a plain vectorized uint32-vs-int64 check
     plan = {
-        s: (counts[s], weights.get(s, 0) * T // W)
+        s: (weights.get(s, 0) * T // W * 4294967296 + counts[s] - 1) // counts[s]
         for s in counts
     }
 
     def accept(batch: pa.Table) -> pa.Table:
-        keep = []
-        for t, s in zip(
-            batch[text_col].to_pylist(), batch[source_col].to_pylist()
-        ):
-            n_s, need = plan.get(s, (1, 0))
-            h32 = int(
-                hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16
-            )
-            keep.append(h32 * n_s < need * 4294967296)
-        return batch.filter(pa.array(keep, pa.bool_()))
+        h32 = _md5_h32(batch[text_col])
+        srcs_col = batch[source_col].to_pylist()
+        thr = np.fromiter((plan.get(s, 0) for s in srcs_col), np.int64, len(srcs_col))
+        return batch.filter(pa.array(h32 < thr, pa.bool_()))
 
     return ds.map_batches(accept, batch_format="pyarrow")

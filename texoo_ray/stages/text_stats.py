@@ -262,19 +262,16 @@ def stratified_hash_sample(
     sample is REPRODUCIBLE across runs, cluster sizes and block layouts,
     and any node can re-derive membership (the property random() lacks).
     """
-    import hashlib
+    from ..pipelines.curation import _md5_h32
 
-    texts = batch[text_col].to_pylist()
+    h32 = _md5_h32(batch[text_col])
     strata = batch[stratum_col].to_pylist()
-    keep = []
-    thresholds = {
-        k: format(int(v * 16**8), "08x") for k, v in rates.items()
-    }
-    default_th = format(int(default_rate * 16**8), "08x")
-    for t, s in zip(texts, strata):
-        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8]
-        keep.append(h < thresholds.get(s, default_th))
-    return batch.filter(pa.array(keep, pa.bool_()))
+    thresholds = {k: int(v * 16**8) for k, v in rates.items()}
+    default_th = int(default_rate * 16**8)
+    thr = np.fromiter(
+        (thresholds.get(s, default_th) for s in strata), np.int64, len(strata)
+    )
+    return batch.filter(pa.array(h32 < thr, pa.bool_()))
 
 
 # --- PII redaction ----------------------------------------------------------
@@ -399,7 +396,9 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
                 "bit": pa.array([], pa.int64()),
             }
         )
-        lst = pc.utf8_split_whitespace(
+        # ascii_split_whitespace: grams are \S+ word windows in the
+        # DuckDB oracle (RE2 ASCII \s), so Unicode spaces must not split
+        lst = pc.ascii_split_whitespace(
             pc.fill_null(batch[text_col], "")
         ).combine_chunks()
         flat = lst.flatten()
