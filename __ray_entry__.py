@@ -351,16 +351,6 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_dedup(ds).sort("doc_id")
 
 
-def _q_lang_id(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    from texoo_ray.stages.text_stats import language_id
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(language_id, batch_format="pyarrow")
-    return out.groupby("pred_lang").aggregate(Count(alias_name="n_docs")).sort("pred_lang")
-
-
 def _q_lang_id_multi(sf_dir: str):
     """Language-ID over a seeded multilingual fixture (deterministic):
     groups per predicted language must cover all supported classes."""
@@ -1758,7 +1748,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
-        "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,

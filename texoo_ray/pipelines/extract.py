@@ -173,6 +173,7 @@ def run_extract_resumable(
     out_dir: str,
     *,
     num_partitions: int = 16,
+    max_concurrent: int = 4,
     sort_output: bool = True,
     **kwargs,
 ):
@@ -187,5 +188,9 @@ def run_extract_resumable(
         return out
 
     return run_resumable(
-        list(input_files), out_dir, pipeline, num_partitions=num_partitions
+        list(input_files),
+        out_dir,
+        pipeline,
+        num_partitions=num_partitions,
+        max_concurrent=max_concurrent,
     )
