@@ -226,3 +226,46 @@ class TestNgramVocab:
         assert got["cat sat"] == 1 and got["dogs bark"] == 1
         # ordering: cnt desc then ngram asc
         assert out.iloc[0]["ngram"] == "the cat"
+
+
+class TestOneHotEncoder:
+    def test_train_encode_unknown(self):
+        import numpy as np
+
+        from texoo_ray.stages.encoders import OneHotEncoder
+
+        enc = OneHotEncoder.train(["The cat sat.", "The dog."])
+        # first-seen order after MinimalLowercase: the, cat, sat, ., dog
+        assert enc.vocab[:3] == ["the", "cat", "sat"]
+        v = enc.encode("Cat")  # preprocessor lowercases
+        assert v.shape == (enc.size,) and v.sum() == 1.0
+        assert v[enc.index["cat"]] == 1.0
+        assert enc.encode("zebra").sum() == 0.0  # unknown -> zeros
+        assert enc.is_unknown("zebra") and not enc.is_unknown("THE")
+
+    def test_min_word_frequency(self):
+        from texoo_ray.stages.encoders import OneHotEncoder
+
+        enc = OneHotEncoder.train(["a a b", "a c"], min_word_frequency=2)
+        assert enc.vocab == ["a"]
+
+
+class TestPositionEncoder:
+    def test_flags_match_reference_iteration(self):
+        import numpy as np
+
+        from texoo_ray.stages.encoders import PositionEncoder
+
+        enc = PositionEncoder()
+        # two sentences: 3 tokens + 1 token
+        m = enc.encode_each([["a", "b", "c"], ["d"]])
+        # columns: beginDoc, beginSent, endSent, endDoc
+        assert m.shape == (4, 4)
+        assert m[0].tolist() == [1.0, 1.0, 0.0, 0.0]  # doc+sent begin
+        assert m[1].tolist() == [0.0, 0.0, 0.0, 0.0]
+        assert m[2].tolist() == [0.0, 0.0, 1.0, 0.0]  # sent end
+        assert m[3].tolist() == [0.0, 1.0, 1.0, 1.0]  # single-token last sent
+        # single-token single-sentence doc: all four flags
+        one = enc.encode_each([["x"]])
+        assert one[0].tolist() == [1.0, 1.0, 1.0, 1.0]
+        assert enc.encode_each([]).shape == (0, 4)

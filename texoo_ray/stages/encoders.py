@@ -240,6 +240,86 @@ class BagOfWordsEncoder:
         return word.lower() not in self.index
 
 
+class OneHotEncoder:
+    """Vocab-indexed 1-hot vectors (OneHotEncoder.java:19-90): tokens are
+    MinimalLowercase-preprocessed; unknown words encode to all-zeros.
+    ``train`` counts words across documents and keeps those meeting
+    ``min_word_frequency`` in first-seen order (the reference's
+    vocab.addWord insertion order, :67-82)."""
+
+    def __init__(self, vocab: Optional[Sequence[str]] = None):
+        from ..core.normalize import minimal_lowercase
+
+        self._pre = minimal_lowercase
+        self.vocab: List[str] = list(vocab) if vocab else []
+        self.index = {w: i for i, w in enumerate(self.vocab)}
+
+    @classmethod
+    def train(cls, texts, min_word_frequency: int = 1) -> "OneHotEncoder":
+        from ..core.normalize import minimal_lowercase
+        from ..core.tokenizer import tokenize
+
+        counts: Dict[str, int] = {}
+        order: List[str] = []
+        for t in texts:
+            for tok in tokenize(t or ""):
+                w = minimal_lowercase(tok)
+                if not w:
+                    continue
+                if w not in counts:
+                    order.append(w)
+                counts[w] = counts.get(w, 0) + 1
+        return cls([w for w in order if counts[w] >= min_word_frequency])
+
+    @property
+    def size(self) -> int:
+        return len(self.vocab)
+
+    def encode(self, word: str) -> np.ndarray:
+        v = np.zeros(len(self.vocab), dtype=np.float32)
+        i = self.index.get(self._pre(word))
+        if i is not None:
+            v[i] = 1.0
+        return v
+
+    def is_unknown(self, word: str) -> bool:
+        return self._pre(word) not in self.index
+
+
+class PositionEncoder:
+    """4-dim positional flags per token — (beginDoc, beginSent, endSent,
+    endDoc) — over a document's sentence/token structure
+    (PositionEncoder.java:69-102): sequential by definition, so only the
+    document form exists; beginDoc fires on the first token of the first
+    sentence, endDoc on the last token of the last sentence."""
+
+    size = 4
+
+    def encode_each(self, sentences: Sequence[Sequence[str]]) -> np.ndarray:
+        """(total_tokens, 4) float32 matrix for a doc given per-sentence
+        token lists."""
+        rows: List[List[float]] = []
+        n_sents = len(sentences)
+        for si, toks in enumerate(sentences):
+            T = len(toks)
+            for ti in range(T):
+                begin_sent = ti == 0
+                end_sent = ti == T - 1
+                rows.append(
+                    [
+                        1.0 if (si == 0 and begin_sent) else 0.0,
+                        1.0 if begin_sent else 0.0,
+                        1.0 if end_sent else 0.0,
+                        1.0 if (si == n_sents - 1 and end_sent) else 0.0,
+                    ]
+                )
+        return (
+            np.asarray(rows, dtype=np.float32)
+            if rows
+            else np.zeros((0, 4), np.float32)
+        )
+
+
 def _bloom_positions(word: str, bits: int = BLOOM_BITS, hashes: int = BLOOM_HASHES) -> List[int]:
     """k positions via double hashing (Kirsch-Mitzenmacher, the standard
     public construction used by Guava-style blooms)."""
