@@ -213,8 +213,10 @@ def _spawn(flag: str, ncpu: int = None) -> dict:
 def main_bench() -> dict:
     # Hypervisor steal on this VM adds up to ~25% wall-time noise (noise
     # only ever ADDS time); min-of-trials in fresh sessions is the
-    # estimator (see _spawn).
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    # estimator (see _spawn). Three trials: machine epochs drift by ~2x
+    # (measured same-code spread 55-122s), so an extra trial materially
+    # improves the odds of catching a quiet window.
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     headline = min(
         (_spawn("--headline-once") for _ in range(max(1, trials))),
         key=lambda r: r["sec"],
