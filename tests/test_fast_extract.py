@@ -96,6 +96,13 @@ def test_memo_repeat_rows_identical():
     _assert_equal(out1, slow(_table(texts)))
 
 
+def test_empty_batch():
+    fast = ExtractStage(use_fast=True, lean=True)
+    out = fast(_table([]))
+    assert out.num_rows == 0
+    assert "mentions" in out.column_names
+
+
 def test_arrow_types_match_schema():
     from texoo_ray.stages import schema
 
