@@ -60,9 +60,6 @@ def build_vocab(
     return [w for w, c in zip(top["word"], top["cnt"]) if c >= min_freq]
 
 
-_ASCII_WORD_RE = re.compile(r"[a-z0-9]+")
-
-
 def build_ngram_vocab(
     ds,
     n: int = 2,
@@ -78,17 +75,45 @@ def build_ngram_vocab(
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Dict[str, int] = {}
-        for t in batch[text_col].to_pylist():
-            words = _ASCII_WORD_RE.findall((t or "").lower())
-            for i in range(len(words) - n + 1):
-                g = " ".join(words[i : i + n])
-                counts[g] = counts.get(g, 0) + 1
+        import pyarrow.compute as pc
+
+        from .text_stats import _doc_word_codes
+
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        doc_of, codes, dic = _doc_word_codes(batch[text_col], nonword="[^a-z0-9]+")
+        if len(codes) < n:
+            return empty
+        m = len(codes) - n + 1
+        valid = doc_of[:m] == doc_of[n - 1 :]
+        if not valid.any():
+            return empty
+        # n-gram identity as a base-V positional key; needs n*log2(V)
+        # bits, fine for the bigram/trigram vocab this builds (falls back
+        # to direct string join per position when V^n would overflow)
+        V = np.int64(len(dic))
+        if n * max(1.0, np.log2(max(2, int(V)))) < 62:
+            key = np.zeros(m, np.int64)
+            for j in range(n):
+                key = key * V + codes[j : j + m]
+            u, cnt = np.unique(key[valid], return_counts=True)
+            parts = []
+            rest = u.copy()
+            for _ in range(n):
+                parts.append(rest % V)
+                rest //= V
+            parts.reverse()
+        else:
+            tr = np.stack([codes[j : j + m][valid] for j in range(n)], axis=1)
+            u2, cnt = np.unique(tr, axis=0, return_counts=True)
+            parts = [u2[:, j] for j in range(n)]
+        cols = [dic.take(pa.array(p)) for p in parts]
+        ngram = cols[0]
+        for c in cols[1:]:
+            ngram = pc.binary_join_element_wise(ngram, c, " ")
         return pa.table(
-            {
-                "ngram": pa.array(list(counts.keys()), pa.string()),
-                "cnt": pa.array(list(counts.values()), pa.int64()),
-            }
+            {"ngram": ngram, "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
     agg = (
@@ -107,19 +132,26 @@ def doc_term_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
     rows. Returns Dataset[(id_col, word, tf:int64)]."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, words, tfs = [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            counts: Dict[str, int] = {}
-            for w in _ASCII_WORD_RE.findall((t or "").lower()):
-                counts[w] = counts.get(w, 0) + 1
-            ids.extend([i] * len(counts))
-            words.extend(counts.keys())
-            tfs.extend(counts.values())
+        from .text_stats import _doc_word_codes
+
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        V = np.int64(len(dic))
+        u, tf = np.unique(doc_of * V + codes, return_counts=True)
         return pa.table(
             {
-                id_col: pa.array(ids, batch.schema.field(id_col).type),
-                "word": pa.array(words, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
+                id_col: batch[id_col].take(pa.array(u // V)),
+                "word": dic.take(pa.array(u % V)),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
             }
         )
 

@@ -40,14 +40,16 @@ from typing import Dict, Optional
 import numpy as np
 import pyarrow as pa
 
-from .encoders import _ASCII_WORD_RE
+import pyarrow.compute as pc
+
+from .text_stats import _doc_word_codes
+
+_ALNUM_NONWORD = "[^a-z0-9]+"  # matches the oracle's [a-z0-9]+ extraction
 
 
-def _token_lists(batch: pa.Table, text_col: str):
-    return [
-        _ASCII_WORD_RE.findall((t or "").lower())
-        for t in batch[text_col].to_pylist()
-    ]
+def _word_codes(batch: pa.Table, text_col: str):
+    """Vectorized (doc_of, codes, dictionary) for the alnum tokenization."""
+    return _doc_word_codes(batch[text_col], nonword=_ALNUM_NONWORD)
 
 
 def ngram_logprob(
@@ -72,14 +74,11 @@ def ngram_logprob(
 
     # --- corpus unigram counts ------------------------------------------
     def uni_partial(batch: pa.Table) -> pa.Table:
-        counts: Dict[str, int] = {}
-        for toks in _token_lists(batch, text_col):
-            for w in toks:
-                counts[w] = counts.get(w, 0) + 1
+        _, codes, dic = _word_codes(batch, text_col)
         return pa.table(
             {
-                "u": pa.array(list(counts.keys()), pa.string()),
-                "cu": pa.array(list(counts.values()), pa.int64()),
+                "u": dic,
+                "cu": pa.array(np.bincount(codes, minlength=len(dic)), pa.int64()),
             }
         )
 
@@ -113,21 +112,42 @@ def ngram_logprob(
 
     # --- per-document bigram rows (distinct bigram + multiplicity) ------
     def bg_explode(batch: pa.Table) -> pa.Table:
-        ids_t = batch[id_col].to_pylist()
-        ids, bgs, mults = [], [], []
-        for i, toks in zip(ids_t, _token_lists(batch, text_col)):
-            counts: Dict[str, int] = {}
-            for a, b in zip(toks, toks[1:]):
-                k = a + " " + b
-                counts[k] = counts.get(k, 0) + 1
-            ids.extend([i] * len(counts))
-            bgs.extend(counts.keys())
-            mults.extend(counts.values())
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        id_t = batch.schema.field(id_col).type
+        if len(codes) < 2:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_t),
+                    "bgk": pa.array([], pa.string()),
+                    "mult": pa.array([], pa.int64()),
+                }
+            )
+        valid = doc_of[:-1] == doc_of[1:]
+        a = codes[:-1][valid]
+        b = codes[1:][valid]
+        d = doc_of[:-1][valid]
+        if len(a) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_t),
+                    "bgk": pa.array([], pa.string()),
+                    "mult": pa.array([], pa.int64()),
+                }
+            )
+        # distinct (doc, bigram) + multiplicity in one np.unique; key fits
+        # int64 for any realistic batch (docs/batch * V^2 << 2^63)
+        V = np.int64(len(dic))
+        u, mult = np.unique((d * V + a) * V + b, return_counts=True)
+        dd = u // (V * V)
+        rest = u % (V * V)
+        bgk = pc.binary_join_element_wise(
+            dic.take(pa.array(rest // V)), dic.take(pa.array(rest % V)), " "
+        )
         return pa.table(
             {
-                id_col: pa.array(ids, batch.schema.field(id_col).type),
-                "bgk": pa.array(bgs, pa.string()),
-                "mult": pa.array(mults, pa.int64()),
+                id_col: batch[id_col].take(pa.array(dd)),
+                "bgk": bgk,
+                "mult": pa.array(mult.astype(np.int64), pa.int64()),
             }
         )
 
@@ -147,13 +167,9 @@ def ngram_logprob(
     def zeros(batch: pa.Table) -> pa.Table:
         """(id, 0, 0) rows for documents with no bigrams — unioned into
         the final aggregate instead of a corpus-wide left-outer join."""
-        ids = [
-            i
-            for i, toks in zip(
-                batch[id_col].to_pylist(), _token_lists(batch, text_col)
-            )
-            if len(toks) < 2
-        ]
+        doc_of, _, _ = _word_codes(batch, text_col)
+        n_words = np.bincount(doc_of, minlength=batch.num_rows)
+        ids = batch[id_col].filter(pa.array(n_words < 2)).to_pylist()
         if not ids:
             return empty.cast(
                 pa.schema(
@@ -180,8 +196,8 @@ def ngram_logprob(
         )
 
     def first_word(batch: pa.Table) -> pa.Table:
-        words = [b.split(" ", 1)[0] for b in batch["b"].to_pylist()]
-        return batch.append_column("fw", pa.array(words, pa.string()))
+        fw = pc.list_element(pc.ascii_split_whitespace(batch["b"]), 0)
+        return batch.append_column("fw", fw)
 
     model = _compact(
         cb.map_batches(first_word, batch_format="pyarrow").join(

@@ -99,20 +99,21 @@ def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def _doc_word_codes(texts, lower: bool = True):
-    """(doc_of, codes, dictionary) of RE2 ``\\w+`` words per document —
-    fully vectorized: non-word chars become spaces
+def _doc_word_codes(texts, lower: bool = True, nonword: str = r"\W+"):
+    """(doc_of, codes, dictionary) of word tokens per document — fully
+    vectorized: ``nonword`` chars become spaces
     (``replace_substring_regex``), whitespace split, dictionary-encode.
     ``doc_of[i]`` is the row index of flat word ``i``; ``codes[i]`` its
     index into ``dictionary`` (the batch's distinct words).
 
-    RE2 word classes are ASCII (``[0-9A-Za-z_]``) — identical to the
-    DuckDB oracles' ``regexp_extract_all(..., '\\w+')``.
+    The default ``nonword`` matches RE2 ASCII ``\\w+`` words — identical
+    to the DuckDB oracles' ``regexp_extract_all(..., '\\w+')``; pass
+    ``"[^a-z0-9]+"`` for the alnum-only tokenization some oracles use.
     """
     t = pc.fill_null(texts, "")
     if lower:
         t = pc.utf8_lower(t)
-    t = pc.replace_substring_regex(t, r"\W+", " ")
+    t = pc.replace_substring_regex(t, nonword, " ")
     lst = pc.utf8_split_whitespace(t)
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()
