@@ -389,18 +389,18 @@ def _q_vocab_top100(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    word_re = re.compile(r"[a-z0-9]+")
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts = {}
-        for t in batch["text"].to_pylist():
-            for w in word_re.findall((t or "").lower()):
-                counts[w] = counts.get(w, 0) + 1
+        import numpy as np
+
+        from texoo_ray.stages.text_stats import _doc_word_codes
+
+        _, codes, dic = _doc_word_codes(batch["text"], nonword="[^a-z0-9]+")
         return pa.table(
             {
-                "word": pa.array(list(counts.keys()), pa.string()),
-                "cnt": pa.array(list(counts.values()), pa.int64()),
+                "word": dic,
+                "cnt": pa.array(np.bincount(codes, minlength=len(dic)), pa.int64()),
             }
         )
 
