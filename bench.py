@@ -221,7 +221,11 @@ def main_bench() -> dict:
         (_spawn("--headline-once") for _ in range(max(1, trials))),
         key=lambda r: r["sec"],
     )
-    queries = _spawn("--queries-once")
+    # query suite: two fresh-session passes, per-query min (same epoch
+    # noise rationale as the headline; each pass is its own process)
+    q1 = _spawn("--queries-once")
+    q2 = _spawn("--queries-once")
+    queries = {k: min(q1[k], q2.get(k, q1[k])) for k in q1}
 
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
     return {
