@@ -294,6 +294,33 @@ class TestLineage:
         m = collect_metrics(out)
         assert m["partitions"] == 2 and m["rows"] == 20
 
+    def test_partition_counters_survive_resume(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from texoo_ray.state.lineage import collect_metrics, run_resumable
+
+        src = tmp_path / "src"
+        src.mkdir()
+        files = []
+        for i in range(2):
+            p = str(src / f"in-{i}.parquet")
+            pq.write_table(
+                pa.table({"x": pa.array([1, 2, 3], pa.int64())}), p
+            )
+            files.append(p)
+        out = str(tmp_path / "out")
+        r1 = run_resumable(
+            files, out, lambda ds: ds, num_partitions=2,
+            counter_cols=("x", "missing_col"),
+        )
+        assert r1["rows"] == 6
+        m = collect_metrics(out)
+        assert m["counters"] == {"x": 12}  # 6 per partition, summed
+        # resume: counters aggregate from manifests without recompute
+        run_resumable(files, out, lambda ds: ds, num_partitions=2,
+                      counter_cols=("x",))
+        assert collect_metrics(out)["counters"] == {"x": 12}
+
     def test_partitions_run_concurrently_and_skip(self, ray_session, tmp_path):
         """4 partitions, one pre-completed: the completed one is skipped and
         the remaining three execute with overlapping lifetimes (no serial

@@ -193,4 +193,5 @@ def run_extract_resumable(
         pipeline,
         num_partitions=num_partitions,
         max_concurrent=max_concurrent,
+        counter_cols=("n_sentences", "n_tokens", "n_mentions"),
     )

@@ -89,6 +89,7 @@ def run_resumable(
     *,
     num_partitions: int = 16,
     max_concurrent: int = 4,
+    counter_cols: Sequence[str] = (),
 ) -> Dict:
     """Run ``pipeline_fn(ds) -> ds`` over each input partition, skipping
     completed ones. Each partition is itself a fully parallel Ray
@@ -135,13 +136,26 @@ def run_resumable(
         ds.write_parquet(tmp_dir)
         import pyarrow.dataset as pads
 
-        rows = pads.dataset(tmp_dir).count_rows()
+        dset = pads.dataset(tmp_dir)
+        rows = dset.count_rows()
         manifest = {
             "inputs": sorted(inputs),
             "rows": rows,
             "wall_sec": round(time.time() - started, 3),
             "engine_version": __version__,
         }
+        if counter_cols:
+            # per-partition stage counters (north rule: lineage + metrics
+            # per partition): sums of integer output columns, read back
+            # columnar from the partition just written — resumed runs
+            # keep completed partitions' counters via their manifests
+            import pyarrow.compute as _pc
+
+            present = [c for c in counter_cols if c in dset.schema.names]
+            t = dset.to_table(columns=present) if present else None
+            manifest["counters"] = {
+                c: int(_pc.sum(t[c]).as_py() or 0) for c in (present or [])
+            }
         with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
             json.dump(manifest, f, indent=1)
         os.rename(tmp_dir, part_dir)
@@ -160,6 +174,7 @@ def collect_metrics(out_dir: str) -> Dict:
     rows = 0
     wall = 0.0
     parts = 0
+    counters: Dict[str, int] = {}
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name, MANIFEST_NAME)
         if os.path.exists(p):
@@ -168,4 +183,9 @@ def collect_metrics(out_dir: str) -> Dict:
             rows += m["rows"]
             wall += m.get("wall_sec", 0.0)
             parts += 1
-    return {"partitions": parts, "rows": rows, "wall_sec_sum": round(wall, 3)}
+            for k, v in m.get("counters", {}).items():
+                counters[k] = counters.get(k, 0) + v
+    out = {"partitions": parts, "rows": rows, "wall_sec_sum": round(wall, 3)}
+    if counters:
+        out["counters"] = counters
+    return out
