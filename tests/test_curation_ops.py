@@ -294,6 +294,37 @@ class TestTokenBudgetSelect:
         assert _boundary_cutoff(bnd, 2, "doc_id", limit=4) is None  # none fits
         assert _boundary_cutoff(bnd, 0, "doc_id", limit=4) is None
 
+    def test_boundary_cutoff_matches_bruteforce_randomized(self, ray_session):
+        import random
+
+        import ray.data
+
+        from texoo_ray.pipelines.curation import _boundary_cutoff
+
+        rng = random.Random(11)
+        for trial in range(6):
+            n = rng.randrange(1, 40)
+            ids = rng.sample(range(1, 10_000), n)
+            toks = [rng.randrange(1, 9) for _ in range(n)]
+            residual = rng.randrange(0, sum(toks) + 5)
+            order = sorted(range(n), key=lambda i: ids[i])
+            run, want = 0, None
+            for i in order:
+                run += toks[i]
+                if run > residual:
+                    break
+                want = ids[i]
+            bnd = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "tokens": pa.array(toks, pa.int64()),
+                    }
+                )
+            ).repartition(3)
+            got = _boundary_cutoff(bnd, residual, "doc_id", limit=4)
+            assert got == want, (trial, ids, toks, residual, got, want)
+
     def test_sparse_ids_recursive_cutoff(self, ray_session):
         """Ids far apart (wide id window, few docs) — histogram levels
         must still converge and pick the exact prefix."""
