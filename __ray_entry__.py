@@ -757,6 +757,34 @@ def _q_clicks_before_purchase(sf_dir: str):
     return out.sort("event_id")
 
 
+def _q_clicks_salted(sf_dir: str):
+    """The same range-aggregate join under TIME-RANGE SALTING (hot-key
+    path): exchange key (user_id, ts//salt), right rows replicated across
+    bucket boundaries (range_agg_join(salt_us=...)). Shares the
+    clicks_before_purchase oracle — the salted exchange must be
+    row-identical to the plain one."""
+    from texoo_ray.pipelines.joins import range_agg_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    out = range_agg_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        left_cols=["event_id"],
+        window_us=3_600_000_000,
+        right_value_col="value",
+        salt_us=6 * 3_600_000_000,
+    )
+    return out.sort("event_id")
+
+
 def _q_customers_no_open_orders(sf_dir: str):
     """Distributed anti-join (NOT EXISTS oracle): customers with no
     open ('O') order. Big-big shape — the right side is reduced to
@@ -1770,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_set": _q_curate_training_set,
         "purchase_attribution": _q_purchase_attribution,
         "clicks_before_purchase": _q_clicks_before_purchase,
+        "clicks_salted": _q_clicks_salted,
         "customers_no_open_orders": _q_customers_no_open_orders,
         "rolling_value_sum": _q_rolling_value_sum,
         "doc_len_quantiles": _q_doc_len_quantiles,
@@ -2614,6 +2643,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY qid, rank
         """,
         "clicks_before_purchase": """
+            SELECT p.event_id, p.user_id,
+                   count(c.event_id)::BIGINT AS n_in_window,
+                   COALESCE(SUM(CAST(floor(c.value * 100 + 0.5) AS BIGINT)), 0)::BIGINT
+                     AS sum_cents_in_window
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
+        """,
+        "clicks_salted": """
             SELECT p.event_id, p.user_id,
                    count(c.event_id)::BIGINT AS n_in_window,
                    COALESCE(SUM(CAST(floor(c.value * 100 + 0.5) AS BIGINT)), 0)::BIGINT

@@ -4,6 +4,7 @@ Oracle-grade cases: strict vs at-or-before, unmatched-left nulls,
 right-only keys dropped, equal-ts ties, multi-block inputs.
 """
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -255,3 +256,51 @@ def test_anti_and_semi_join(ray_session):
     )
     out = anti_join(l2, r, key="k", left_cols=["pay"]).sort("pay").to_pandas()
     assert list(out["pay"]) == ["x", "y"]
+
+
+def test_range_agg_join_salted_equals_unsalted_on_hot_key(ray_session):
+    """Time-range salting with boundary replication: ONE hot key holding
+    every row must produce row-identical results to the unsalted path,
+    across salt widths smaller than, equal to, and larger than the
+    window (replication factor 1..many)."""
+    import numpy as np
+
+    from texoo_ray.pipelines.joins import range_agg_join
+
+    rng = np.random.RandomState(5)
+    nl, nr = 300, 400
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(nl), pa.int64()),
+            "k": pa.array(np.zeros(nl), pa.int64()),  # single hot key
+            "t": pa.array(rng.randint(0, 5_000, nl), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(np.arange(nr), pa.int64()),
+            "k": pa.array(np.zeros(nr), pa.int64()),
+            "t": pa.array(rng.randint(0, 5_000, nr), pa.int64()),
+            "val": pa.array(np.round(rng.rand(nr) * 9, 2), pa.float64()),
+        }
+    )
+
+    def run(salt_us):
+        return (
+            range_agg_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(3),
+                key="k", ts_col="t", left_cols=["lid"],
+                window_us=250, right_value_col="val",
+                salt_us=salt_us,
+            )
+            .sort("lid")
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    want = run(None)
+    assert len(want) == nl
+    for salt in (100, 250, 1_000):  # < window, == window, > window
+        got = run(salt)
+        pd.testing.assert_frame_equal(got, want)

@@ -167,6 +167,7 @@ def range_agg_join(
     left_cols: List[str],
     window_us: int,
     right_value_col: Optional[str] = None,
+    salt_us: Optional[int] = None,
 ):
     """Time-bounded range join with aggregation: for every left row,
     count (and optionally sum, in integer cents) the right rows of the
@@ -180,9 +181,19 @@ def range_agg_join(
     sorted-merge: sort the group's right timestamps once, then two
     ``searchsorted`` probes per left row give the window as an index
     interval, and counts/sums fall out of prefix sums — O((|L|+|R|) log
-    |R|) per key, fully vectorized.  Same partitioning assumption as
-    ``asof_join`` (one key's rows fit in one group; salt hot keys by
-    time range with boundary replication — SCALE.md).
+    |R|) per key, fully vectorized.
+
+    Partitioning: by default one key's rows must fit in one group (same
+    assumption as ``asof_join``). For HOT keys pass ``salt_us`` — the
+    exchange key becomes ``(key, ts // salt_us)``: every left row lands
+    in exactly ONE time bucket, and each right row is REPLICATED into
+    every bucket whose left rows it could serve (a right ts ``t`` serves
+    left ts in ``(t, t + window_us]``, i.e. buckets ``t // salt_us``
+    through ``(t + window_us) // salt_us`` — at most 2 buckets when
+    ``salt_us >= window_us``). Group size is then bounded by per-bucket
+    activity, not per-key history; results are row-identical to the
+    unsalted path (tests/test_joins_windows.py pins equality on a
+    single-hot-key corpus).
 
     Returns Dataset[key, *left_cols, n_in_window(, sum_cents_in_window)].
     """
@@ -192,15 +203,26 @@ def range_agg_join(
 
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ts = batch[ts_col].cast(pa.int64())
         cols = {
             key: batch[key],
             _SIDE: pa.array(np.full(n, 0, dtype=np.int8)),
-            "__ts": batch[ts_col].cast(pa.int64()),
+            "__ts": ts,
             "__cents": pa.nulls(n, pa.int64()),
         }
         for c in left_payload:
             cols["L_" + c] = batch[c]
-        return pa.table(cols)
+        t = pa.table(cols)
+        if salt_us is not None:
+            # "__b" appended LAST on both sides (union needs one schema)
+            t = t.append_column(
+                "__b",
+                pa.array(
+                    np.asarray(ts.combine_chunks(), np.int64) // salt_us,
+                    pa.int64(),
+                ),
+            )
+        return t
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -221,7 +243,21 @@ def range_agg_join(
         }
         for c, typ in zip(left_payload, ltypes):
             cols["L_" + c] = pa.nulls(n, typ)
-        return pa.table(cols)
+        t = pa.table(cols)
+        if salt_us is None:
+            return t
+        # boundary replication: right row t serves left ts in
+        # (t, t + window_us] -> buckets t//salt .. (t+window)//salt
+        ts = np.asarray(t["__ts"].combine_chunks(), np.int64)
+        b0 = ts // salt_us
+        b1 = (ts + window_us) // salt_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(n), reps)
+        total = int(reps.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        buckets = b0[idx] + offs
+        t = t.take(pa.array(idx, pa.int64()))
+        return t.append_column("__b", pa.array(buckets, pa.int64()))
 
     unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -260,7 +296,8 @@ def range_agg_join(
             cols["sum_cents_in_window"] = pa.array(prefix[hi] - prefix[lo])
         return pa.table(cols)
 
-    out = unioned.groupby(key).map_groups(merge, batch_format="pyarrow")
+    group_keys = key if salt_us is None else [key, "__b"]
+    out = unioned.groupby(group_keys).map_groups(merge, batch_format="pyarrow")
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
