@@ -730,6 +730,24 @@ def _q_purchase_attribution(sf_dir: str):
     return out
 
 
+def _q_attribution_salted(sf_dir: str):
+    """purchase_attribution under TIME-RANGE SALTING for the unbounded
+    as-of lookback: bucketed exchange + per-key prefix-best carry rows
+    (asof_join(salt_us=...)). Shares the purchase_attribution ASOF LEFT
+    JOIN oracle — the salted exchange must be row-identical."""
+    from texoo_ray.pipelines.joins import purchase_attribution
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = (
+        purchase_attribution(ds, salt_us=24 * 3_600_000_000)
+        .sort("event_id")
+        .to_pandas()
+    )
+    out["click_id"] = out["click_id"].astype("float64")
+    out["gap_us"] = out["gap_us"].astype("float64")
+    return out
+
+
 def _q_clicks_before_purchase(sf_dir: str):
     """Time-bounded range-aggregate join (LEFT JOIN ... ON ts BETWEEN
     oracle): for each purchase, the count and cent-sum of the same
@@ -1797,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "curate_training_set": _q_curate_training_set,
         "purchase_attribution": _q_purchase_attribution,
+        "attribution_salted": _q_attribution_salted,
         "clicks_before_purchase": _q_clicks_before_purchase,
         "clicks_salted": _q_clicks_salted,
         "customers_no_open_orders": _q_customers_no_open_orders,
@@ -2358,6 +2377,18 @@ def oracle_sql() -> dict[str, str]:
             FROM s3 ORDER BY doc_id
         """,
         "purchase_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+                  WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.event_id AS click_id, c.ts AS click_ts,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts > c.ts
+            ORDER BY p.event_id
+        """,
+        "attribution_salted": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'purchase'),
             c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events

@@ -304,3 +304,57 @@ def test_range_agg_join_salted_equals_unsalted_on_hot_key(ray_session):
     for salt in (100, 250, 1_000):  # < window, == window, > window
         got = run(salt)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_asof_join_salted_equals_unsalted_on_hot_key(ray_session):
+    """Salted as-of join (bucketed exchange + prefix-best carry rows):
+    row-identical to the unsalted path on a single-hot-key corpus, for
+    both strictness modes, including buckets with no right rows (carry
+    must skip over empty buckets) and unmatched-left nulls."""
+    import numpy as np
+
+    from texoo_ray.pipelines.joins import asof_join
+
+    rng = np.random.RandomState(9)
+    nl, nr = 250, 120
+    # right rows clustered so many buckets are EMPTY on the right side
+    rts = np.concatenate(
+        [rng.randint(500, 900, nr // 2), rng.randint(6_000, 6_400, nr - nr // 2)]
+    )
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(nl), pa.int64()),
+            "k": pa.array(np.zeros(nl), pa.int64()),
+            "t": pa.array(rng.randint(0, 10_000, nl), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(np.arange(nr), pa.int64()),
+            "k": pa.array(np.zeros(nr), pa.int64()),
+            "t": pa.array(rts, pa.int64()),
+            "v": pa.array(np.round(rng.rand(nr) * 5, 2), pa.float64()),
+        }
+    )
+
+    def run(salt_us, strict):
+        return (
+            asof_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(3),
+                key="k", ts_col="t",
+                left_cols=["lid", "t"], right_cols=["rid", "t"],
+                strict=strict, salt_us=salt_us,
+            )
+            .sort("lid")
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    for strict in (True, False):
+        want = run(None, strict)
+        assert len(want) == nl
+        assert want["rid_r"].isna().any()  # unmatched lefts exist
+        for salt in (300, 1_000, 5_000):
+            got = run(salt, strict)
+            pd.testing.assert_frame_equal(got, want)

@@ -58,6 +58,7 @@ def asof_join(
     right_cols: List[str],
     right_suffix: str = "_r",
     strict: bool = True,
+    salt_us: Optional[int] = None,
 ):
     """Distributed as-of join: for every left row, attach the right row
     of the same ``key`` with the greatest ``ts_col`` that is strictly
@@ -71,6 +72,20 @@ def asof_join(
     right side has several rows at the same (key, ts), the one that
     sorts last under a stable sort of the input order wins — pre-dedupe
     the right side for full determinism.
+
+    Partitioning: by default one key's rows must fit in one group. For
+    HOT keys pass ``salt_us``: the exchange key becomes
+    ``(key, ts // salt_us)``. Because the as-of lookback is unbounded,
+    boundary replication alone can't serve it — instead a TINY
+    per-(key, bucket) side table (one best-right-row candidate and one
+    left-presence flag per bucket per block) is reduced per key, and
+    each left bucket receives ONE carry row: the best right row of the
+    latest earlier nonempty bucket (time buckets are ts-ordered, so the
+    prefix-best is exactly that row). Group size is then bounded by
+    per-bucket activity; the carry reduction handles bucket-level rows
+    only. Costs one extra (cheap, column-pruned) pass over both inputs.
+    Row-identical to the unsalted path (tests/test_joins.py pins a
+    single-hot-key corpus across salt widths).
 
     Returns Dataset[key, *left_cols, *(right_cols + suffix)].
     """
@@ -87,22 +102,104 @@ def asof_join(
         # schema, which is order-sensitive
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            ts = batch[ts_col].cast(pa.int64())
             cols = {
                 key: batch[key],
                 _SIDE: pa.array(np.full(n, side, dtype=np.int8)),
-                "__ts": batch[ts_col].cast(pa.int64()),
+                "__ts": ts,
             }
             for c, typ in zip(left_payload, ltypes):
                 cols["L_" + c] = batch[c] if side == 0 else pa.nulls(n, typ)
             for c, typ in zip(right_payload, rtypes):
                 cols["R_" + c] = pa.nulls(n, typ) if side == 0 else batch[c]
-            return pa.table(cols)
+            t = pa.table(cols)
+            if salt_us is not None:
+                t = t.append_column(
+                    "__b",
+                    pa.array(
+                        np.asarray(ts.combine_chunks(), np.int64) // salt_us,
+                        pa.int64(),
+                    ),
+                )
+            return t
 
         return fn
+
+    def right_best_partial(batch: pa.Table) -> pa.Table:
+        """One candidate (max-ts right row) per (key, bucket) per block."""
+        n = batch.num_rows
+        if n <= 1:
+            return batch
+        t = batch.sort_by(
+            [(key, "ascending"), ("__b", "ascending"), ("__ts", "ascending")]
+        )
+        k = t[key].combine_chunks()
+        b = t["__b"].combine_chunks()
+        same_k = np.asarray(pc.equal(k.slice(0, n - 1), k.slice(1, n - 1)))
+        same_b = np.asarray(b.slice(0, n - 1)) == np.asarray(b.slice(1, n - 1))
+        last = np.ones(n, bool)
+        last[:-1] = ~(same_k & same_b)
+        return t.filter(pa.array(last))
+
+    def left_presence_partial(batch: pa.Table) -> pa.Table:
+        """Distinct (key, bucket) of left rows per block, in tagged schema."""
+        if batch.num_rows == 0:
+            return batch
+        g = batch.group_by([key, "__b"]).aggregate([])
+        n = g.num_rows
+        cols = {
+            key: g[key],
+            _SIDE: pa.array(np.zeros(n, dtype=np.int8)),
+            "__ts": pa.nulls(n, pa.int64()),
+        }
+        for c, typ in zip(left_payload, ltypes):
+            cols["L_" + c] = pa.nulls(n, typ)
+        for c, typ in zip(right_payload, rtypes):
+            cols["R_" + c] = pa.nulls(n, typ)
+        t = pa.table(cols)
+        return t.append_column("__b", g["__b"].cast(pa.int64()))
+
+    def carry(group: pa.Table) -> pa.Table:
+        """For each left bucket, emit the best right row of the latest
+        earlier nonempty bucket, retargeted to that left bucket. Buckets
+        partition time, so the prefix-best over earlier buckets is the
+        max-ts row of the closest nonempty predecessor."""
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        b = np.asarray(group["__b"].combine_chunks(), dtype=np.int64)
+        cand = side == 1
+        left_bs = np.unique(b[~cand])
+        empty = group.slice(0, 0)
+        if not cand.any() or left_bs.size == 0:
+            return empty
+        cidx = np.flatnonzero(cand)
+        cb = b[cand]
+        cts = _ts_int64(group["__ts"])[cand]
+        order = np.lexsort((cts, cb))
+        cb_sorted = cb[order]
+        pos = np.searchsorted(cb_sorted, left_bs, side="left") - 1
+        valid = pos >= 0
+        if not valid.any():
+            return empty
+        out = group.take(pa.array(cidx[order[pos[valid]]], pa.int64()))
+        return out.set_column(
+            out.schema.get_field_index("__b"),
+            "__b",
+            pa.array(left_bs[valid], pa.int64()),
+        )
 
     tagged_l = left_ds.map_batches(tag(0), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(tag(1), batch_format="pyarrow")
     unioned = tagged_l.union(tagged_r)
+    if salt_us is not None:
+        tiny = right_ds.map_batches(tag(1), batch_format="pyarrow").map_batches(
+            right_best_partial, batch_format="pyarrow"
+        ).union(
+            left_ds.map_batches(tag(0), batch_format="pyarrow").map_batches(
+                left_presence_partial, batch_format="pyarrow"
+            )
+        )
+        carries = tiny.groupby(key).map_groups(carry, batch_format="pyarrow")
+        unioned = unioned.union(carries)
 
     out_fields = (
         [(key, left_schema.base_schema.field(key).type)]
@@ -143,7 +240,8 @@ def asof_join(
             cols["R_" + c] = group["R_" + c].take(take_r)
         return pa.table(cols)
 
-    out = unioned.groupby(key).map_groups(merge, batch_format="pyarrow")
+    asof_group_keys = key if salt_us is None else [key, "__b"]
+    out = unioned.groupby(asof_group_keys).map_groups(merge, batch_format="pyarrow")
 
     def rename(batch: pa.Table) -> pa.Table:
         names = []
@@ -369,7 +467,7 @@ def anti_join(left_ds, right_ds, key: str, left_cols: List[str], semi: bool = Fa
     return out.map_batches(rename, batch_format="pyarrow")
 
 
-def purchase_attribution(events_ds, strict: bool = True):
+def purchase_attribution(events_ds, strict: bool = True, salt_us=None):
     """Flagship as-of query: each ``purchase`` event attributed to the
     same user's most recent strictly-earlier ``click``.
 
@@ -400,6 +498,7 @@ def purchase_attribution(events_ds, strict: bool = True):
         right_cols=["event_id", "ts"],
         right_suffix="_c",
         strict=strict,
+        salt_us=salt_us,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
