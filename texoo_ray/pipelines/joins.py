@@ -16,11 +16,14 @@ equi-joins only, so we express it as the documented composition
 
 Partitioning assumption (the one the brief asks us to document): all
 rows of one key fit in one worker's group.  For keys too hot for that,
-the fix is range-salting by time with boundary replication — split a
-key's timeline into ranges, send each right row to its own range AND the
-next one, so every left row still sees its predecessor; noted in
-SCALE.md.  Per-user / per-conversation activity is bounded in practice,
-so the plain shape is the default.
+both joins IMPLEMENT time-range salting (``salt_us=...``): the bounded
+window join replicates right rows across bucket boundaries; the
+unbounded as-of join plants per-bucket prefix-best carry rows from a
+bucket-level side table.  Both are row-identical to the plain shape
+(pinned by tests on single-hot-key corpora) and driver-checked against
+the same DuckDB oracles (``clicks_salted``, ``attribution_salted``).
+Per-user / per-conversation activity is bounded in practice, so the
+plain shape stays the default.
 
 The reference engine has no temporal join (its joins are the
 entity-linking lookup joins, cf. texoo-entity-linking/.../nel/
