@@ -1851,6 +1851,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of minhash_dedup (stages/dedup.py): identical
+    md5-prefix shingle hashes, the engine's exact int64-wraparound
+    multiply-shift permutations (HUGEINT arithmetic reproduces numpy's
+    wrap + nonnegative modulo), band buckets on exact signature slices,
+    min-id reps, estimated-Jaccard verification, and a recursive-CTE
+    connected-component closure. The 64 permutation constants are
+    embedded from the engine's own _perm_params(64, seed=42)."""
+    from texoo_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(64, 42)
+    values = ", ".join(
+        "(%d, %d, %d)" % (i, int(a[i]), int(b[i])) for i in range(64)
+    )
+    return r"""
+            WITH RECURSIVE
+            docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM words, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(w, ' ') AS g FROM words
+              WHERE len(w) BETWEEN 1 AND 2
+            ),
+            sh AS (SELECT DISTINCT doc_id,
+                          ('0x' || substring(md5(g), 1, 15))::BIGINT AS h
+                   FROM grams),
+            perm(i, a, b) AS (VALUES __VALUES__),
+            raw AS (SELECT s.doc_id, p.i,
+                           (p.a::HUGEINT * s.h + p.b) % 18446744073709551616 AS u
+                    FROM sh s CROSS JOIN perm p),
+            wr AS (SELECT doc_id, i,
+                    CASE WHEN u >= 9223372036854775808
+                         THEN u - 18446744073709551616 ELSE u END AS w
+                   FROM raw),
+            vv AS (SELECT doc_id, i,
+                    CASE WHEN (w % 2305843009213693951) < 0
+                         THEN (w % 2305843009213693951) + 2305843009213693951
+                         ELSE (w % 2305843009213693951) END AS v
+                   FROM wr),
+            sig AS (SELECT doc_id, i, min(v)::BIGINT AS v FROM vv GROUP BY 1, 2),
+            bandv AS (SELECT doc_id, i // 4 AS band,
+                             min(CASE WHEN i % 4 = 0 THEN v END) AS v0,
+                             min(CASE WHEN i % 4 = 1 THEN v END) AS v1,
+                             min(CASE WHEN i % 4 = 2 THEN v END) AS v2,
+                             min(CASE WHEN i % 4 = 3 THEN v END) AS v3
+                      FROM sig GROUP BY 1, 2),
+            reps AS (SELECT band, v0, v1, v2, v3, min(doc_id) AS rep,
+                            count(*) AS n
+                     FROM bandv GROUP BY 1, 2, 3, 4, 5),
+            cand AS (SELECT DISTINCT bv.doc_id AS a, r.rep AS b
+                     FROM bandv bv JOIN reps r USING (band, v0, v1, v2, v3)
+                     WHERE r.n > 1 AND bv.doc_id <> r.rep),
+            est AS (SELECT c.a, c.b,
+                           avg(CASE WHEN s1.v = s2.v THEN 1.0 ELSE 0.0 END) AS e
+                    FROM cand c JOIN sig s1 ON s1.doc_id = c.a
+                    JOIN sig s2 ON s2.doc_id = c.b AND s2.i = s1.i
+                    GROUP BY 1, 2),
+            eok AS (SELECT a, b FROM est WHERE e >= 0.5),
+            mt AS (SELECT doc_id FROM words WHERE len(w) = 0),
+            eempty AS (SELECT m.doc_id AS a, (SELECT min(doc_id) FROM mt) AS b
+                       FROM mt m WHERE m.doc_id <> (SELECT min(doc_id) FROM mt)),
+            alle AS (SELECT a, b FROM eok UNION SELECT a, b FROM eempty),
+            esym AS (SELECT a AS s, b AS d FROM alle UNION SELECT b, a FROM alle),
+            cc AS (SELECT doc_id AS id, doc_id AS lab FROM docs
+                   UNION
+                   SELECT e.d AS id, cc.lab FROM cc JOIN esym e ON e.s = cc.id)
+            SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id
+            FROM cc GROUP BY id ORDER BY doc_id
+        """.replace("__VALUES__", values)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_tokenize": """
@@ -1888,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        "dedup_minhash": _minhash_oracle_sql(),
         "dedup_jaccard": r"""
             WITH RECURSIVE
             docs AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -64,8 +64,17 @@ def _perm_params(k: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _gram_hash(g: str) -> int:
+    """60-bit md5-prefix hash of a shingle string — exactly DuckDB's
+    ``('0x' || substring(md5(g), 1, 15))::BIGINT``, so the SQL oracle can
+    recompute identical shingle hashes (and therefore identical minhash
+    signatures)."""
+    return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def shingles(text: str, n: int = 3) -> np.ndarray:
-    """crc32 hashes of word n-gram shingles (lowercased)."""
+    """md5-prefix hashes of word n-gram shingles (lowercased); a doc
+    shorter than ``n`` words yields one all-words shingle."""
     words = _WORD_RE.findall(text.lower())
     if len(words) < n:
         grams = [" ".join(words)] if words else []
@@ -73,7 +82,7 @@ def shingles(text: str, n: int = 3) -> np.ndarray:
         grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
     if not grams:
         return np.zeros(0, dtype=np.int64)
-    return np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64)
+    return np.array([_gram_hash(g) for g in grams], dtype=np.int64)
 
 
 def minhash_signature(text: str, k: int = 64, seed: int = 42) -> np.ndarray:
@@ -688,20 +697,26 @@ def minhash_dedup(
         edges = e.map_batches(check_exact, batch_format="pyarrow")
         return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
-    # signature mode: one groupby(map_groups) emits verified edges directly
+    # signature mode: one groupby(map_groups) emits verified edges directly.
+    # Buckets key on the band's EXACT signature slice (r columns), not a
+    # derived band hash — no spurious bucket merges from 64-bit band-hash
+    # collisions, and the SQL oracle groups on the identical tuple.
+    r = k // bands
+
     def explode(batch: pa.Table) -> pa.Table:
         mat = _sig_matrix(batch["sig"], k)
         ids = np.asarray(batch[id_col], dtype=np.int64)
         n = mat.shape[0]
-        keys = _band_keys(mat, bands)  # (n, bands)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
-                "band_hash": pa.array(keys.reshape(-1)),
-                id_col: pa.array(np.repeat(ids, bands)),
-                "sig": batch["sig"].take(pa.array(np.repeat(np.arange(n), bands))),
-            }
-        )
+        cols = {
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+        }
+        # slice component j of band b for doc d = mat[d, b*r + j]
+        sl = mat.reshape(n, bands, r)
+        for j in range(r):
+            cols["v%d" % j] = pa.array(sl[:, :, j].reshape(-1))
+        cols[id_col] = pa.array(np.repeat(ids, bands))
+        cols["sig"] = batch["sig"].take(pa.array(np.repeat(np.arange(n), bands)))
+        return pa.table(cols)
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
 
@@ -719,7 +734,7 @@ def minhash_dedup(
             {"src": pa.array(src), "dst": pa.array(np.full(len(src), ids[r]))}
         )
 
-    edges = buckets.groupby(["band", "band_hash"]).map_groups(
+    edges = buckets.groupby(["band"] + ["v%d" % j for j in range(r)]).map_groups(
         bucket_edges, batch_format="pyarrow"
     )
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
