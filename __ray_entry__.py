@@ -1963,6 +1963,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY doc_id
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_simhash": r"""
+            WITH RECURSIVE
+            docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            feats AS (
+              SELECT doc_id, w[i] AS f FROM words,
+                LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) WHERE len(w) >= 1
+              UNION ALL
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS f FROM words,
+                LATERAL (SELECT unnest(range(1, len(w))) AS i) WHERE len(w) >= 2
+            ),
+            fh AS (SELECT doc_id, ('0x' || substring(md5(f), 1, 16))::UBIGINT AS h
+                   FROM feats),
+            bits AS (SELECT doc_id, b.i,
+                            sum(CASE WHEN ((h >> b.i) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+                     FROM fh, LATERAL (SELECT unnest(range(0, 64)) AS i) b
+                     GROUP BY 1, 2),
+            sigu AS (SELECT doc_id,
+                            sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i)::HUGEINT
+                                     ELSE 0 END) AS us
+                     FROM bits GROUP BY 1),
+            sig AS (SELECT d.doc_id, coalesce(s.us, 0)::UBIGINT AS us
+                    FROM docs d LEFT JOIN sigu s USING (doc_id)),
+            q AS (SELECT doc_id, us, b.band,
+                         ((us >> (16 * b.band)) & 65535)::BIGINT AS key
+                  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS band) b),
+            reps AS (SELECT band, key, min(doc_id) AS rep, count(*) AS n
+                     FROM q GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT q.doc_id AS a, r.rep AS b
+                     FROM q JOIN reps r USING (band, key)
+                     WHERE r.n > 1 AND q.doc_id <> r.rep),
+            ver AS (SELECT c.a, c.b FROM cand c
+                    JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+                    WHERE bit_count(xor(sa.us, sb.us)) <= 3),
+            esym AS (SELECT a AS s, b AS d FROM ver UNION SELECT b, a FROM ver),
+            cc AS (SELECT doc_id AS id, doc_id AS lab FROM docs
+                   UNION
+                   SELECT e.d AS id, cc.lab FROM cc JOIN esym e ON e.s = cc.id)
+            SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id
+            FROM cc GROUP BY id ORDER BY doc_id
+        """,
         "dedup_jaccard": r"""
             WITH RECURSIVE
             docs AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -8,8 +8,9 @@ Scale notes (the point of these implementations):
   global ``groupby(hash)`` — the shuffle moves one row per distinct text
   per block instead of one per row.
 - **minhash**: signatures are computed per batch with numpy (k permutations
-  via multiply-shift over crc32 shingle hashes); LSH bands explode to
-  (band, band_hash) rows; bucket candidates are VERIFIED (band collisions
+  via multiply-shift over md5-prefix shingle hashes — DuckDB-recomputable,
+  so the SQL oracle mirrors signatures bit-for-bit); LSH bands explode to
+  per-band signature-slice rows; bucket candidates are VERIFIED (band collisions
   alone are not duplicates) and clusters form by iterated min-label
   propagation over the verified edge set — a distributed connected
   components restricted to edge endpoints, no driver union-find.
@@ -136,13 +137,11 @@ def simhash64(text: str) -> int:
     feats = words + [" ".join(p) for p in zip(words, words[1:])]
     if not feats:
         return 0
+    # md5-prefix feature hash — exactly DuckDB's
+    # ('0x' || substring(md5(f), 1, 16))::UBIGINT, so the SQL oracle can
+    # recompute identical signatures
     hs = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(), "little"
-            )
-            for f in feats
-        ],
+        [int(hashlib.md5(f.encode("utf-8")).hexdigest()[:16], 16) for f in feats],
         dtype=np.uint64,
     )
     shifts = np.arange(64, dtype=np.uint64)
