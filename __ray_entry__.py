@@ -328,10 +328,35 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup clustering with PLANTED duplicates: every
+    5th vector gets a copy at vec_id+10000 scaled by 2.0 (scaling by a
+    power of two is exact in binary floating point, so the copy's plane
+    signs and cosines are bit-identical to the original's in both engines)
+    — cos(v, 2v) = 1 >= 0.9 makes {i, i+10000} true clusters. The oracle
+    mirrors everything: the seeded hyperplanes (literal table), the
+    row-count-derived plane count, bucket components, cosine >= 0.9."""
+    import pyarrow.compute as pc
+
     from texoo_ray.stages.dedup import embedding_dedup
 
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"]
+        keep = pa.array((np.asarray(ids.combine_chunks(), np.int64) % 5) == 0)
+        t = batch.filter(keep)
+        emb = t["embedding"].combine_chunks()
+        scaled = pa.ListArray.from_arrays(
+            emb.offsets, pc.multiply(emb.values, pa.scalar(2.0, emb.values.type))
+        )
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], 10000),
+                "embedding": scaled,
+            }
+        )
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dedup(ds, threshold=0.9).sort("vec_id")
+    aug = ds.union(ds.map_batches(dup, batch_format="pyarrow"))
+    return embedding_dedup(aug, threshold=0.9).sort("vec_id")
 
 
 def _q_dedup_jaccard(sf_dir: str):
@@ -1851,6 +1876,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _embedding_oracle_sql() -> str:
+    """DuckDB mirror of the planted-duplicate embedding_dedup query:
+    the engine's seeded hyperplanes (numpy RandomState(42).randn rows are
+    a PREFIX across plane counts, so one 24-row literal table serves any
+    n_planes <= 24), the row-count-derived plane count computed in SQL,
+    bucket signatures from double-precision dot signs, in-bucket
+    components over cosine >= 0.9 edges via the recursive CTE. The x2
+    planted copies are exact in binary FP, so their plane signs and
+    cosines are bit-identical to the originals in both engines."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    P = rng.randn(24, 64)
+    vals = ", ".join(
+        "(%d, %d, %s)" % (p, d, repr(float(P[p, d])))
+        for p in range(24)
+        for d in range(64)
+    )
+    return r"""
+            WITH RECURSIVE
+            aug AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 10000, list_transform(embedding, x -> x * 2)
+                    FROM embeddings WHERE vec_id % 5 = 0),
+            np_ AS (SELECT least(24, greatest(8,
+                             ceil(log2(count(*) / 1000.0 + 1))::INT + 8)) AS n
+                    FROM aug),
+            planes(p, d, w) AS (VALUES __VALS__),
+            ev AS (SELECT vec_id, embedding[i.d]::DOUBLE AS v, i.d - 1 AS d
+                   FROM aug,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) i),
+            bits AS (SELECT e.vec_id, pl.p,
+                            CASE WHEN sum(e.v * pl.w) > 0 THEN 1::BIGINT
+                                 ELSE 0 END AS bit
+                     FROM ev e JOIN planes pl ON pl.d = e.d, np_
+                     WHERE pl.p < np_.n
+                     GROUP BY 1, 2),
+            sig AS (SELECT vec_id, sum(bit * (1::BIGINT << p))::BIGINT AS s
+                    FROM bits GROUP BY 1),
+            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1),
+            pairs AS (SELECT a.vec_id AS x, b.vec_id AS y
+                      FROM sig a JOIN sig b
+                        ON a.s = b.s AND a.vec_id < b.vec_id),
+            dots AS (SELECT p.x, p.y, sum(ea.v * eb.v) AS dot
+                     FROM pairs p JOIN ev ea ON ea.vec_id = p.x
+                     JOIN ev eb ON eb.vec_id = p.y AND eb.d = ea.d
+                     GROUP BY 1, 2),
+            edges AS (SELECT d.x AS a, d.y AS b FROM dots d
+                      JOIN norms nx ON nx.vec_id = d.x
+                      JOIN norms ny ON ny.vec_id = d.y
+                      WHERE d.dot / (greatest(nx.nrm, 1e-12) *
+                                     greatest(ny.nrm, 1e-12)) >= 0.9),
+            esym AS (SELECT a AS s, b AS d FROM edges
+                     UNION SELECT b, a FROM edges),
+            cc AS (SELECT vec_id AS id, vec_id AS lab FROM aug
+                   UNION
+                   SELECT e.d AS id, cc.lab FROM cc JOIN esym e ON e.s = cc.id)
+            SELECT id AS vec_id, min(lab)::BIGINT AS cluster_id
+            FROM cc GROUP BY id ORDER BY vec_id
+        """.replace("__VALS__", vals)
+
+
 def _minhash_oracle_sql() -> str:
     """DuckDB mirror of minhash_dedup (stages/dedup.py): identical
     md5-prefix shingle hashes, the engine's exact int64-wraparound
@@ -1963,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY doc_id
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_embedding": _embedding_oracle_sql(),
         "dedup_simhash": r"""
             WITH RECURSIVE
             docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
