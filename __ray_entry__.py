@@ -1876,6 +1876,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _knn_lsh_oracle_sql() -> str:
+    """DuckDB mirror of lsh_topk (stages/knn.py:84): seeded hyperplane
+    literals (the engine's RandomState(42).randn prefix), double-dot sign
+    signatures for query and corpus, hamming<=2 multiprobe candidate set
+    (bit_count(xor)), cosine-ranked top-10."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    P = rng.randn(24, 64)
+    vals = ", ".join(
+        "(%d, %d, %s)" % (p, d, repr(float(P[p, d])))
+        for p in range(8)
+        for d in range(64)
+    )
+    return r"""
+            WITH
+            planes(p, d, w) AS (VALUES __VALS__),
+            q AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+            ev AS (SELECT vec_id, embedding[i.d]::DOUBLE AS v, i.d - 1 AS d
+                   FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) i),
+            qv AS (SELECT qv[i.d]::DOUBLE AS v, i.d - 1 AS d
+                   FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS d) i),
+            qsig AS (SELECT sum(CASE WHEN b.dot > 0
+                                     THEN (1::BIGINT << b.p) ELSE 0 END) AS s
+                     FROM (SELECT pl.p, sum(qv.v * pl.w) AS dot
+                           FROM qv JOIN planes pl ON pl.d = qv.d GROUP BY 1) b),
+            sigs AS (SELECT vec_id,
+                            sum(CASE WHEN dot > 0
+                                     THEN (1::BIGINT << p) ELSE 0 END) AS s
+                     FROM (SELECT e.vec_id, pl.p, sum(e.v * pl.w) AS dot
+                           FROM ev e JOIN planes pl ON pl.d = e.d GROUP BY 1, 2)
+                     GROUP BY 1),
+            cand AS (SELECT sigs.vec_id FROM sigs, qsig
+                     WHERE bit_count(xor(sigs.s::UBIGINT, qsig.s::UBIGINT)) <= 2)
+            SELECT row_number() OVER (
+                     ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                              e.vec_id ASC
+                   )::BIGINT AS rank,
+                   e.vec_id
+            FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+            ORDER BY rank LIMIT 10
+        """.replace("__VALS__", vals)
+
+
 def _embedding_oracle_sql() -> str:
     """DuckDB mirror of the planted-duplicate embedding_dedup query:
     the engine's seeded hyperplanes (numpy RandomState(42).randn rows are
@@ -2051,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_embedding": _embedding_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
         "dedup_simhash": r"""
             WITH RECURSIVE
             docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
