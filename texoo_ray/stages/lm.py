@@ -35,7 +35,7 @@ oracle matches exactly.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
