@@ -287,6 +287,40 @@ def _q_doc_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021 A1.1) per document — the
+    canonical pre-training quality filter as one stateless vectorized
+    map_batches pass (stages/text_stats.py::gopher_quality); every
+    counter is an RE2 match count and every rule an integer
+    cross-multiplication, hash-checked against a DuckDB oracle running
+    the identical RE2 patterns."""
+    from texoo_ray.stages.text_stats import gopher_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(gopher_quality, batch_format="pyarrow")
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "n_word_chars",
+            "n_symbols",
+            "n_lines",
+            "n_bullet_lines",
+            "n_ellipsis_lines",
+            "n_alpha_words",
+            "n_stopword_hits",
+            "r_word_count",
+            "r_word_len",
+            "r_symbol",
+            "r_bullet",
+            "r_ellipsis",
+            "r_alpha",
+            "r_stopword",
+            "gopher_pass",
+        ]
+    ).sort("doc_id")
+
+
 def _q_token_count_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1799,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokenize": _q_doc_tokenize,
         "doc_roundtrip": _q_doc_roundtrip,
         "doc_quality": _q_doc_quality,
+        "gopher_quality": _q_gopher_quality,
         "token_count_by_lang": _q_token_count_by_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -2078,6 +2113,48 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "gopher_quality": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_words,
+                     len(regexp_extract_all(coalesce(text, ''), '\S'))::BIGINT AS n_word_chars,
+                     len(regexp_extract_all(coalesce(text, ''), '#|\.\.\.'))::BIGINT AS n_symbols,
+                     (length(coalesce(text, ''))
+                      - length(replace(coalesce(text, ''), chr(10), '')) + 1)::BIGINT AS n_lines,
+                     len(regexp_extract_all(coalesce(text, ''), '(?m)^[ \t]*[-*•]'))::BIGINT AS n_bullet_lines,
+                     len(regexp_extract_all(coalesce(text, ''), '(?m)(\.\.\.|…)$'))::BIGINT AS n_ellipsis_lines,
+                     len(list_filter(regexp_extract_all(coalesce(text, ''), '\S+'),
+                                     w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+                     ((CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bthe\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bbe\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bto\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bof\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\band\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bthat\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bhave\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bwith\b') THEN 1 ELSE 0 END)
+                     )::BIGINT AS n_stopword_hits
+              FROM documents)
+            SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+                   n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+                   n_stopword_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                   (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS r_word_len,
+                   (10 * n_symbols <= n_words) AS r_symbol,
+                   (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet,
+                   (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis,
+                   (10 * n_alpha_words >= 8 * n_words) AS r_alpha,
+                   (n_stopword_hits >= 2) AS r_stopword,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+                    AND (10 * n_symbols <= n_words)
+                    AND (10 * n_bullet_lines <= 9 * n_lines)
+                    AND (10 * n_ellipsis_lines <= 3 * n_lines)
+                    AND (10 * n_alpha_words >= 8 * n_words)
+                    AND (n_stopword_hits >= 2)) AS gopher_pass
+            FROM g ORDER BY doc_id
         """,
         "token_count_by_lang": """
             SELECT lang,

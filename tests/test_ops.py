@@ -105,6 +105,38 @@ class TestTextStats:
         assert out["n_upper"][0].as_py() == 1
         assert out["n_alpha"][0].as_py() == 5
 
+    def test_gopher_quality_rules(self):
+        from texoo_ray.stages.text_stats import gopher_quality
+
+        good = "the cat sat with all of them " * 10  # 70 words, stopwords
+        bullets = "- one\n- two\n- three"
+        ellipsis = "so...\nthen...\nmore...\nplain"
+        numeric = "1 2 3 4 5"
+        batch = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [good, bullets, ellipsis, numeric, ""],
+            }
+        )
+        out = gopher_quality(batch)
+        assert out["gopher_pass"][0].as_py() is True
+        assert out["n_words"][0].as_py() == 70
+        assert out["n_stopword_hits"][0].as_py() >= 2
+        # all 3 lines bulleted -> bullet rule fails
+        assert out["n_bullet_lines"][1].as_py() == 3
+        assert out["r_bullet"][1].as_py() is False
+        # 3 of 4 lines end with ... -> ellipsis rule fails; ... also symbols
+        assert out["n_ellipsis_lines"][2].as_py() == 3
+        assert out["r_ellipsis"][2].as_py() is False
+        assert out["n_symbols"][2].as_py() == 3
+        # no alpha words at all -> alpha rule fails
+        assert out["n_alpha_words"][3].as_py() == 0
+        assert out["r_alpha"][3].as_py() is False
+        # empty doc: 0 words -> word-count rule fails, ratios vacuous-pass
+        assert out["n_words"][4].as_py() == 0
+        assert out["r_word_count"][4].as_py() is False
+        assert out["r_word_len"][4].as_py() is True
+
     def test_token_counts(self):
         batch = pa.table({"text": ["hello, world! x2"]})
         out = token_counts(batch)

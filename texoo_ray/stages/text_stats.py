@@ -61,6 +61,122 @@ def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+# Gopher stop-word presence list (Rae et al. 2021, appendix A1.1): a doc
+# must contain at least 2 of these to pass the stop-word rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """attaches: Gopher-rule quality counters + per-rule booleans +
+    ``gopher_pass`` (Rae et al. 2021, "Scaling Language Models", appendix
+    A1.1 quality heuristics — the canonical pre-training quality filter;
+    generalizes the reference's surface-feature booleans,
+    SurfaceEncoder.java:60-82, from token level to document level).
+
+    Rules (thresholds exactly Gopher's):
+      * word count in [50, 100000]
+      * mean word length in [3, 10]
+      * symbol-to-word ratio (# and ...) <= 0.1
+      * <= 90% of lines start with a bullet (- * •)
+      * <= 30% of lines end with an ellipsis
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct stop words from GOPHER_STOPWORDS
+
+    All counters are non-overlapping RE2 match counts (pyarrow and DuckDB
+    both embed RE2, so the oracle is bit-identical); every rule is an
+    integer cross-multiplication (e.g. mean-word-length 3 <= wc/n <= 10
+    becomes 3n <= wc AND wc <= 10n), so no float ever crosses the engine
+    boundary. Fully vectorized — the only per-word pass is an Arrow
+    flatten + regex match, no Python row loop.
+    """
+    text = pc.fill_null(batch[text_col], "")
+    n_words = _count_re(text, r"\S+")
+    n_word_chars = _count_re(text, r"\S")
+    n_symbols = _count_re(text, r"#|\.\.\.")
+    n_lines = pc.cast(
+        pc.add(pc.count_substring(text, "\n"), pa.scalar(1)), pa.int64()
+    )
+    n_bullet_lines = _count_re(text, r"(?m)^[ \t]*[-*•]")
+    n_ellipsis_lines = _count_re(text, r"(?m)(\.\.\.|…)$")
+
+    # words containing at least one alphabetic char: flatten the \S+
+    # tokens (regex split keeps ASCII-whitespace semantics identical to
+    # the oracle's regexp_extract_all '\S+') and match per token.
+    toks = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    is_alpha_word = pc.and_(
+        pc.not_equal(flat, ""), pc.match_substring_regex(flat, "[A-Za-z]")
+    )
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    cum = np.concatenate(
+        [[0], np.cumsum(np.asarray(is_alpha_word, dtype=np.int64))]
+    )
+    n_alpha_words = pa.array(cum[off[1:]] - cum[off[:-1]], pa.int64())
+
+    low = pc.utf8_lower(text)
+    hits = None
+    for w in GOPHER_STOPWORDS:
+        h = pc.cast(
+            pc.match_substring_regex(low, r"\b%s\b" % w), pa.int64()
+        )
+        hits = h if hits is None else pc.add(hits, h)
+    n_stopword_hits = pc.cast(hits, pa.int64())
+
+    def _np(a):
+        return (
+            a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        ).to_numpy(zero_copy_only=False)
+
+    nw = _np(n_words)
+    wc = _np(n_word_chars)
+    sym = _np(n_symbols)
+    nl = _np(n_lines)
+    bl = _np(n_bullet_lines)
+    el = _np(n_ellipsis_lines)
+    aw = _np(n_alpha_words)
+    sw = _np(n_stopword_hits)
+
+    r_word_count = (nw >= 50) & (nw <= 100000)
+    r_word_len = (3 * nw <= wc) & (wc <= 10 * nw)
+    r_symbol = 10 * sym <= nw
+    r_bullet = 10 * bl <= 9 * nl
+    r_ellipsis = 10 * el <= 3 * nl
+    r_alpha = 10 * aw >= 8 * nw
+    r_stopword = sw >= 2
+    gopher_pass = (
+        r_word_count
+        & r_word_len
+        & r_symbol
+        & r_bullet
+        & r_ellipsis
+        & r_alpha
+        & r_stopword
+    )
+
+    for name, col in (
+        ("n_words", n_words),
+        ("n_word_chars", n_word_chars),
+        ("n_symbols", n_symbols),
+        ("n_lines", n_lines),
+        ("n_bullet_lines", n_bullet_lines),
+        ("n_ellipsis_lines", n_ellipsis_lines),
+        ("n_alpha_words", n_alpha_words),
+        ("n_stopword_hits", n_stopword_hits),
+        ("r_word_count", pa.array(r_word_count)),
+        ("r_word_len", pa.array(r_word_len)),
+        ("r_symbol", pa.array(r_symbol)),
+        ("r_bullet", pa.array(r_bullet)),
+        ("r_ellipsis", pa.array(r_ellipsis)),
+        ("r_alpha", pa.array(r_alpha)),
+        ("r_stopword", pa.array(r_stopword)),
+        ("gopher_pass", pa.array(gopher_pass)),
+    ):
+        batch = batch.append_column(name, col)
+    return batch
+
+
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """attaches: n_ws_tokens (whitespace), n_bpe_tokens (BPE-ish regex).
     Vectorized: both counts are non-overlapping regex match counts."""
