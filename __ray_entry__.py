@@ -287,6 +287,28 @@ def _q_doc_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Duplicated-substring counts per document (word-8-gram form of Lee
+    et al. 2022) — one bucketed gram-fingerprint exchange + per-doc
+    Count/Sum (stages/dedup.py::substring_dedup); hash-checked against a
+    DuckDB oracle that groups the literal gram strings."""
+    from texoo_ray.stages.dedup import substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dedup(ds, n=8).sort("doc_id")
+
+
+def _q_ngram_novelty(sf_dir: str):
+    """Per-document 3-gram novelty vs the min-doc-id first occurrence
+    (stages/dedup.py::ngram_novelty): distinct-gram and novel-gram
+    counts as exact integers, hash-checked against a DuckDB
+    DISTINCT-join oracle."""
+    from texoo_ray.stages.dedup import ngram_novelty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_novelty(ds, n=3).sort("doc_id")
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher quality rules (Rae et al. 2021 A1.1) per document — the
     canonical pre-training quality filter as one stateless vectorized
@@ -1834,6 +1856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_roundtrip": _q_doc_roundtrip,
         "doc_quality": _q_doc_quality,
         "gopher_quality": _q_gopher_quality,
+        "substring_dedup": _q_substring_dedup,
+        "ngram_novelty": _q_ngram_novelty,
         "token_count_by_lang": _q_token_count_by_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -2113,6 +2137,34 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "substring_dedup": r"""
+            WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            grams AS (SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS g
+                      FROM words,
+                      LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) i
+                      WHERE len(w) >= 8),
+            gstat AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+            FROM grams JOIN gstat USING (g)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ngram_novelty": r"""
+            WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            grams AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS g
+                      FROM words,
+                      LATERAL (SELECT unnest(range(1, len(w) - 3 + 2)) AS i) i
+                      WHERE len(w) >= 3),
+            firsts AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_distinct_grams,
+                   sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END)::BIGINT AS n_novel_grams
+            FROM grams JOIN firsts USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "gopher_quality": r"""
             WITH g AS (

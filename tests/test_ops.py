@@ -224,6 +224,59 @@ class TestRayOps:
         assert cl[1] == 1 and cl[2] == 1  # near-dups share the min-id cluster
         assert cl[3] == 3
 
+    def test_substring_dedup_counts(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import substring_dedup
+
+        shared = "alpha beta gamma delta"  # one shared 4-gram
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    shared + " one two",  # grams at 3 positions, 1 shared
+                    "zero " + shared,  # grams at 2 positions, 1 shared
+                    "a b c d a b c d",  # repeats ONLY within itself
+                    "too few",  # < n words -> no output row
+                ],
+            }
+        )
+        out = (
+            substring_dedup(ray.data.from_arrow(tbl).repartition(3), n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert out["n_grams"].tolist() == [3, 2, 5]
+        # same-doc repetition is NOT a cross-doc duplicate
+        assert out["n_dup_grams"].tolist() == [1, 1, 0]
+
+    def test_ngram_novelty_first_occurrence(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import ngram_novelty
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([10, 20, 30], pa.int64()),
+                "text": [
+                    "x y z",  # 1 distinct 3-gram, novel (min doc id)
+                    "x y z w",  # shares "x y z" (not novel), "y z w" novel
+                    "x y z",  # nothing novel
+                ],
+            }
+        )
+        out = (
+            ngram_novelty(ray.data.from_arrow(tbl).repartition(3), n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [10, 20, 30]
+        assert out["n_distinct_grams"].tolist() == [1, 2, 1]
+        assert out["n_novel_grams"].tolist() == [1, 1, 0]
+
     def test_brute_force_topk(self, ray_session):
         import ray.data
 

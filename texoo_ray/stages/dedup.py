@@ -942,6 +942,166 @@ def ngram_jaccard_dedup(
     return cluster_from_edges(all_ids, edges, id_col, max_iters)
 
 
+def _flat_gram_rows(
+    batch: pa.Table,
+    text_col: str,
+    id_col: str,
+    n: int,
+    distinct_per_doc: bool,
+    n_buckets: int,
+) -> pa.Table:
+    """(id, gh, gl, bucket) rows — one per word-``n``-gram occurrence
+    (stride 1, windows masked at document boundaries), or one per
+    distinct (doc, gram) when ``distinct_per_doc``. Fully vectorized:
+    the 128-bit gram fingerprints come from text_stats._gram_hashes
+    (column-at-a-time FNV over per-word hashes), per-doc distinctness is
+    one lexsort + neighbor mask, and ``bucket = gh % n_buckets`` keys
+    the downstream exchange so map_groups handles whole buckets of
+    complete gram groups instead of one call per gram."""
+    from .text_stats import _gram_hashes
+
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    doc_of, gh, gl = _gram_hashes(batch[text_col], n)
+    if distinct_per_doc and len(gh):
+        order = np.lexsort((gl, gh, doc_of))
+        d, h, lw = doc_of[order], gh[order], gl[order]
+        keep = np.ones(len(d), bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1]) | (lw[1:] != lw[:-1])
+        doc_of, gh, gl = d[keep], h[keep], lw[keep]
+    return pa.table(
+        {
+            id_col: pa.array(ids[doc_of], pa.int64()),
+            "gh": pa.array(gh, pa.uint64()),
+            "gl": pa.array(gl, pa.uint64()),
+            "bucket": pa.array(
+                (gh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def substring_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    n_buckets: int = 128,
+):
+    """Duplicated-substring detection (the word-n-gram form of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every document, count how many of its stride-1 word
+    ``n``-grams also occur in at least one OTHER document. Returns
+    Dataset[(id, n_grams, n_dup_grams)] over docs with >= ``n`` words —
+    the per-doc duplicated-span budget a curation pass thresholds on
+    (Lee et al. remove spans; the count is the decision input and is
+    exactly SQL-checkable, span surgery is a trivial row-local follow-up).
+
+    Scale shape: stage 1 is a stateless vectorized flatten (one row per
+    gram occurrence, 128-bit fingerprint instead of the gram string —
+    shuffle bytes independent of ``n``; a fingerprint collision could
+    miscount, odds ~ (total grams)^2 / 2^128); the single corpus-sized
+    exchange is the ``groupby(bucket)`` over ``gh % n_buckets`` whose
+    map_groups marks multi-doc grams with one lexsort + segmented
+    first/last compare per bucket (no Python loop over grams); the final
+    per-doc Count/Sum aggregates combine per block before their tiny
+    exchange. No stage materializes the corpus.
+
+    Reference parity: TeXoo has no corpus-level dedup (SURVEY §2.9);
+    this extends the curation family (exact/minhash/simhash/jaccard
+    above) to sub-document granularity.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        return _flat_gram_rows(batch, text_col, id_col, n, False, n_buckets)
+
+    def bucket_flags(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        gh = np.asarray(group["gh"])
+        gl = np.asarray(group["gl"])
+        order = np.lexsort((ids, gl, gh))
+        h, lw, i = gh[order], gl[order], ids[order]
+        new = np.ones(len(h), bool)
+        new[1:] = (h[1:] != h[:-1]) | (lw[1:] != lw[:-1])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(i)]]) - 1
+        multi = i[ends] != i[starts]  # ids sorted within segment
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                "is_dup": pa.array(multi[seg].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_flags, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Count(alias_name="n_grams"), Sum("is_dup", alias_name="n_dup_grams")
+        )
+    )
+
+
+def ngram_novelty(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 128,
+):
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    word ``n``-grams whose corpus-wide first occurrence (minimum doc id
+    — the deterministic stand-in for arrival order) is this document.
+    Returns Dataset[(id, n_distinct_grams, n_novel_grams)] over docs
+    with >= ``n`` words; novelty ratio = novel/distinct is a row-local
+    division the caller applies (kept as exact integers so the oracle
+    hash never sees a float).
+
+    The curation use is incremental-crawl triage: low-novelty documents
+    add little text not already owned by earlier documents. Same scale
+    shape as :func:`substring_dedup` (one bucketed gram exchange, one
+    tiny per-doc aggregate), with per-doc distinctness pushed into the
+    stateless flatten so the exchange moves one row per distinct
+    (doc, gram).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        return _flat_gram_rows(batch, text_col, id_col, n, True, n_buckets)
+
+    def bucket_first(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        gh = np.asarray(group["gh"])
+        gl = np.asarray(group["gl"])
+        order = np.lexsort((ids, gl, gh))
+        h, lw, i = gh[order], gl[order], ids[order]
+        new = np.ones(len(h), bool)
+        new[1:] = (h[1:] != h[:-1]) | (lw[1:] != lw[:-1])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        is_first = i == i[starts][seg]  # min id per segment (sorted)
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                "is_first": pa.array(is_first.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_first, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Count(alias_name="n_distinct_grams"),
+            Sum("is_first", alias_name="n_novel_grams"),
+        )
+    )
+
+
 def simhash_dedup(
     ds,
     text_col: str = "text",
