@@ -287,6 +287,35 @@ def _q_doc_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-cosine-dedup, stages/dedup.py::
+    semantic_dedup) with PLANTED duplicates: every 5th vector gets an
+    exact copy at vec_id+10000 (bit-identical embedding and label, so
+    both engines quantize/assign/score it identically and the pair's
+    cosine is exactly 1). The DuckDB oracle unrolls the whole pipeline:
+    int64 label-centroid assignment, within-cluster cosine >= 0.9
+    edges, recursive min-id components."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.dedup import semantic_dedup
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"]
+        keep = pa.array((np.asarray(ids.combine_chunks(), np.int64) % 5) == 0)
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], 10000),
+                "label": t["label"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    aug = ds.union(ds.map_batches(dup, batch_format="pyarrow"))
+    return semantic_dedup(aug, threshold=0.9).sort("vec_id")
+
+
 def _q_substring_dedup(sf_dir: str):
     """Duplicated-substring counts per document (word-8-gram form of Lee
     et al. 2022) — one bucketed gram-fingerprint exchange + per-doc
@@ -1856,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_roundtrip": _q_doc_roundtrip,
         "doc_quality": _q_doc_quality,
         "gopher_quality": _q_gopher_quality,
+        "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
         "ngram_novelty": _q_ngram_novelty,
         "token_count_by_lang": _q_token_count_by_lang,
@@ -2137,6 +2167,56 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "semantic_dedup": r"""
+            WITH RECURSIVE
+            aug AS (SELECT vec_id, label, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 10000, label, embedding
+                    FROM embeddings WHERE vec_id % 5 = 0),
+            vq AS (SELECT vec_id, (i - 1)::BIGINT AS dim,
+                     CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+                   FROM aug,
+                        LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+            cent AS (SELECT a.label::BIGINT AS label, q.dim,
+                            sum(q.v)::BIGINT AS s, count(*)::BIGINT AS n
+                     FROM vq q JOIN aug a USING (vec_id) GROUP BY 1, 2),
+            cq AS (SELECT label, dim,
+                     ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+                   FROM cent),
+            d AS (SELECT vq.vec_id, cq.label,
+                         sum((vq.v - cq.c) * (vq.v - cq.c))::BIGINT AS d2
+                  FROM vq JOIN cq USING (dim) GROUP BY 1, 2),
+            best AS (SELECT vec_id, label AS assigned_label
+                     FROM (SELECT vec_id, label, d2,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                     ORDER BY d2, label) AS rn
+                           FROM d) WHERE rn = 1),
+            ev AS (SELECT vec_id, embedding[i.d]::DOUBLE AS v, i.d - 1 AS d
+                   FROM aug,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d) i),
+            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1),
+            pairs AS (SELECT a.vec_id AS x, b.vec_id AS y
+                      FROM best a JOIN best b
+                        ON a.assigned_label = b.assigned_label
+                       AND a.vec_id < b.vec_id),
+            dots AS (SELECT p.x, p.y, sum(ea.v * eb.v) AS dot
+                     FROM pairs p JOIN ev ea ON ea.vec_id = p.x
+                     JOIN ev eb ON eb.vec_id = p.y AND eb.d = ea.d
+                     GROUP BY 1, 2),
+            edges AS (SELECT d.x AS a, d.y AS b FROM dots d
+                      JOIN norms nx ON nx.vec_id = d.x
+                      JOIN norms ny ON ny.vec_id = d.y
+                      WHERE d.dot / (greatest(nx.nrm, 1e-12) *
+                                     greatest(ny.nrm, 1e-12)) >= 0.9),
+            esym AS (SELECT a AS s, b AS d FROM edges
+                     UNION SELECT b, a FROM edges),
+            cc AS (SELECT vec_id AS id, vec_id AS lab FROM aug
+                   UNION
+                   SELECT e.d AS id, cc.lab FROM cc JOIN esym e ON e.s = cc.id)
+            SELECT b.vec_id, b.assigned_label,
+                   (SELECT min(lab) FROM cc WHERE cc.id = b.vec_id)::BIGINT AS rep_id
+            FROM best b ORDER BY b.vec_id
         """,
         "substring_dedup": r"""
             WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),

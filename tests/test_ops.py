@@ -224,6 +224,35 @@ class TestRayOps:
         assert cl[1] == 1 and cl[2] == 1  # near-dups share the min-id cluster
         assert cl[3] == 3
 
+    def test_semantic_dedup_within_clusters(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import semantic_dedup
+
+        rng = np.random.RandomState(3)
+        a = rng.randn(8).astype(np.float32)
+        b = rng.randn(8).astype(np.float32)
+        vecs = [a, a * 2.0, b, -a]  # a/2a exact dups; -a opposite direction
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "label": pa.array([0, 0, 1, 0], pa.int32()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = (
+            semantic_dedup(ray.data.from_arrow(tbl), threshold=0.9)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        rep = dict(zip(out["vec_id"], out["rep_id"]))
+        assert rep[1] == 1 and rep[2] == 1  # same-direction pair collapses
+        assert rep[3] == 3
+        assert rep[4] == 4  # opposite direction: cosine -1, kept
+
     def test_substring_dedup_counts(self, ray_session):
         import ray.data
 

@@ -492,6 +492,100 @@ def embedding_dedup(
     )
 
 
+def semantic_dedup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    threshold: float = 0.9,
+    scale_bits: int = 20,
+    max_cluster: int = 4096,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then deduplicate WITHIN each cluster by cosine
+    similarity — the cluster pass turns the quadratic all-pairs problem
+    into per-cluster work, exactly the paper's trick for web scale.
+
+    Clusters come from one exact Lloyd step (:func:`~.knn.label_centroids`
+    -> :func:`~.knn.kmeans_assign`, both int64-quantized so the
+    assignment is bit-reproducible across block layouts and in SQL),
+    seeded by the ``label_col`` classes — the deterministic stand-in for
+    the paper's random-init k-means. Within a cluster, pairs with cosine
+    >= ``threshold`` connect; each connected component keeps its minimum
+    id as representative. Returns
+    Dataset[(id, assigned_label, rep_id)] — ``rep_id == id`` marks the
+    kept row, the per-component dedup decision downstream filters on.
+
+    Scale shape: centroids are a KB-sized broadcast; the only
+    corpus-sized exchange is the ``groupby(assigned_label)``; in-cluster
+    work is one vectorized normalized matmul + masked adjacency-min
+    iteration (same primitive as :func:`embedding_dedup`). Oversized
+    clusters (> ``max_cluster``) are deterministically sub-split with
+    seeded hyperplanes before the O(c^2) step, bounding per-group cost —
+    at real scale pick k ~ sqrt(corpus) as the paper does so clusters
+    stay small.
+    """
+    from .knn import kmeans_assign, label_centroids
+
+    cent = pa.Table.from_pylist(
+        label_centroids(
+            ds, label_col=label_col, vec_col=vec_col, scale_bits=scale_bits
+        ).take_all()
+    )
+    assigned = kmeans_assign(
+        ds, cent, vec_col=vec_col, id_col=id_col, scale_bits=scale_bits,
+        keep_vec=True,
+    )
+
+    def _minlabel(ids: np.ndarray, adj: np.ndarray) -> np.ndarray:
+        labels = ids.astype(np.int64).copy()
+        big = np.iinfo(np.int64).max
+        while True:
+            m = np.where(adj, labels[None, :], big).min(axis=1)
+            new = np.minimum(labels, m)
+            if np.array_equal(new, labels):
+                return labels
+            labels = new
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        vecs = _list_matrix(group[vec_col], dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn = vecs / np.maximum(norms, 1e-12)
+        labels = ids.astype(np.int64).copy()
+
+        def run(idx: np.ndarray) -> None:
+            sub = vn[idx]
+            adj = (sub @ sub.T) >= threshold
+            labels[idx] = _minlabel(ids[idx], adj)
+
+        if len(ids) > max_cluster:
+            k_extra = int(math.ceil(math.log2(len(ids) / max_cluster))) + 1
+            rng = np.random.RandomState(7)
+            planes = rng.randn(k_extra, vecs.shape[1])
+            bits = (vecs @ planes.T > 0).astype(np.int64)
+            sub_sig = np.zeros(len(ids), dtype=np.int64)
+            for b in range(k_extra):
+                sub_sig |= bits[:, b] << b
+            for s in np.unique(sub_sig):
+                run(np.nonzero(sub_sig == s)[0])
+        else:
+            run(np.arange(len(ids)))
+        lab = np.asarray(group["assigned_label"], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "assigned_label": pa.array(lab),
+                "rep_id": pa.array(labels),
+            }
+        )
+
+    return assigned.groupby("assigned_label").map_groups(
+        dedup_cluster, batch_format="pyarrow"
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: returns Dataset[(doc_id, dup_count)] — the surviving
     (minimum) id and group size per distinct text.
