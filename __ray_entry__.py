@@ -287,6 +287,39 @@ def _q_doc_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup (pipelines/conversations.py::
+    conv_dedup) with PLANTED duplicate conversations: every conv whose
+    numeric suffix % 7 == 0 is re-emitted under a 'dup-' id, so both
+    engines must canonicalize turn order, match transcripts exactly,
+    and keep the lexicographically-minimum conv_id ('conv-' < 'dup-')."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import conv_dedup
+
+    def dup(batch: pa.Table) -> pa.Table:
+        suf = pc.cast(
+            pc.utf8_slice_codeunits(batch["conv_id"], 5, 64), pa.int64()
+        )
+        keep = pa.array(np.asarray(suf.combine_chunks(), np.int64) % 7 == 0)
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "conv_id": pc.utf8_replace_slice(t["conv_id"], 0, 5, "dup-"),
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "text": t["text"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
+    )
+    aug = ds.union(ds.map_batches(dup, batch_format="pyarrow"))
+    return conv_dedup(aug).sort("conv_id")
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-then-cosine-dedup, stages/dedup.py::
     semantic_dedup) with PLANTED duplicates: every 5th vector gets an
@@ -1885,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_roundtrip": _q_doc_roundtrip,
         "doc_quality": _q_doc_quality,
         "gopher_quality": _q_gopher_quality,
+        "conv_dedup": _q_conv_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
         "ngram_novelty": _q_ngram_novelty,
@@ -2167,6 +2201,21 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "conv_dedup": """
+            WITH t AS (SELECT conv_id, turn_idx, role, text
+                       FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            aug AS (SELECT conv_id, turn_idx, role, text FROM t
+                    UNION ALL
+                    SELECT 'dup-' || substr(conv_id, 6), turn_idx, role, text
+                    FROM t
+                    WHERE CAST(substr(conv_id, 6) AS BIGINT) % 7 = 0),
+            canon AS (SELECT conv_id,
+                             string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                                        ORDER BY turn_idx) AS tr
+                      FROM aug GROUP BY conv_id)
+            SELECT min(conv_id) AS conv_id, count(*)::BIGINT AS dup_count
+            FROM canon GROUP BY tr ORDER BY conv_id
         """,
         "semantic_dedup": r"""
             WITH RECURSIVE

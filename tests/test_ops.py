@@ -224,6 +224,30 @@ class TestRayOps:
         assert cl[1] == 1 and cl[2] == 1  # near-dups share the min-id cluster
         assert cl[3] == 3
 
+    def test_conv_dedup_turn_order_canonical(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import conv_dedup
+
+        # convs a and b have identical transcripts once turn order is
+        # restored (b's rows arrive shuffled); c differs only in role.
+        tbl = pa.table(
+            {
+                "conv_id": ["a", "a", "b", "b", "c", "c"],
+                "turn_idx": pa.array([0, 1, 1, 0, 0, 1], pa.int32()),
+                "role": ["user", "assistant", "assistant", "user", "user", "user"],
+                "text": ["hi", "hello", "hello", "hi", "hi", "hello"],
+            }
+        )
+        out = (
+            conv_dedup(ray.data.from_arrow(tbl).repartition(3))
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert out["conv_id"].tolist() == ["a", "c"]
+        assert out["dup_count"].tolist() == [2, 1]
+
     def test_semantic_dedup_within_clusters(self, ray_session):
         import ray.data
 

@@ -90,6 +90,42 @@ def concat_conversations(ds, max_turns_per_group: int = 10000):
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
 
 
+def conv_dedup(ds, max_turns_per_group: int = 10000):
+    """Conversation-level exact dedup over the turns table: canonicalize
+    each conversation to its turn-ordered transcript
+    (:func:`concat_conversations` — the north rule's ordering restore),
+    then keep the minimum conv_id per distinct transcript. Returns
+    Dataset[(conv_id, dup_count)] — one row per distinct conversation,
+    the exact-dedup output shape of ``stages/dedup.py::exact_dedup``
+    lifted from documents to multi-turn conversations.
+
+    Scale shape: the canonicalization is the one conv-keyed exchange the
+    extraction pipeline already pays; dedup adds a content-hash keyed
+    aggregate over ONE ROW PER CONVERSATION (not per turn), with
+    block-local partial combine — transcripts never shuffle twice
+    (the 16-byte blake2b key does).
+    """
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.text_stats import content_hash
+
+    canon = concat_conversations(ds, max_turns_per_group)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = content_hash(batch, text_col="transcript", col="h")
+        return h.select(["conv_id", "h"])
+
+    return (
+        canon.map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Min("conv_id", alias_name="conv_id"),
+            Count(alias_name="dup_count"),
+        )
+        .select_columns(["conv_id", "dup_count"])
+    )
+
+
 def salted_repartition(ds, key: str = "conv_id", salt_buckets: int = 16):
     """Attach a salt column for two-stage aggregation over hot keys:
     groupby((key, salt)) partials -> groupby(key) merge (SURVEY.md §7.3)."""
