@@ -136,6 +136,12 @@ def run_queries() -> dict:
         "kmeans_iter2",
         "source_mixture",
         "dataset_split",
+        # round-3 curation additions
+        "gopher_quality",
+        "substring_dedup",
+        "ngram_novelty",
+        "semantic_dedup",
+        "conv_dedup",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
