@@ -287,6 +287,21 @@ def _q_doc_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_kmv_distinct(sf_dir: str):
+    """Corpus distinct-word count via a mergeable KMV sketch
+    (stages/sketches.py::kmv_distinct_words): zero-shuffle AggregateFn
+    tree over <=256-value states. The sketch is approximate vs the true
+    count but DETERMINISTIC given the md5-prefix hash, so the DuckDB
+    oracle (ORDER BY hash LIMIT k) reproduces the estimate exactly.
+    k=16 (not the library default 256) so the synthetic corpus's ~31
+    distinct words exercise the ESTIMATOR branch, not the exhausted
+    exact branch."""
+    from texoo_ray.stages.sketches import kmv_distinct_words
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return kmv_distinct_words(ds, k=16)
+
+
 def _q_conv_dedup(sf_dir: str):
     """Conversation-level exact dedup (pipelines/conversations.py::
     conv_dedup) with PLANTED duplicate conversations: every conv whose
@@ -1918,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_roundtrip": _q_doc_roundtrip,
         "doc_quality": _q_doc_quality,
         "gopher_quality": _q_gopher_quality,
+        "kmv_distinct": _q_kmv_distinct,
         "conv_dedup": _q_conv_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
@@ -2201,6 +2217,25 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "kmv_distinct": r"""
+            WITH docs AS (SELECT lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT DISTINCT u.w
+                      FROM docs, LATERAL unnest(regexp_extract_all(t, '\w+')) AS u(w)),
+            h AS (SELECT DISTINCT
+                         ('0x' || substring(md5(w), 1, 15))::UBIGINT::BIGINT AS h
+                  FROM words),
+            ranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+            kth AS (SELECT count(*)::BIGINT AS ku, max(h)::BIGINT AS kh
+                    FROM ranked WHERE rn <= 16),
+            tot AS (SELECT count(*)::BIGINT AS nd FROM h)
+            SELECT kth.ku AS k_used,
+                   coalesce(kth.kh, 0)::BIGINT AS kth_hash,
+                   (CASE WHEN kth.ku < 16 THEN tot.nd::HUGEINT
+                         ELSE least((15::HUGEINT * (1::HUGEINT << 60)) // kth.kh,
+                                    4611686018427387904::HUGEINT)
+                    END)::BIGINT AS est_distinct
+            FROM kth, tot
         """,
         "conv_dedup": """
             WITH t AS (SELECT conv_id, turn_idx, role, text

@@ -142,6 +142,7 @@ def run_queries() -> dict:
         "ngram_novelty",
         "semantic_dedup",
         "conv_dedup",
+        "kmv_distinct",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -224,6 +224,31 @@ class TestRayOps:
         assert cl[1] == 1 and cl[2] == 1  # near-dups share the min-id cluster
         assert cl[3] == 3
 
+    def test_kmv_sketch_estimate_and_merge(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.sketches import kmv_distinct_words
+
+        # 4000 distinct words spread over docs; estimate within ~4/sqrt(k)
+        texts = [
+            " ".join("w%05d" % (i * 40 + j) for j in range(40)) for i in range(100)
+        ]
+        tbl = pa.table({"text": texts})
+        out = kmv_distinct_words(
+            ray.data.from_arrow(tbl).repartition(7), k=256
+        ).to_pylist()[0]
+        assert out["k_used"] == 256
+        assert abs(out["est_distinct"] - 4000) < 4000 * 0.25
+        # block layout independence: same corpus, different partitioning
+        out2 = kmv_distinct_words(
+            ray.data.from_arrow(tbl).repartition(2), k=256
+        ).to_pylist()[0]
+        assert out == out2
+        # exhausted regime: fewer distinct hashes than k -> exact count
+        small = pa.table({"text": ["a b c", "b c d"]})
+        o3 = kmv_distinct_words(ray.data.from_arrow(small), k=256).to_pylist()[0]
+        assert o3["k_used"] == 4 and o3["est_distinct"] == 4
+
     def test_conv_dedup_turn_order_canonical(self, ray_session):
         import ray.data
 

@@ -1,0 +1,104 @@
+"""Mergeable sketches as Ray Data ``AggregateFn``s.
+
+The reference's only sketch is the Bloom membership filter
+(texoo-core encoder/impl/BloomEncoder.java:29-76, mirrored in
+stages/encoders.py); this module adds the distinct-COUNT side: a KMV
+(k-minimum-values) sketch for estimating the number of distinct words
+in a corpus without a corpus-wide distinct shuffle.
+
+Why KMV and not HLL here: KMV over a deterministic hash is itself
+deterministic AND exactly reproducible in SQL (the k smallest distinct
+md5-prefix values are a plain ``ORDER BY h LIMIT k``), so the sketch —
+an *approximate* algorithm — still gets a bit-exact DuckDB oracle: both
+engines agree on the estimate because they agree on the k-th smallest
+hash. Estimation error vs the true distinct count is the usual
+~1/sqrt(k) (Bar-Yossef et al. 2002, "Counting distinct elements in a
+data stream").
+
+Scale shape: the sketch state is <= k int64s; blocks accumulate locally
+(vectorized md5 over each batch's DISTINCT words only) and states merge
+in Ray's aggregate tree — ZERO shuffle, driver receives k values. At
+100 TB this replaces the `groupby(word)` distinct count whose exchange
+is corpus-sized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_KMV_BITS = 60  # md5-prefix width: 15 hex chars, fits int64 with headroom
+_KMV_CAP = 1 << 62  # estimate clamp so the BIGINT cast can never overflow
+
+
+def _word_hashes(texts, max_hashes: int | None = None) -> np.ndarray:
+    """Distinct-word 60-bit md5-prefix hashes for a batch of texts
+    (lowercase ``\\w+`` words — the corpus tokenization every dedup
+    oracle uses). md5 runs once per batch-DISTINCT word (dictionary
+    encode first), the advisor-approved bound on per-row hashing."""
+    from .text_stats import _doc_word_codes
+
+    _, _, dictionary = _doc_word_codes(texts)
+    hs = np.fromiter(
+        (
+            int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            for w in dictionary.to_pylist()
+        ),
+        dtype=np.int64,
+        count=len(dictionary),
+    )
+    hs = np.unique(hs)
+    if max_hashes is not None and len(hs) > max_hashes:
+        hs = hs[:max_hashes]
+    return hs
+
+
+def kmv_aggregate(k: int = 256, text_col: str = "text"):
+    """The KMV sketch as a mergeable Ray ``AggregateFn``: state is the
+    sorted array of the <= ``k`` smallest distinct word hashes seen;
+    blocks accumulate vectorized, states merge by union + truncate."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        hs = _word_hashes(block[text_col], max_hashes=k)
+        return np.unique(np.concatenate([state, hs]))[:k]
+
+    return AggregateFn(
+        init=lambda _: np.zeros(0, np.int64),
+        merge=lambda a, b: np.unique(np.concatenate([a, b]))[:k],
+        accumulate_block=accumulate,
+        finalize=lambda a: a.tolist(),
+        name="kmv",
+    )
+
+
+def kmv_estimate(minima: list, k: int) -> tuple[int, int, int]:
+    """(k_used, kth_hash, est_distinct) from a finalized KMV state.
+
+    Fewer than ``k`` minima means the hash set was exhausted — the
+    estimate IS the exact distinct-hash count. Otherwise the classic
+    (k-1) / normalized-kth-minimum estimator, in exact integer
+    arithmetic clamped to ``_KMV_CAP`` (mirrored by the oracle's
+    ``least``)."""
+    if len(minima) < k:
+        return len(minima), (minima[-1] if minima else 0), len(minima)
+    kth = minima[k - 1]
+    est = min((k - 1) * (1 << _KMV_BITS) // kth, _KMV_CAP)
+    return k, kth, est
+
+
+def kmv_distinct_words(ds, text_col: str = "text", k: int = 256) -> pa.Table:
+    """Corpus distinct-word count via the KMV sketch: one shuffle-free
+    aggregate pass; returns a single-row table
+    (k_used, kth_hash, est_distinct)."""
+    res = ds.aggregate(kmv_aggregate(k=k, text_col=text_col))
+    k_used, kth, est = kmv_estimate(res["kmv"], k)
+    return pa.table(
+        {
+            "k_used": pa.array([k_used], pa.int64()),
+            "kth_hash": pa.array([kth], pa.int64()),
+            "est_distinct": pa.array([est], pa.int64()),
+        }
+    )
