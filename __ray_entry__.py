@@ -302,6 +302,19 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct_words(ds, k=16)
 
 
+def _q_kmv_source_overlap(sf_dir: str):
+    """Per-source-pair distinct-vocabulary overlap via KMV set algebra
+    (stages/sketches.py::kmv_source_overlap): one grouped sketch
+    aggregate (zero shuffle beyond per-source partials), driver-side
+    pair combine. k=8 so the ~31-word corpus exercises the estimator
+    branch; the DuckDB oracle reruns the identical ORDER BY hash
+    LIMIT k algebra."""
+    from texoo_ray.stages.sketches import kmv_source_overlap
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return kmv_source_overlap(ds, k=8)
+
+
 def _q_conv_dedup(sf_dir: str):
     """Conversation-level exact dedup (pipelines/conversations.py::
     conv_dedup) with PLANTED duplicate conversations: every conv whose
@@ -1934,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "gopher_quality": _q_gopher_quality,
         "kmv_distinct": _q_kmv_distinct,
+        "kmv_source_overlap": _q_kmv_source_overlap,
         "conv_dedup": _q_conv_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
@@ -2236,6 +2250,45 @@ def oracle_sql() -> dict[str, str]:
                                     4611686018427387904::HUGEINT)
                     END)::BIGINT AS est_distinct
             FROM kth, tot
+        """,
+        "kmv_source_overlap": r"""
+            WITH docs AS (SELECT source, lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT DISTINCT source, u.w
+                      FROM docs, LATERAL unnest(regexp_extract_all(t, '\w+')) AS u(w)),
+            h AS (SELECT DISTINCT source,
+                         ('0x' || substring(md5(w), 1, 15))::UBIGINT::BIGINT AS h
+                  FROM words),
+            mins AS (SELECT source, h,
+                            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                     FROM h),
+            sk AS (SELECT source, h FROM mins WHERE rn <= 8),
+            srcs AS (SELECT DISTINCT source FROM docs),
+            pairs AS (SELECT a.source AS sa, b.source AS sb
+                      FROM srcs a JOIN srcs b ON a.source < b.source),
+            uni AS (SELECT DISTINCT p.sa, p.sb, s.h
+                    FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)),
+            ru AS (SELECT sa, sb, h,
+                          row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+                   FROM uni),
+            top AS (SELECT sa, sb, h FROM ru WHERE rn <= 8),
+            stats AS (SELECT sa, sb, count(*)::BIGINT AS ku, max(h) AS kh
+                      FROM top GROUP BY 1, 2),
+            com AS (SELECT t.sa, t.sb, count(*)::BIGINT AS nc
+                    FROM top t
+                    WHERE EXISTS (SELECT 1 FROM sk WHERE source = t.sa AND h = t.h)
+                      AND EXISTS (SELECT 1 FROM sk WHERE source = t.sb AND h = t.h)
+                    GROUP BY 1, 2),
+            est AS (SELECT s.sa, s.sb, s.ku, coalesce(c.nc, 0) AS nc,
+                           (CASE WHEN s.ku < 8 THEN s.ku::HUGEINT
+                                 ELSE least((7::HUGEINT * (1::HUGEINT << 60)) // s.kh,
+                                            4611686018427387904::HUGEINT)
+                            END) AS eu
+                    FROM stats s LEFT JOIN com c ON c.sa = s.sa AND c.sb = s.sb)
+            SELECT sa AS source_a, sb AS source_b,
+                   ku AS k_used, nc AS n_common,
+                   eu::BIGINT AS est_union,
+                   ((nc::HUGEINT * eu) // greatest(ku, 1))::BIGINT AS est_intersection
+            FROM est ORDER BY source_a, source_b
         """,
         "conv_dedup": """
             WITH t AS (SELECT conv_id, turn_idx, role, text

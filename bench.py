@@ -143,6 +143,7 @@ def run_queries() -> dict:
         "semantic_dedup",
         "conv_dedup",
         "kmv_distinct",
+        "kmv_source_overlap",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

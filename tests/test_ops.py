@@ -249,6 +249,31 @@ class TestRayOps:
         o3 = kmv_distinct_words(ray.data.from_arrow(small), k=256).to_pylist()[0]
         assert o3["k_used"] == 4 and o3["est_distinct"] == 4
 
+    def test_kmv_source_overlap_exhausted_exact(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.sketches import kmv_source_overlap
+
+        tbl = pa.table(
+            {
+                "source": ["s1", "s1", "s2", "s3"],
+                "text": ["a b c d", "c d", "c d e", "zz"],
+            }
+        )
+        out = (
+            kmv_source_overlap(ray.data.from_arrow(tbl).repartition(3), k=64)
+            .to_pandas()
+            .set_index(["source_a", "source_b"])
+        )
+        # exhausted regime: estimates collapse to exact set sizes
+        r = out.loc[("s1", "s2")]
+        assert r["est_union"] == 5 and r["n_common"] == 2
+        assert r["est_intersection"] == 2
+        r = out.loc[("s2", "s3")]
+        assert r["est_union"] == 4 and r["n_common"] == 0
+        assert r["est_intersection"] == 0
+        assert len(out) == 3  # all unordered pairs
+
     def test_conv_dedup_turn_order_canonical(self, ray_session):
         import ray.data
 
