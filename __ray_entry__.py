@@ -388,6 +388,18 @@ def _q_substring_dedup(sf_dir: str):
     return substring_dedup(ds, n=8).sort("doc_id")
 
 
+def _q_substring_clean(sf_dir: str):
+    """Duplicated-span REMOVAL (the action half of Lee et al. 2022,
+    stages/dedup.py::substring_clean): drops every word covered by a
+    cross-document 8-gram and emits the surviving text; hash-checked
+    against a DuckDB oracle rebuilding the identical surviving word
+    sequence."""
+    from texoo_ray.stages.dedup import substring_clean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_clean(ds, n=8).sort("doc_id")
+
+
 def _q_ngram_novelty(sf_dir: str):
     """Per-document 3-gram novelty vs the min-doc-id first occurrence
     (stages/dedup.py::ngram_novelty): distinct-gram and novel-gram
@@ -1951,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dedup": _q_conv_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "substring_dedup": _q_substring_dedup,
+        "substring_clean": _q_substring_clean,
         "ngram_novelty": _q_ngram_novelty,
         "token_count_by_lang": _q_token_count_by_lang,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2368,6 +2381,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
             FROM grams JOIN gstat USING (g)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "substring_clean": r"""
+            WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            grams AS (SELECT doc_id, i.i AS gi, array_to_string(w[i.i:i.i+7], ' ') AS g
+                      FROM words,
+                      LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) i
+                      WHERE len(w) >= 8),
+            gstat AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+            cov AS (SELECT DISTINCT gr.doc_id, gr.gi + o.o AS wi
+                    FROM grams gr JOIN gstat gs ON gs.g = gr.g,
+                         LATERAL (SELECT unnest(range(0, 8)) AS o) o
+                    WHERE gs.nd >= 2),
+            sel AS (SELECT doc_id, i.i AS wi, w[i.i] AS word
+                    FROM words,
+                    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i
+                    WHERE len(w) >= 8)
+            SELECT s.doc_id,
+                   count(*)::BIGINT AS n_words,
+                   sum(CASE WHEN c.wi IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                   coalesce(string_agg(CASE WHEN c.wi IS NULL THEN s.word END,
+                                       ' ' ORDER BY s.wi), '') AS clean_text
+            FROM sel s LEFT JOIN cov c ON c.doc_id = s.doc_id AND c.wi = s.wi
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "ngram_novelty": r"""
             WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),

@@ -355,6 +355,62 @@ class TestRayOps:
         # same-doc repetition is NOT a cross-doc duplicate
         assert out["n_dup_grams"].tolist() == [1, 1, 0]
 
+    def test_substring_clean_removes_shared_spans(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import substring_clean
+
+        shared = "alpha beta gamma delta"  # one shared 4-gram
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    shared + " one two",
+                    "zero " + shared,
+                    "a b c d a b c d",  # repeats ONLY within itself -> kept
+                    "too few",  # < n words -> no output row
+                ],
+            }
+        )
+        out = (
+            substring_clean(ray.data.from_arrow(tbl).repartition(3), n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert out["n_words"].tolist() == [6, 5, 8]
+        # all 4 words of the shared gram drop in docs 1/2; doc 3 untouched
+        assert out["n_dropped"].tolist() == [4, 4, 0]
+        assert out["clean_text"].tolist() == [
+            "one two",
+            "zero",
+            "a b c d a b c d",
+        ]
+
+    def test_substring_clean_overlapping_spans(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import substring_clean
+
+        # two docs share a 5-word run -> two overlapping 4-grams in each;
+        # coverage must union positions, not double-count
+        run = "p q r s t"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [run + " u v", "w " + run],
+            }
+        )
+        out = (
+            substring_clean(ray.data.from_arrow(tbl).repartition(2), n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_dropped"].tolist() == [5, 5]
+        assert out["clean_text"].tolist() == ["u v", "w"]
+
     def test_ngram_novelty_first_occurrence(self, ray_session):
         import ray.data
 

@@ -1139,6 +1139,143 @@ def substring_dedup(
     )
 
 
+def substring_clean(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    n_buckets: int = 128,
+):
+    """The span REMOVAL half of Lee et al. 2022: drop every word covered
+    by a word ``n``-gram that also occurs in another document, and emit
+    the surviving text. Returns Dataset[(id, n_words, n_dropped,
+    clean_text)] over docs with >= ``n`` words; ``clean_text`` is the
+    surviving normalized words joined by single spaces (the dedup
+    family's lowercase ``\\w+`` canonical form — offset-exact surgery on
+    the raw bytes is a row-local variant over the same positions).
+
+    Shape: the same bucketed gram exchange as :func:`substring_dedup`,
+    but dup occurrences keep their START POSITION; per-doc positions
+    collect through a mergeable list AggregateFn (bounded by words per
+    doc), and one left-outer hash join brings them back to the text for
+    a row-local rebuild — two exchanges plus one join, none
+    corpus-materializing.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    from .text_stats import _doc_word_codes, _gram_hashes
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        doc_of, gh, gl, pos = _gram_hashes(batch[text_col], n, with_pos=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_of], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "gh": pa.array(gh, pa.uint64()),
+                "gl": pa.array(gl, pa.uint64()),
+                "bucket": pa.array(
+                    (gh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def bucket_dup_pos(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        pos = np.asarray(group["pos"], dtype=np.int64)
+        gh = np.asarray(group["gh"])
+        gl = np.asarray(group["gl"])
+        order = np.lexsort((ids, gl, gh))
+        h, lw, i, p = gh[order], gl[order], ids[order], pos[order]
+        new = np.ones(len(h), bool)
+        new[1:] = (h[1:] != h[:-1]) | (lw[1:] != lw[:-1])
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(i)]]) - 1
+        keep = (i[ends] != i[starts])[seg]
+        return pa.table(
+            {
+                id_col: pa.array(i[keep], pa.int64()),
+                "pos": pa.array(p[keep], pa.int64()),
+            }
+        )
+
+    # finalize to a comma-joined string: Acero hash joins reject list
+    # columns as non-key payload, and the per-doc list is bounded by
+    # words-per-doc so the string stays row-sized.
+    collect = AggregateFn(
+        init=lambda _: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=lambda a, blk: a
+        + np.asarray(blk["pos"], np.int64).tolist(),
+        finalize=lambda a: ",".join(map(str, sorted(a))),
+        name="dup_pos",
+    )
+    # _compact: the groupby emits schema-less empty blocks for empty
+    # hash partitions (Ray 2.49) that break the downstream join; dup_pos
+    # is one (id, positions-string) row per dup-containing doc, far
+    # smaller than the corpus.
+    dup_pos = _compact(
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_dup_pos, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(collect)
+    )
+    if dup_pos is None:
+        joined = ds.map_batches(
+            lambda b: b.append_column(
+                "dup_pos", pa.nulls(b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = ds.join(
+            dup_pos, "left_outer", _join_partitions(), on=(id_col,)
+        )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("n_dropped", pa.int64()),
+                    ("clean_text", pa.string()),
+                ]
+            ).empty_table()
+        doc_of, codes, dictionary = _doc_word_codes(batch[text_col])
+        words = np.asarray(dictionary.to_pylist(), dtype=object)[codes]
+        starts = np.searchsorted(doc_of, np.arange(batch.num_rows), "left")
+        ends = np.searchsorted(doc_of, np.arange(batch.num_rows), "right")
+        out = {id_col: [], "n_words": [], "n_dropped": [], "clean_text": []}
+        dup_lists = batch["dup_pos"].to_pylist()
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        for r in range(batch.num_rows):
+            w = words[starts[r] : ends[r]]
+            if len(w) < n:
+                continue
+            covered = np.zeros(len(w), bool)
+            if dup_lists[r]:
+                for p in dup_lists[r].split(","):
+                    p = int(p)
+                    covered[p : p + n] = True
+            out[id_col].append(int(ids[r]))
+            out["n_words"].append(len(w))
+            out["n_dropped"].append(int(covered.sum()))
+            out["clean_text"].append(" ".join(w[~covered]))
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col], pa.int64()),
+                "n_words": pa.array(out["n_words"], pa.int64()),
+                "n_dropped": pa.array(out["n_dropped"], pa.int64()),
+                "clean_text": pa.array(out["clean_text"], pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 def ngram_novelty(
     ds,
     text_col: str = "text",

@@ -259,13 +259,17 @@ def _triu_cached(L: int):
     return np.triu_indices(L, k=1)
 
 
-def _gram_hashes(texts, n: int):
-    """(doc_of, gh, gl) — one 128-bit fingerprint (two independent
+def _gram_hashes(texts, n: int, with_pos: bool = False):
+    """(doc_of, gh, gl[, pos]) — one 128-bit fingerprint (two independent
     rolling FNV combines over per-word hashes) per word ``n``-gram,
-    windows masked at document boundaries."""
+    windows masked at document boundaries. ``with_pos`` additionally
+    returns each gram's 0-based start word index WITHIN its document
+    (for span-surgery consumers like dedup.substring_clean)."""
     from ..core.strhash import utf8_hash64
 
     empty = (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+    if with_pos:
+        empty = empty + (np.zeros(0, np.int64),)
     doc_of, codes, dictionary = _doc_word_codes(texts)
     if len(codes) < n:
         return empty
@@ -281,7 +285,17 @@ def _gram_hashes(texts, n: int):
     valid = doc_of[:m] == doc_of[n - 1 :]
     if not valid.any():
         return empty
-    return doc_of[:m][valid], gh[valid], gl[valid]
+    out_doc, out_gh, out_gl = doc_of[:m][valid], gh[valid], gl[valid]
+    if not with_pos:
+        return out_doc, out_gh, out_gl
+    # 0-based word index of each valid window start within its doc:
+    # doc_of (per flat word) is nondecreasing, so a doc's first flat
+    # index is one searchsorted away.
+    j = np.flatnonzero(valid)
+    n_docs = int(doc_of[-1]) + 1 if len(doc_of) else 0
+    doc_first = np.searchsorted(doc_of, np.arange(n_docs), side="left")
+    pos = j - doc_first[out_doc]
+    return out_doc, out_gh, out_gl, pos.astype(np.int64)
 
 
 class ContaminationStage:
