@@ -302,6 +302,23 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct_words(ds, k=16)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """EXACT frequent-word mining at Misra-Gries sketch cost
+    (stages/sketches.py::heavy_hitter_words): pass 1 is a mergeable
+    bounded-state MG summary (zero shuffle) whose no-false-negative
+    guarantee keeps every word at the threshold; pass 2 recounts the
+    <=2*den candidates exactly through a broadcast vector aggregate.
+    threshold_den=30 puts ~half the synthetic 31-word vocabulary above
+    the cut (the near-uniform corpus exercises tie-adjacent thresholds;
+    MG's reduction branch is pinned by the Zipf unit test where the
+    vocab exceeds capacity). The DuckDB oracle is the plain exact
+    GROUP BY ... HAVING cnt*30 >= N."""
+    from texoo_ray.stages.sketches import heavy_hitter_words
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitter_words(ds, threshold_den=30)
+
+
 def _q_kmv_source_overlap(sf_dir: str):
     """Per-source-pair distinct-vocabulary overlap via KMV set algebra
     (stages/sketches.py::kmv_source_overlap): one grouped sketch
@@ -1959,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "gopher_quality": _q_gopher_quality,
         "kmv_distinct": _q_kmv_distinct,
+        "heavy_hitters": _q_heavy_hitters,
         "kmv_source_overlap": _q_kmv_source_overlap,
         "conv_dedup": _q_conv_dedup,
         "semantic_dedup": _q_semantic_dedup,
@@ -2244,6 +2262,17 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "heavy_hitters": r"""
+            WITH docs AS (SELECT lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT u.w
+                      FROM docs, LATERAL unnest(regexp_extract_all(t, '\w+')) AS u(w)),
+            tot AS (SELECT count(*)::BIGINT AS n FROM words)
+            SELECT w AS word, count(*)::BIGINT AS cnt
+            FROM words, tot
+            GROUP BY w, tot.n
+            HAVING count(*) * 30 >= tot.n
+            ORDER BY cnt DESC, word
         """,
         "kmv_distinct": r"""
             WITH docs AS (SELECT lower(coalesce(text, '')) AS t FROM documents),

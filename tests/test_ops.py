@@ -274,6 +274,61 @@ class TestRayOps:
         assert r["est_intersection"] == 0
         assert len(out) == 3  # all unordered pairs
 
+    def test_heavy_hitters_exact_at_threshold(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.sketches import heavy_hitter_words
+
+        # 21 words total; threshold_den=6 -> cnt*6 >= 21 -> cnt >= 4
+        texts = ["aa aa aa aa aa"] + ["aa bb bb bb"] + ["bb cc dd ee"]
+        texts += ["ff gg hh ii", "jj kk ll mm"]
+        tbl = pa.table({"text": texts})
+        out = heavy_hitter_words(
+            ray.data.from_arrow(tbl).repartition(4), threshold_den=6
+        ).to_pandas()
+        # aa=6, bb=4 qualify; cc..mm are 1 each (1*6 < 21)
+        assert out["word"].tolist() == ["aa", "bb"]
+        assert out["cnt"].tolist() == [6, 4]
+
+    def test_heavy_hitters_matches_exact_counts_random(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.sketches import heavy_hitter_words
+
+        # Zipf-ish corpus across many partitions: MG merges must not
+        # lose any word at the threshold; recount must be exact.
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i}" for i in range(300)]
+        probs = 1.0 / np.arange(1, 301)
+        probs /= probs.sum()
+        docs = [
+            " ".join(rng.choice(vocab, size=40, p=probs))
+            for _ in range(60)
+        ]
+        tbl = pa.table({"text": docs})
+        den = 100
+        out = heavy_hitter_words(
+            ray.data.from_arrow(tbl).repartition(8), threshold_den=den
+        ).to_pandas()
+        from collections import Counter
+
+        exact = Counter(w for d in docs for w in d.split())
+        n = sum(exact.values())
+        want = sorted(
+            ((w, c) for w, c in exact.items() if c * den >= n),
+            key=lambda wc: (-wc[1], wc[0]),
+        )
+        assert list(zip(out["word"], out["cnt"])) == want
+
+    def test_heavy_hitters_empty_corpus(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.sketches import heavy_hitter_words
+
+        tbl = pa.table({"text": pa.array(["", None], pa.string())})
+        out = heavy_hitter_words(ray.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 0
+
     def test_conv_dedup_turn_order_canonical(self, ray_session):
         import ray.data
 

@@ -104,6 +104,147 @@ def kmv_distinct_words(ds, text_col: str = "text", k: int = 256) -> pa.Table:
     )
 
 
+def _mg_reduce(state: dict, capacity: int) -> dict:
+    """Misra-Gries reduction: if more than ``capacity`` counters live,
+    subtract the (capacity+1)-th largest count from every counter and
+    drop the non-positive ones. Total undercount stays <= N/(capacity+1)
+    across arbitrary merges (Agarwal et al. 2013, "Mergeable summaries",
+    Thm 1), so no word with true count > N/(capacity+1) can be lost."""
+    if len(state) <= capacity:
+        return state
+    counts = np.sort(np.fromiter(state.values(), np.int64, len(state)))
+    cut = counts[len(state) - capacity - 1]  # (capacity+1)-th largest
+    return {w: c - cut for w, c in state.items() if c > cut}
+
+
+def mg_aggregate(capacity: int, text_col: str = "text"):
+    """Misra-Gries heavy-hitter summary as a mergeable ``AggregateFn``:
+    state is a dict of <= ``capacity`` word counters. Blocks accumulate
+    via vectorized dictionary-coded bincount (one Python update per
+    batch-DISTINCT word); states merge by counter addition + reduction.
+    ZERO shuffle — the aggregate tree carries dicts of bounded size."""
+    from ray.data.aggregate import AggregateFn
+
+    from .text_stats import _doc_word_codes
+
+    def accumulate(state: dict, block: pa.Table) -> dict:
+        _, codes, dictionary = _doc_word_codes(block[text_col])
+        if len(codes) == 0:
+            return state
+        counts = np.bincount(codes, minlength=len(dictionary))
+        for w, c in zip(dictionary.to_pylist(), counts.tolist()):
+            if c:
+                state[w] = state.get(w, 0) + c
+        return _mg_reduce(state, capacity)
+
+    def merge(a: dict, b: dict) -> dict:
+        for w, c in b.items():
+            a[w] = a.get(w, 0) + c
+        return _mg_reduce(a, capacity)
+
+    return AggregateFn(
+        init=lambda _: {},
+        merge=merge,
+        accumulate_block=accumulate,
+        finalize=lambda a: sorted(a),  # candidate words only
+        name="mg",
+    )
+
+
+def _word_count_aggregate(text_col: str = "text"):
+    """Total corpus word count as a trivial mergeable aggregate."""
+    from ray.data.aggregate import AggregateFn
+
+    from .text_stats import _doc_word_codes
+
+    return AggregateFn(
+        init=lambda _: 0,
+        merge=lambda a, b: a + b,
+        accumulate_block=lambda a, blk: a
+        + len(_doc_word_codes(blk[text_col])[1]),
+        name="n_words",
+    )
+
+
+def heavy_hitter_words(
+    ds, text_col: str = "text", threshold_den: int = 200
+) -> pa.Table:
+    """EXACT frequent-word mining at sketch cost: every word whose count
+    is >= N / ``threshold_den`` of the N corpus words, with its exact
+    count — computed in two shuffle-free aggregate passes instead of a
+    corpus-wide ``groupby(word)`` exchange.
+
+    Pass 1 runs a mergeable Misra-Gries summary with capacity
+    2*threshold_den (plus the total-N counter in the same pass): MG's
+    deterministic no-false-negative guarantee means every word at the
+    threshold survives as a candidate, though its counter undercounts.
+    Pass 2 broadcasts the <= 2*threshold_den candidates into a vector
+    recount (per-batch bincount gathered into a fixed-size int64 vector,
+    summed up the aggregate tree) and filters by the EXACT integer
+    threshold ``cnt * threshold_den >= N``. Output is driver-sized and
+    bit-reproducible, so this approximate-sketch pipeline still carries
+    an exact SQL oracle (GROUP BY ... HAVING cnt*den >= N).
+
+    The reference's closest shape is the corpus vocab build
+    (texoo-core WordHelpers/BagOfWordsEncoder vocab counting); this is
+    the scale path for its frequent-term side at 100 TB.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    from .text_stats import _doc_word_codes
+
+    capacity = 2 * threshold_den
+    first = ds.aggregate(
+        mg_aggregate(capacity, text_col=text_col),
+        _word_count_aggregate(text_col=text_col),
+    )
+    candidates: list = first["mg"]
+    n_total: int = first["n_words"]
+    if not candidates or n_total == 0:
+        return pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    cand_index = {w: i for i, w in enumerate(candidates)}
+
+    def recount(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        _, codes, dictionary = _doc_word_codes(block[text_col])
+        if len(codes) == 0:
+            return state
+        counts = np.bincount(codes, minlength=len(dictionary))
+        for w, c in zip(dictionary.to_pylist(), counts.tolist()):
+            j = cand_index.get(w)
+            if j is not None:
+                state[j] += c
+        return state
+
+    exact = ds.aggregate(
+        AggregateFn(
+            init=lambda _: np.zeros(len(candidates), np.int64),
+            merge=lambda a, b: a + b,
+            accumulate_block=recount,
+            finalize=lambda a: a.tolist(),
+            name="cand_counts",
+        )
+    )["cand_counts"]
+    rows = sorted(
+        (
+            (w, c)
+            for w, c in zip(candidates, exact)
+            if c * threshold_den >= n_total
+        ),
+        key=lambda wc: (-wc[1], wc[0]),
+    )
+    return pa.table(
+        {
+            "word": pa.array([w for w, _ in rows], pa.string()),
+            "cnt": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def kmv_source_overlap(
     ds, source_col: str = "source", text_col: str = "text", k: int = 256
 ) -> pa.Table:
