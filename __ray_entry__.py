@@ -1161,6 +1161,55 @@ def _q_doc_repetition(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_quantile_trim(sf_dir: str):
+    """Winsor-style length-outlier trim (pipelines/curation.py::
+    quantile_trim): pass 1 collects only the (value, count) histogram —
+    bounded by the distinct integer domain — and inverts it to the
+    [p5, p95] percentile_disc cutoffs; pass 2 broadcasts the two int64
+    cutoffs into a vectorized Arrow filter. No sort, no corpus
+    materialization; oracle is percentile_disc + BETWEEN."""
+    from texoo_ray.pipelines.curation import quantile_trim
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quantile_trim(ds, "n_chars", q_low=0.05, q_high=0.95).sort("doc_id")
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Cross-snapshot exact dedup (stages/dedup.py::incremental_dedup):
+    docs whose md5 content hash appears in the PRIOR SNAPSHOT (planted:
+    every doc_id % 4 == 0 row) are dropped from the new crawl. Shape:
+    per-batch distinct-text md5 on both sides + the big-big anti-join
+    exchange (one hash shuffle, right side pre-deduped per batch, no
+    broadcast). Oracle: NOT EXISTS over the same md5 keys."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.dedup import incremental_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(ids % 4 == 0, pa.bool_()))
+
+    ref = ds.map_batches(snapshot, batch_format="pyarrow")
+    return incremental_dedup(ds, ref).sort("doc_id")
+
+
+def _q_embedding_gram(sf_dir: str):
+    """EXACT corpus Gram matrix X^T X (stages/knn.py::embedding_gram):
+    int64-quantized per-batch integer matmul partials summed up a
+    mergeable AggregateFn tree — ZERO shuffle, the driver receives one
+    dim^2 matrix regardless of corpus size (the sufficient statistic for
+    PCA/covariance/linear probes). Oracle: LATERAL-unnest self-join
+    summing the identical quantized products."""
+    from texoo_ray.stages.knn import embedding_gram
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_gram(ds, scale_bits=10)
+
+
 def _q_token_budget(sf_dir: str):
     """Best-docs-under-a-token-budget selection WITHOUT a global sort:
     histogram prefix-sum inversion (pipelines/curation.py). Oracle is the
@@ -2046,6 +2095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
+        "quantile_trim": _q_quantile_trim,
+        "dedup_incremental": _q_dedup_incremental,
+        "embedding_gram": _q_embedding_gram,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "conv_integrity": _q_conv_integrity,
         "response_latency": _q_response_latency,
@@ -2776,6 +2828,36 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents)
             WHERE rn <= 3 ORDER BY lang, doc_id
+        """,
+        "quantile_trim": r"""
+            WITH d AS (SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents),
+            cuts AS (SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS lo,
+                            percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS hi
+                     FROM d)
+            SELECT doc_id, n_chars FROM d, cuts
+            WHERE n_chars BETWEEN lo AND hi
+            ORDER BY doc_id
+        """,
+        "dedup_incremental": r"""
+            WITH cand AS (SELECT md5(coalesce(text, '')) AS content_h, doc_id, source
+                          FROM documents),
+            ref AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+                    FROM documents WHERE doc_id % 4 = 0)
+            SELECT content_h, doc_id, source
+            FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = cand.content_h)
+            ORDER BY doc_id
+        """,
+        "embedding_gram": r"""
+            WITH e AS (SELECT vec_id, i.i AS i,
+                              CAST(floor(embedding[i.i] * 1024.0 + 0.5) AS BIGINT) AS q
+                       FROM embeddings,
+                            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) i),
+            n AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings)
+            SELECT (a.i - 1)::BIGINT AS i, (b.i - 1)::BIGINT AS j,
+                   sum(a.q * b.q)::BIGINT AS gram_q, n.n_vecs
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i, n
+            GROUP BY 1, 2, n.n_vecs ORDER BY i, j
         """,
         "token_budget": r"""
             WITH q AS (

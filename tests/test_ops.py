@@ -329,6 +329,101 @@ class TestRayOps:
         out = heavy_hitter_words(ray.data.from_arrow(tbl)).to_pandas()
         assert len(out) == 0
 
+    def test_quantile_trim_cutoffs(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import quantile_trim
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(1, 101), pa.int64()),
+                "n": pa.array(range(1, 101), pa.int64()),
+            }
+        )
+        out = (
+            quantile_trim(
+                ray.data.from_arrow(tbl).repartition(5), "n",
+                q_low=0.1, q_high=0.9,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # percentile_disc: ceil(0.1*100)=10th value=10, 90th=90
+        assert out["n"].min() == 10 and out["n"].max() == 90
+        assert len(out) == 81
+
+    def test_quantile_trim_empty(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import quantile_trim
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        out = quantile_trim(ray.data.from_arrow(tbl), "n").to_pandas()
+        assert len(out) == 0
+
+    def test_incremental_dedup_drops_known_content(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import incremental_dedup
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "source": ["a", "a", "b", "b"],
+                    "text": ["seen", "fresh", "seen", "also fresh"],
+                }
+            )
+        ).repartition(2)
+        ref = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([100, 101], pa.int64()),
+                    "source": ["old", "old"],
+                    "text": ["seen", "gone"],
+                }
+            )
+        )
+        out = (
+            incremental_dedup(ds, ref)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [2, 4]
+        assert out["source"].tolist() == ["a", "b"]
+
+    def test_embedding_gram_matches_numpy(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.knn import embedding_gram
+
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(37, 5).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(37), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = embedding_gram(
+            ray.data.from_arrow(tbl).repartition(4), scale_bits=10
+        ).to_pandas()
+        q = np.floor(vecs.astype(np.float64) * 1024 + 0.5).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(5)
+        assert out["i"].tolist() == iu.tolist()
+        assert out["j"].tolist() == ju.tolist()
+        assert out["gram_q"].tolist() == g[iu, ju].tolist()
+        assert (out["n_vecs"] == 37).all()
+
     def test_conv_dedup_turn_order_canonical(self, ray_session):
         import ray.data
 

@@ -532,3 +532,67 @@ def source_mixture(
         return batch.filter(pa.array(h32 < thr, pa.bool_()))
 
     return ds.map_batches(accept, batch_format="pyarrow")
+
+
+def quantile_trim(
+    ds,
+    value_col: str,
+    q_low: float = 0.05,
+    q_high: float = 0.95,
+    id_col: str = "doc_id",
+):
+    """Winsor-style outlier TRIM over an integer column: keep rows whose
+    ``value_col`` lies within the corpus-wide [q_low, q_high]
+    percentile_disc cutoffs (the standard "drop the too-short and the
+    too-long tails" curation gate; cf. the length heuristics of the
+    reference's DocumentFactory cleanup and Rae et al. 2021 A1.1).
+
+    Two passes, neither sorting nor materializing the corpus:
+    (1) per-batch (value, count) partials collapse through one tiny
+    ``groupby(value)`` into the driver-side cumulative histogram —
+    bounded by the DISTINCT integer domain, not the row count — which
+    inverts to the two cutoffs (percentile_disc semantics: smallest
+    value whose cumulative count reaches ceil(q*n));
+    (2) the two int64 cutoffs broadcast into a vectorized Arrow filter.
+    Returns Dataset[(id_col, value_col)] of survivors.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    cnt = "__qt_cnt"  # private name: value_col may itself be "n"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({value_col: pc.cast(batch[value_col], pa.int64())})
+        grp = t.group_by([value_col]).aggregate([(value_col, "count")])
+        return pa.table(
+            {
+                value_col: grp[value_col],
+                cnt: pc.cast(grp[f"{value_col}_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(value_col)
+        .aggregate(Sum(cnt, alias_name=cnt))
+        .sort(value_col)
+        .to_pandas()
+    )
+    if len(hist) == 0:  # empty input: schema-less groupby output
+        return ds.select_columns([id_col, value_col]).limit(0)
+    total = int(hist[cnt].sum())
+    if total == 0:
+        return ds.select_columns([id_col, value_col]).limit(0)
+    cum = hist[cnt].cumsum()
+    lo = int(hist[value_col][cum >= math.ceil(q_low * total)].iloc[0])
+    hi = int(hist[value_col][cum >= math.ceil(q_high * total)].iloc[0])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.int64())
+        mask = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        return pa.table(
+            {id_col: batch[id_col], value_col: v}
+        ).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1520,3 +1520,50 @@ def line_dedup(
             return pa.table(cols)
 
     return ds.map_batches(StripLines, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def incremental_dedup(
+    ds,
+    ref_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = ("source",),
+):
+    """Cross-SNAPSHOT exact dedup: keep rows of ``ds`` whose content
+    hash does not occur in ``ref_ds`` — the "don't re-train on what the
+    last crawl already contributed" gate that incremental corpus builds
+    run before any within-corpus dedup.
+
+    Composition, not new machinery: md5 content keys computed once per
+    batch-DISTINCT text on both sides, then the big-big anti-join
+    exchange (pipelines/joins.py::anti_join — right side pre-deduped per
+    batch, ONE hash exchange, no broadcast). When the reference
+    snapshot's distinct hashes fit in worker memory, prefer the
+    broadcast path (text_stats.ContaminationStage) instead.
+
+    Returns Dataset[(content_h, id_col, *keep_cols)].
+    """
+    from ..pipelines.joins import anti_join
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        enc = pc.fill_null(texts, "").dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary.to_pylist()
+        hs = np.asarray(
+            [hashlib.md5(w.encode("utf-8")).hexdigest() for w in dic],
+            dtype=object,
+        )
+        cols = {"content_h": pa.array(hs[codes], pa.string())}
+        for c in (id_col, *keep_cols):
+            if c in batch.column_names:
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+    left = ds.map_batches(add_hash, batch_format="pyarrow")
+    right = ref_ds.map_batches(add_hash, batch_format="pyarrow")
+    return anti_join(
+        left, right, "content_h", ["content_h", id_col, *keep_cols]
+    )

@@ -366,3 +366,80 @@ def kmeans_iterate(
             return nxt
         current, label_col = nxt, "assigned_label"
     return current
+
+
+def embedding_gram(
+    ds, vec_col: str = "embedding", scale_bits: int = 10
+) -> pa.Table:
+    """EXACT corpus Gram matrix X^T X over int64-quantized embeddings —
+    the one-pass sufficient statistic behind PCA whitening, covariance
+    estimation, and linear probes at corpus scale (with the per-dim sums
+    from :func:`label_centroids`, the centered covariance follows as
+    (G - s s^T / n) / n).
+
+    Shape: each batch quantizes to ``floor(v * 2**scale_bits + 0.5)``
+    int64 (the family's order-independent exact-arithmetic trick) and
+    reduces to ONE dim x dim partial via a single integer matmul; the
+    partials sum up a mergeable AggregateFn tree — ZERO shuffle, the
+    driver receives one dim^2 matrix regardless of corpus size. Keep
+    ``scale_bits`` low enough that n * 2**(2*scale_bits) fits int64
+    (default 10 leaves ~2^43 rows of headroom for unit-norm vectors).
+
+    Returns a driver-sized pa.Table[(i, j, gram_q, n_vecs)] over the
+    upper triangle i <= j.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    scale = float(1 << scale_bits)
+
+    def accumulate(state, block: pa.Table):
+        mat = _batch_matrix(block, vec_col).astype(np.float64)
+        if mat.size == 0:
+            return state
+        q = np.floor(mat * scale + 0.5).astype(np.int64)
+        g = q.T @ q
+        n = mat.shape[0]
+        if state is None:
+            return [g, n]
+        state[0] += g
+        state[1] += n
+        return state
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        a[0] += b[0]
+        a[1] += b[1]
+        return a
+
+    res = ds.aggregate(
+        AggregateFn(
+            init=lambda _: None,
+            merge=merge,
+            accumulate_block=accumulate,
+            finalize=lambda a: a if a is None else [a[0].tolist(), a[1]],
+            name="gram",
+        )
+    )["gram"]
+    if res is None:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "gram_q": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+    g = np.asarray(res[0], dtype=np.int64)
+    n = int(res[1])
+    iu, ju = np.triu_indices(g.shape[0])
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "gram_q": pa.array(g[iu, ju], pa.int64()),
+            "n_vecs": pa.array(np.full(len(iu), n, np.int64), pa.int64()),
+        }
+    )
