@@ -1393,6 +1393,35 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_dsir_score(sf_dir: str):
+    """DSIR importance weights for data selection (stages/lm.py::
+    dsir_logratio, after Xie et al. 2023): per-document integer-micro
+    sum of log p_target(w) - log p_raw(w) under Laplace unigram models;
+    the target model trains on the src0 rows, the raw model on the whole
+    corpus, BOTH in one counting pass. Scoring is the vocabulary-bounded
+    hash join of per-doc distinct-word rows against the model — corpus
+    text never shuffles. Oracle: the identical ln()/floor micro algebra
+    in SQL."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.lm import dsir_logratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "is_target": pc.equal(batch["source"], "src0"),
+                "text": batch["text"],
+            }
+        )
+
+    return dsir_logratio(
+        ds.map_batches(flag, batch_format="pyarrow")
+    ).sort("doc_id")
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape over lineitem: per-batch partial aggregation into
     integer cents, tiny global groupby."""
@@ -2065,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_vocab": _q_bigram_vocab,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
+        "dsir_score": _q_dsir_score,
         "line_dedup": _q_line_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
         "intra_line_dedup": _q_intra_line_dedup,
@@ -3309,6 +3339,31 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "dsir_score": r"""
+            WITH docs AS (SELECT doc_id, (source = 'src0') AS tgt,
+                                 lower(coalesce(text, '')) AS t
+                          FROM documents),
+            words AS (SELECT doc_id, tgt, u.w
+                      FROM docs,
+                           LATERAL unnest(regexp_extract_all(t, '[a-z0-9]+')) AS u(w)),
+            model AS (SELECT w, count(*)::BIGINT AS cr,
+                             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct
+                      FROM words GROUP BY w),
+            tot AS (SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt,
+                           count(*)::DOUBLE AS v
+                    FROM model),
+            scored AS (SELECT wo.doc_id, count(*)::BIGINT AS n_words,
+                              sum(floor((ln((m.ct + 1)::DOUBLE / (tot.nt + tot.v))
+                                         - ln((m.cr + 1)::DOUBLE / (tot.nr + tot.v)))
+                                        * 1e6 + 0.5)::BIGINT)::BIGINT AS dsir_micro
+                       FROM words wo JOIN model m ON m.w = wo.w, tot
+                       GROUP BY wo.doc_id)
+            SELECT d.doc_id, coalesce(s.n_words, 0)::BIGINT AS n_words,
+                   coalesce(s.dsir_micro, 0)::BIGINT AS dsir_micro
+            FROM (SELECT DISTINCT doc_id FROM docs) d
+            LEFT JOIN scored s ON s.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "lm_score": """
             WITH tok AS (

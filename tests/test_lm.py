@@ -142,3 +142,86 @@ class TestNgramLogprob:
         out = ngram_logprob(_ds(docs)).to_pandas()
         assert out["sum_logprob_micro"].nunique() == 1
         assert (out["n_bigrams"] == 5).all()
+
+
+class TestDsirLogratio:
+    def _ds(self, rows):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "is_target": pa.array([r[1] for r in rows], pa.bool_()),
+                    "text": pa.array([r[2] for r in rows]),
+                }
+            )
+        ).repartition(3)
+
+    @staticmethod
+    def _brute(rows):
+        from collections import Counter
+
+        cr, ct = Counter(), Counter()
+        import re
+
+        tok = lambda t: re.findall(r"[a-z0-9]+", t.lower())
+        for _, tgt, t in rows:
+            for w in tok(t):
+                cr[w] += 1
+                if tgt:
+                    ct[w] += 1
+        V = float(len(cr))
+        NR = float(sum(cr.values()))
+        NT = float(sum(ct.values()))
+        out = {}
+        for d, _, t in rows:
+            ws = tok(t)
+            s = 0
+            for w in ws:
+                lg = math.log(float(ct[w] + 1) / (NT + V)) - math.log(
+                    float(cr[w] + 1) / (NR + V)
+                )
+                s += math.floor(lg * 1e6 + 0.5)
+            out[d] = (len(ws), s)
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        from texoo_ray.stages.lm import dsir_logratio
+
+        rows = [
+            (1, True, "math proof lemma theorem proof"),
+            (2, True, "lemma math math"),
+            (3, False, "cat dog cat"),
+            (4, False, "dog proof cat lemma"),
+            (5, False, ""),
+        ]
+        out = (
+            dsir_logratio(self._ds(rows))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(rows)
+        assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+        for _, r in out.iterrows():
+            nw, s = want[r["doc_id"]]
+            assert r["n_words"] == nw
+            assert r["dsir_micro"] == s
+        # target-like docs must outrank raw-like docs
+        scores = dict(zip(out["doc_id"], out["dsir_micro"]))
+        assert scores[1] > scores[3] and scores[2] > scores[4]
+
+    def test_no_target_rows_still_scores(self, ray_session):
+        from texoo_ray.stages.lm import dsir_logratio
+
+        rows = [(1, False, "a b"), (2, False, "b c")]
+        out = (
+            dsir_logratio(self._ds(rows))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(rows)
+        for _, r in out.iterrows():
+            assert r["dsir_micro"] == want[r["doc_id"]][1]

@@ -250,3 +250,171 @@ def ngram_logprob(
             Sum("sum_logprob_micro", alias_name="sum_logprob_micro"),
         )
     )
+
+
+def dsir_logratio(
+    ds,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data selection for language models via importance
+    resampling"): per-document sum over tokens of
+    ``log p_target(w) - log p_raw(w)`` under Laplace-smoothed unigram
+    models, where the target model trains on the rows flagged true in
+    boolean ``target_col`` and the raw model on the whole corpus.
+    Returns Dataset[(id_col, n_words, dsir_micro)] — one row per input
+    document; wordless documents score (0, 0).
+
+    Exactness: like :func:`ngram_logprob`, the per-token log-ratio is
+    stabilized to integer micros (floor(x*1e6+0.5)) before summation, so
+    per-document sums are order-independent integers, bit-equal to the
+    DuckDB oracle; libm log runs once per distinct (c_target, c_raw)
+    pair per batch.
+
+    Scale shape: BOTH unigram models build in ONE pass (per-batch
+    partial (word, c_raw, c_target) counts -> vocabulary-bounded
+    groupby); scoring hash-joins the per-document DISTINCT-word rows
+    (with multiplicity) against the model table — the corpus text never
+    shuffles, and nothing vocabulary-sized is broadcast or collected.
+    The top-k / threshold selection over the scores is the caller's
+    (compose with retrieval.grouped_topk or a threshold filter).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _compact, _join_partitions
+
+    P = _join_partitions(cap=num_partitions or 16)
+
+    def model_partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "cr": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                }
+            )
+        tgt_rows = np.asarray(
+            pc.fill_null(batch[target_col], False), dtype=bool
+        )
+        cr = np.bincount(codes, minlength=len(dic))
+        tmask = tgt_rows[doc_of]
+        ct = np.bincount(codes[tmask], minlength=len(dic))
+        return pa.table(
+            {
+                "u": dic,
+                "cr": pa.array(cr.astype(np.int64), pa.int64()),
+                "ct": pa.array(ct.astype(np.int64), pa.int64()),
+            }
+        )
+
+    model = _compact(
+        ds.map_batches(model_partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("cr", alias_name="cr"), Sum("ct", alias_name="ct"))
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "dsir_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        doc_of, _, _ = _word_codes(batch, text_col)
+        n_words = np.bincount(doc_of, minlength=batch.num_rows)
+        keep = pa.array(n_words == 0)
+        ids = batch[id_col].filter(keep)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_words": pa.array([0] * len(ids), pa.int64()),
+                "dsir_micro": pa.array([0] * len(ids), pa.int64()),
+            }
+        )
+
+    zero_rows = ds.map_batches(zeros, batch_format="pyarrow")
+    if model is None:  # corpus has no tokens at all
+        return zero_rows
+
+    tot = model.aggregate(
+        Sum("cr", alias_name="nr"), Sum("ct", alias_name="nt")
+    )
+    V = float(model.count())
+    NR = float(tot["nr"])
+    NT = float(tot["nt"])
+
+    def word_rows(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        id_t = batch.schema.field(id_col).type
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_t),
+                    "u": pa.array([], pa.string()),
+                    "mult": pa.array([], pa.int64()),
+                }
+            )
+        V_b = np.int64(len(dic))
+        u, mult = np.unique(doc_of * V_b + codes, return_counts=True)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(u // V_b)),
+                "u": dic.take(pa.array(u % V_b)),
+                "mult": pa.array(mult.astype(np.int64), pa.int64()),
+            }
+        )
+
+    joined = ds.map_batches(word_rows, batch_format="pyarrow").join(
+        model, "inner", P, on=("u",)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cr" not in batch.column_names:
+            return empty
+        cr = np.asarray(batch["cr"], dtype=np.int64)
+        ct = np.asarray(batch["ct"], dtype=np.int64)
+        mult = np.asarray(batch["mult"], dtype=np.int64)
+        pairs = np.stack([ct, cr], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        logs = np.array(
+            [
+                math.log(float(a + 1) / (NT + V))
+                - math.log(float(b + 1) / (NR + V))
+                for a, b in uniq
+            ],
+            dtype=np.float64,
+        )
+        micro = np.floor(logs[inv] * 1e6 + 0.5).astype(np.int64) * mult
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(mult),
+                "dsir_micro": pa.array(micro),
+            }
+        )
+        grp = t.group_by([id_col]).aggregate(
+            [("n_words", "sum"), ("dsir_micro", "sum")]
+        )
+        return pa.table(
+            {
+                id_col: grp[id_col],
+                "n_words": grp["n_words_sum"],
+                "dsir_micro": grp["dsir_micro_sum"],
+            }
+        )
+
+    partials = joined.map_batches(score, batch_format="pyarrow")
+    return (
+        partials.union(zero_rows)
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("dsir_micro", alias_name="dsir_micro"),
+        )
+    )
