@@ -144,6 +144,12 @@ def run_queries() -> dict:
         "conv_dedup",
         "kmv_distinct",
         "kmv_source_overlap",
+        "heavy_hitters",
+        "substring_clean",
+        "quantile_trim",
+        "dedup_incremental",
+        "embedding_gram",
+        "dsir_score",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
