@@ -1341,6 +1341,25 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=5)
 
 
+def _q_c4_clean(sf_dir: str):
+    """C4 cleaning heuristics over the transcript corpus
+    (stages/text_stats.py::c4_clean, after Raffel et al. 2020 §2.2):
+    line-level terminal-punctuation / min-words / javascript rules plus
+    doc-level lorem-ipsum / curly-brace / min-kept gates — entirely
+    row-local, one stateless map_batches pass, zero shuffle, line
+    predicates as Arrow RE2 kernels."""
+    import ray.data
+
+    from texoo_ray.stages.text_stats import c4_clean
+
+    ds = ray.data.read_parquet(
+        ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    return c4_clean(ds, keep_cols=("conv_id", "turn_idx")).sort(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style duplicated-line removal over the transcript corpus:
     heavy-hitter line set (partial-agg groupby, bounded size) broadcast
@@ -2096,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "dsir_score": _q_dsir_score,
         "line_dedup": _q_line_dedup,
+        "c4_clean": _q_c4_clean,
         "boilerplate_lines": _q_boilerplate_lines,
         "intra_line_dedup": _q_intra_line_dedup,
         "pack_sequences": _q_pack_sequences,
@@ -3310,6 +3330,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_kept, 0)::BIGINT AS n_kept,
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
+            ORDER BY conv_id, turn_idx
+        """,
+        "c4_clean": r"""
+            WITH t0 AS (
+              SELECT conv_id, turn_idx, coalesce(text, '') AS text,
+                     str_split(coalesce(text, ''), chr(10)) AS arr
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            ), ll AS (
+              SELECT conv_id, turn_idx, arr,
+                     unnest(range(1, len(arr) + 1)) AS idx
+              FROM t0
+            ), lines AS (
+              SELECT conv_id, turn_idx, idx, arr[idx] AS line FROM ll
+            ), keep AS (
+              SELECT * FROM lines
+              WHERE regexp_matches(line, '[.!?"]$')
+                AND len(regexp_extract_all(line, '\w+')) >= 3
+                AND NOT regexp_matches(line, '(?i)javascript')
+            ), agg AS (
+              SELECT conv_id, turn_idx, count(*)::BIGINT AS n_kept,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean_text
+              FROM keep GROUP BY conv_id, turn_idx
+            )
+            SELECT t0.conv_id, t0.turn_idx, len(t0.arr)::BIGINT AS n_lines,
+                   a.n_kept, a.clean_text
+            FROM t0 JOIN agg a USING (conv_id, turn_idx)
+            WHERE NOT contains(lower(t0.text), 'lorem ipsum')
+              AND NOT contains(t0.text, '{')
             ORDER BY conv_id, turn_idx
         """,
         "line_dedup": """

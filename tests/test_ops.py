@@ -329,6 +329,46 @@ class TestRayOps:
         out = heavy_hitter_words(ray.data.from_arrow(tbl)).to_pandas()
         assert len(out) == 0
 
+    def test_c4_clean_line_and_doc_rules(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import c4_clean
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": [
+                    # doc 1: mixed lines -> keeps only the good ones
+                    "Good long sentence here.\nno punct line\nShort one.\n"
+                    'Quoted sentence stays in."',
+                    # doc 2: lorem ipsum -> dropped whole
+                    "Totally fine sentence here.\nlorem ipsum dolor sit.",
+                    # doc 3: curly brace -> dropped whole
+                    "Fine sentence with words. { }",
+                    # doc 4: javascript line dropped, other kept
+                    "Please enable JavaScript now.\nThis line is okay here.",
+                    # doc 5: nothing survives -> dropped
+                    "no terminal punctuation",
+                ],
+            }
+        )
+        out = (
+            c4_clean(ray.data.from_arrow(tbl).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 4]
+        r1 = out.iloc[0]
+        # "Short one." has 2 words -> dropped; quoted line kept
+        assert r1["n_lines"] == 4 and r1["n_kept"] == 2
+        assert r1["clean_text"] == (
+            'Good long sentence here.\nQuoted sentence stays in."'
+        )
+        r4 = out.iloc[1]
+        assert r4["n_kept"] == 1
+        assert r4["clean_text"] == "This line is okay here."
+
     def test_quantile_trim_cutoffs(self, ray_session):
         import ray.data
 

@@ -732,3 +732,74 @@ def term_cooccurrence(
         .sort(["n_docs", "word_a", "word_b"], descending=[True, False, False])
         .limit(top_k)
     )
+
+
+def c4_clean(
+    ds,
+    text_col: str = "text",
+    keep_cols: tuple = ("doc_id",),
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 1,
+):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2, public): keep
+    only lines that end in a terminal punctuation mark (. ! ? \"), have
+    at least ``min_words_per_line`` words, and do not mention
+    "javascript"; drop whole documents containing "lorem ipsum" or a
+    curly brace, or with fewer than ``min_kept_lines`` surviving lines.
+    Returns Dataset[keep_cols + (n_lines, n_kept, clean_text)] over the
+    survivors, each rebuilt from its kept lines.
+
+    Scale shape: entirely row-local — one stateless ``map_batches``
+    pass, ZERO shuffle, no explode; all line predicates run as Arrow
+    RE2 kernels over the flattened line array and documents reassemble
+    through one offset-built ListArray + ``binary_join``.
+    """
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        lower = pc.utf8_lower(texts)
+        bad_doc = pc.or_(
+            pc.match_substring(lower, "lorem ipsum"),
+            pc.match_substring(texts, "{"),
+        )
+        lines = pc.split_pattern(texts, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        offsets = np.asarray(lines.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        keep_line = (
+            np.asarray(pc.match_substring_regex(flat, r'[.!?"]$'), bool)
+            & (
+                np.asarray(pc.count_substring_regex(flat, r"\w+"))
+                >= min_words_per_line
+            )
+            & ~np.asarray(
+                pc.match_substring_regex(flat, r"(?i)javascript"), bool
+            )
+        )
+        n_lines = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_kept = np.bincount(
+            doc_of[keep_line], minlength=n
+        ).astype(np.int64)
+        keep_doc = (
+            ~np.asarray(bad_doc, bool) & (n_kept >= min_kept_lines)
+        )
+        kept_flat = flat.filter(pa.array(keep_line))
+        new_offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=new_offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_flat
+        )
+        clean_text = pc.binary_join(rebuilt, "\n")
+        mask = pa.array(keep_doc)
+        cols = {c: batch[c].filter(mask) for c in keep_cols}
+        cols["n_lines"] = pa.array(n_lines, pa.int64()).filter(mask)
+        cols["n_kept"] = pa.array(n_kept, pa.int64()).filter(mask)
+        cols["clean_text"] = clean_text.filter(mask)
+        return pa.table(cols)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
