@@ -212,6 +212,27 @@ class TestDsirLogratio:
         scores = dict(zip(out["doc_id"], out["dsir_micro"]))
         assert scores[1] > scores[3] and scores[2] > scores[4]
 
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        from texoo_ray.stages.lm import dsir_logratio
+
+        rows = [
+            (1, True, "math proof lemma theorem proof"),
+            (2, False, "cat dog cat"),
+            (3, False, ""),
+            (4, False, "dog proof"),
+        ]
+        want = self._brute(rows)
+        out = (
+            dsir_logratio(self._ds(rows), broadcast_vocab_max=0)  # force join
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 3, 4]
+        for _, r in out.iterrows():
+            nw, s = want[r["doc_id"]]
+            assert r["n_words"] == nw and r["dsir_micro"] == s
+
     def test_no_target_rows_still_scores(self, ray_session):
         from texoo_ray.stages.lm import dsir_logratio
 

@@ -258,6 +258,7 @@ def dsir_logratio(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: Optional[int] = None,
+    broadcast_vocab_max: int = 2_000_000,
 ):
     """DSIR-style importance weights for data selection (Xie et al.
     2023, "Data selection for language models via importance
@@ -276,9 +277,16 @@ def dsir_logratio(
 
     Scale shape: BOTH unigram models build in ONE pass (per-batch
     partial (word, c_raw, c_target) counts -> vocabulary-bounded
-    groupby); scoring hash-joins the per-document DISTINCT-word rows
-    (with multiplicity) against the model table — the corpus text never
-    shuffles, and nothing vocabulary-sized is broadcast or collected.
+    groupby). Scoring picks between two shapes by model size:
+
+    - vocab <= ``broadcast_vocab_max`` (the common case — vocabulary
+      grows sublinearly even at 100 TB): the model broadcasts once via
+      ``ray.put`` and every document scores IN PLACE in one stateless
+      map pass — ZERO scoring shuffle;
+    - larger vocab: hash-join the per-document DISTINCT-word rows (with
+      multiplicity) against the model table — the shuffle moves
+      (doc, word, mult) rows, never raw text.
+
     The top-k / threshold selection over the scores is the caller's
     (compose with retrieval.grouped_topk or a threshold filter).
     """
@@ -348,6 +356,64 @@ def dsir_logratio(
     V = float(model.count())
     NR = float(tot["nr"])
     NT = float(tot["nt"])
+
+    if V <= broadcast_vocab_max:
+        # broadcast fast path: model fits in memory -> every document
+        # scores in place, zero scoring shuffle (wordless docs get 0,0
+        # inline — no zero-rows union needed)
+        import ray as _ray
+
+        mt = model.to_pandas()
+        model_ref = _ray.put(
+            {
+                u: (int(ct_), int(cr_))
+                for u, ct_, cr_ in zip(mt["u"], mt["ct"], mt["cr"])
+            }
+        )
+
+        class ScoreBroadcast:
+            def __init__(self):
+                self.model = _ray.get(model_ref)
+                self.cache: dict = {}  # word -> micro, across batches
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                doc_of, codes, dic = _word_codes(batch, text_col)
+                if len(codes) == 0:
+                    z = pa.array(np.zeros(n, np.int64), pa.int64())
+                    return pa.table(
+                        {id_col: batch[id_col], "n_words": z, "dsir_micro": z}
+                    )
+                cache, model_d = self.cache, self.model
+                per_word = np.empty(len(dic), np.int64)
+                for i, w in enumerate(dic.to_pylist()):
+                    v = cache.get(w)
+                    if v is None:
+                        ct_, cr_ = model_d[w]
+                        v = math.floor(
+                            (
+                                math.log(float(ct_ + 1) / (NT + V))
+                                - math.log(float(cr_ + 1) / (NR + V))
+                            )
+                            * 1e6
+                            + 0.5
+                        )
+                        cache[w] = v
+                    per_word[i] = v
+                sums = np.zeros(n, np.int64)
+                np.add.at(sums, doc_of, per_word[codes])
+                nw = np.bincount(doc_of, minlength=n).astype(np.int64)
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "n_words": pa.array(nw, pa.int64()),
+                        "dsir_micro": pa.array(sums, pa.int64()),
+                    }
+                )
+
+        return ds.map_batches(
+            ScoreBroadcast, batch_format="pyarrow", concurrency=(1, 8)
+        )
 
     def word_rows(batch: pa.Table) -> pa.Table:
         doc_of, codes, dic = _word_codes(batch, text_col)
