@@ -1341,6 +1341,31 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=5)
 
 
+def _q_unicode_normalize(sf_dir: str):
+    """Unicode canonicalization (stages/text_stats.py::
+    normalize_unicode) over a PLANTED-accent corpus: both engines
+    replace 'a' with decomposed a+U+0301, then NFC-compose (code-point
+    count drops back) and accent-strip (combining marks removed).
+    Row-local, zero shuffle; accent strip fully vectorized (Arrow NFD +
+    RE2 \\p{Mn}); NFC per batch-distinct text (the Arrow kernel never
+    re-composes). Oracle: DuckDB nfc_normalize / strip_accents."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.text_stats import normalize_unicode
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring(
+            pc.fill_null(batch["text"], ""), "a", "a\u0301"
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    return normalize_unicode(
+        ds.map_batches(plant, batch_format="pyarrow")
+    ).sort("doc_id")
+
+
 def _q_c4_clean(sf_dir: str):
     """C4 cleaning heuristics over the transcript corpus
     (stages/text_stats.py::c4_clean, after Raffel et al. 2020 §2.2):
@@ -2116,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_score": _q_dsir_score,
         "line_dedup": _q_line_dedup,
         "c4_clean": _q_c4_clean,
+        "unicode_normalize": _q_unicode_normalize,
         "boilerplate_lines": _q_boilerplate_lines,
         "intra_line_dedup": _q_intra_line_dedup,
         "pack_sequences": _q_pack_sequences,
@@ -3331,6 +3357,18 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "unicode_normalize": r"""
+            WITH d AS (SELECT doc_id,
+                              replace(coalesce(text, ''), 'a', 'a' || chr(769)) AS t
+                       FROM documents)
+            SELECT doc_id,
+                   length(t)::BIGINT AS len_raw,
+                   nfc_normalize(t) AS nfc_text,
+                   length(nfc_normalize(t))::BIGINT AS len_nfc,
+                   strip_accents(t) AS stripped_text,
+                   length(strip_accents(t))::BIGINT AS len_stripped
+            FROM d ORDER BY doc_id
         """,
         "c4_clean": r"""
             WITH t0 AS (

@@ -329,6 +329,35 @@ class TestRayOps:
         out = heavy_hitter_words(ray.data.from_arrow(tbl)).to_pandas()
         assert len(out) == 0
 
+    def test_normalize_unicode_compose_and_strip(self, ray_session):
+        import unicodedata
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import normalize_unicode
+
+        dec = "cafe\u0301 nai\u0308ve"  # decomposed accents
+        pre = "caf\u00e9"  # precomposed, NFC no-op
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [dec, pre, "plain ascii"],
+            }
+        )
+        out = (
+            normalize_unicode(ray.data.from_arrow(tbl).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["nfc_text"][0] == unicodedata.normalize("NFC", dec)
+        assert out["len_raw"][0] == len(dec)
+        assert out["len_nfc"][0] == len(dec) - 2  # two marks composed
+        assert out["stripped_text"][0] == "cafe naive"
+        assert out["nfc_text"][1] == pre and out["len_nfc"][1] == 4
+        assert out["stripped_text"][1] == "cafe"
+        assert out["stripped_text"][2] == "plain ascii"
+
     def test_c4_clean_line_and_doc_rules(self, ray_session):
         import ray.data
 

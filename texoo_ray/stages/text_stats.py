@@ -803,3 +803,51 @@ def c4_clean(
         return pa.table(cols)
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def normalize_unicode(
+    ds,
+    text_col: str = "text",
+    keep_cols: tuple = ("doc_id",),
+):
+    """Unicode canonicalization columns — the corpus-scale form of the
+    reference's string normalizers (core/normalize.py mirrors
+    WordHelpers.java:171-203): NFC composition plus accent stripping
+    (canonical decomposition, combining marks removed). Returns
+    Dataset[keep_cols + (len_raw, nfc_text, len_nfc, stripped_text,
+    len_stripped)]; lengths are code-point counts (DuckDB ``length``).
+
+    Row-local, zero shuffle. Accent strip is fully vectorized (Arrow
+    NFD kernel + one RE2 ``\\p{Mn}`` removal). NFC composition runs
+    ``unicodedata.normalize`` once per batch-DISTINCT text: pyarrow's
+    ``utf8_normalize`` (16.x) decomposes but never RE-composes (NFC of
+    U+00E1 returns U+0061 U+0301), so the C kernel can't express
+    composition — the bounded per-distinct Python call is the exact
+    fallback, same idiom as the md5 paths.
+    """
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        enc = texts.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary.to_pylist()
+        nfc_dic = np.asarray(
+            [unicodedata.normalize("NFC", t) for t in dic], dtype=object
+        )
+        nfc = pa.array(
+            nfc_dic[codes] if len(codes) else [], pa.string()
+        )
+        nfd = pc.utf8_normalize(texts, form="NFD")
+        stripped = pc.replace_substring_regex(nfd, r"\p{Mn}", "")
+        cols = {c: batch[c] for c in keep_cols}
+        cols["len_raw"] = pc.cast(pc.utf8_length(texts), pa.int64())
+        cols["nfc_text"] = nfc
+        cols["len_nfc"] = pc.cast(pc.utf8_length(nfc), pa.int64())
+        cols["stripped_text"] = stripped
+        cols["len_stripped"] = pc.cast(pc.utf8_length(stripped), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
