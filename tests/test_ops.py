@@ -630,6 +630,63 @@ class TestRayOps:
         assert out["n_dropped"].tolist() == [5, 5]
         assert out["clean_text"].tolist() == ["u v", "w"]
 
+    def test_substring_clean_matches_brute_force_random(self, ray_session):
+        import re
+
+        import ray.data
+
+        from texoo_ray.stages.dedup import substring_clean
+
+        rng = np.random.RandomState(23)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many shared grams
+        docs = [
+            " ".join(rng.choice(vocab, size=rng.randint(2, 25)))
+            for _ in range(40)
+        ]
+        n = 4
+        tok = lambda t: re.findall(r"\w+", t.lower())
+        words = {i: tok(t) for i, t in enumerate(docs)}
+        # brute force: gram -> set of docs; covered positions per doc
+        from collections import defaultdict
+
+        owners = defaultdict(set)
+        for d, w in words.items():
+            for i in range(len(w) - n + 1):
+                owners[tuple(w[i : i + n])].add(d)
+        want = {}
+        for d, w in words.items():
+            if len(w) < n:
+                continue
+            cov = np.zeros(len(w), bool)
+            for i in range(len(w) - n + 1):
+                if len(owners[tuple(w[i : i + n])]) >= 2:
+                    cov[i : i + n] = True
+            want[d] = (
+                len(w),
+                int(cov.sum()),
+                " ".join(np.asarray(w, dtype=object)[~cov]),
+            )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": docs,
+            }
+        )
+        out = (
+            substring_clean(ray.data.from_arrow(tbl).repartition(7), n=n)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == sorted(want)
+        for _, r in out.iterrows():
+            nw, nd, ct = want[r["doc_id"]]
+            assert (r["n_words"], r["n_dropped"], r["clean_text"]) == (
+                nw,
+                nd,
+                ct,
+            )
+
     def test_ngram_novelty_first_occurrence(self, ray_session):
         import ray.data
 
