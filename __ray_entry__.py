@@ -1054,6 +1054,42 @@ def _q_rolling_value_sum(sf_dir: str):
     return rolling_window_sum(ds, preceding=4).sort("event_id")
 
 
+def _q_late_events(sf_dir: str):
+    """Streaming watermark semantics (pipelines/analytics.py::
+    watermark_late_events): events whose timestamp trails the
+    arrival-order running-max watermark by > 5 minutes, over a PLANTED
+    out-of-order log (every 50th event arrives a day stale — both
+    engines apply the identical shift).
+    Distributed exact prefix scan: bucket-range maxima to the driver,
+    exclusive-cummax carries broadcast back, in-bucket vectorized
+    running max — one exchange. Oracle: max() OVER (ORDER BY event_id
+    ROWS UNBOUNDED PRECEDING)."""
+    import numpy as np
+
+    from texoo_ray.pipelines.analytics import watermark_late_events
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        ts_us = np.asarray(
+            batch["ts"].cast(pa.int64()), dtype=np.int64
+        )
+        ts2 = ts_us - np.where(eid % 50 == 0, 86_400_000_000, 0)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pa.array(ts2, pa.int64()),
+            }
+        )
+
+    return watermark_late_events(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        lateness_us=300_000_000,
+    ).sort("event_id")
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     """Per-group EXACT quantiles (percentile_disc ... GROUP BY oracle)
     via the grouped histogram-inversion shape — only the (lang, len)
@@ -2154,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_salted": _q_clicks_salted,
         "customers_no_open_orders": _q_customers_no_open_orders,
         "rolling_value_sum": _q_rolling_value_sum,
+        "late_events": _q_late_events,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "order_rollup": _q_order_rollup,
         "pii_redact": _q_pii_redact,
@@ -3598,6 +3635,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
             )
             ORDER BY c_custkey
+        """,
+        "late_events": r"""
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts)
+                              - (CASE WHEN event_id % 50 = 0
+                                      THEN 86400000000 ELSE 0 END) AS ts_us
+                       FROM events),
+            w AS (SELECT event_id, user_id, ts_us,
+                         max(ts_us) OVER (ORDER BY event_id
+                                          ROWS UNBOUNDED PRECEDING) AS wm
+                  FROM e)
+            SELECT event_id, user_id, (wm - ts_us)::BIGINT AS late_us
+            FROM w WHERE wm - ts_us > 300000000
+            ORDER BY event_id
         """,
         "rolling_value_sum": """
             SELECT event_id, user_id,

@@ -398,6 +398,59 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_watermark_late_events_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import watermark_late_events
+
+        rng = np.random.RandomState(5)
+        n = 500
+        order = np.arange(n, dtype=np.int64)
+        ts = np.cumsum(rng.randint(0, 50, n)).astype(np.int64)
+        ts = ts - (order % 13) * 17  # planted disorder
+        users = (order % 7).astype(np.int64)
+        L = 40
+        wm = np.maximum.accumulate(ts)
+        late = wm - ts
+        want = order[late > L]
+        want_lateness = late[late > L]
+        assert len(want) > 0  # non-vacuous
+        tbl = pa.table(
+            {
+                "event_id": pa.array(order, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        )
+        out = (
+            watermark_late_events(
+                ray.data.from_arrow(tbl).random_shuffle(seed=3).repartition(6),
+                lateness_us=L,
+                n_buckets=11,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["event_id"].tolist() == want.tolist()
+        assert out["late_us"].tolist() == want_lateness.tolist()
+        assert (out["user_id"] == out["event_id"] % 7).all()
+
+    def test_watermark_late_events_empty(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import watermark_late_events
+
+        tbl = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+            }
+        )
+        out = watermark_late_events(ray.data.from_arrow(tbl)).to_pandas()
+        assert len(out) == 0
+
     def test_quantile_trim_cutoffs(self, ray_session):
         import ray.data
 

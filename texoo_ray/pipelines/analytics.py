@@ -440,3 +440,104 @@ def cohort_retention(ds, n_buckets: int = 64):
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+def watermark_late_events(
+    ds,
+    order_col: str = "event_id",
+    ts_col: str = "ts_us",
+    lateness_us: int = 300_000_000,
+    keep_cols: tuple = ("user_id",),
+    n_buckets: int = 4096,
+):
+    """Streaming watermark semantics over an arrival-ordered log: the
+    watermark at arrival position i is ``max(ts)`` over all events with
+    ``order_col`` <= i (inclusive running max — the
+    ``max(ts) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`` window),
+    and an event is LATE when its own timestamp trails the watermark by
+    more than ``lateness_us``. Returns Dataset[(order_col, *keep_cols,
+    late_us)] — the late events only, ``late_us = watermark - ts``.
+
+    Scale shape — a distributed exact PREFIX SCAN, the same two-level
+    trick as the rolling windows: events bucket by ``order_col`` range
+    (``n_buckets`` fixed buckets); one grouped aggregate collects each
+    bucket's max timestamp (driver receives n_buckets rows), the driver
+    takes the EXCLUSIVE cumulative max as each bucket's carry-in, and a
+    per-bucket pass combines the broadcast carry with the in-bucket
+    inclusive running max. One exchange over the events; nothing
+    corpus-sized on the driver. Size ``n_buckets`` so a bucket fits a
+    worker (events/n_buckets rows); for truly unbounded logs apply the
+    same scheme recursively over bucket ranges.
+    """
+    from ray.data.aggregate import Max, Min
+
+    import numpy as np
+
+    bounds = ds.aggregate(Min(order_col), Max(order_col))
+    lo = bounds.get(f"min({order_col})")
+    hi = bounds.get(f"max({order_col})")
+    empty = pa.table(
+        {
+            order_col: pa.array([], pa.int64()),
+            **{c: pa.array([], pa.int64()) for c in keep_cols},
+            "late_us": pa.array([], pa.int64()),
+        }
+    )
+    if lo is None or hi is None:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        order = np.asarray(batch[order_col], dtype=np.int64)
+        b = (order - int(lo)) // width
+        return batch.append_column("__bkt", pa.array(b, pa.int64()))
+
+    keyed = ds.map_batches(bucketed, batch_format="pyarrow")
+    bmax = (
+        keyed.map_batches(
+            lambda t: t.select(["__bkt", ts_col])
+            .group_by(["__bkt"])
+            .aggregate([(ts_col, "max")])
+            .rename_columns(["__bkt", "m"]),
+            batch_format="pyarrow",
+        )
+        .groupby("__bkt")
+        .aggregate(Max("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("__bkt")
+    )
+    carry = np.full(n_buckets + 1, np.iinfo(np.int64).min, np.int64)
+    bk = bmax["__bkt"].to_numpy()
+    mx = bmax["m"].to_numpy().astype(np.int64)
+    run = np.iinfo(np.int64).min
+    carry_map = {}
+    for b, m in zip(bk, mx):
+        carry_map[int(b)] = run  # EXCLUSIVE of this bucket
+        run = max(run, int(m))
+
+    def late_in_bucket(group: pa.Table) -> pa.Table:
+        order = np.asarray(group[order_col], dtype=np.int64)
+        ts = np.asarray(group[ts_col], dtype=np.int64)
+        srt = np.argsort(order, kind="stable")
+        ts_s = ts[srt]
+        b = int((order[srt[0]] - int(lo)) // width)
+        wm = np.maximum.accumulate(ts_s)
+        cin = carry_map.get(b, np.iinfo(np.int64).min)
+        if cin != np.iinfo(np.int64).min:
+            wm = np.maximum(wm, cin)
+        late_us = wm - ts_s
+        mask = late_us > lateness_us
+        if not mask.any():
+            return empty
+        idx = srt[mask]
+        cols = {order_col: pa.array(order[idx], pa.int64())}
+        for c in keep_cols:
+            cols[c] = group[c].take(pa.array(idx))
+        cols["late_us"] = pa.array(late_us[mask], pa.int64())
+        return pa.table(cols)
+
+    return keyed.groupby("__bkt").map_groups(
+        late_in_bucket, batch_format="pyarrow"
+    )
