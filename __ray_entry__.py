@@ -302,6 +302,19 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct_words(ds, k=16)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Nucleus-style vocabulary coverage (stages/text_stats.py::
+    vocab_coverage): minimum number of distinct words covering >=90% of
+    corpus tokens. Pass 1 is the vocab groupby; pass 2 collapses to the
+    COUNT-OF-COUNTS histogram (count-domain-sized) which the driver
+    inverts — nothing vocabulary-sized is collected. Oracle: cumulative
+    window over the sorted vocab with the identical ceil target."""
+    from texoo_ray.stages.text_stats import vocab_coverage
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return vocab_coverage(ds, num=9, den=10)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """EXACT frequent-word mining at Misra-Gries sketch cost
     (stages/sketches.py::heavy_hitter_words): pass 1 is a mergeable
@@ -2135,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "kmv_distinct": _q_kmv_distinct,
         "heavy_hitters": _q_heavy_hitters,
+        "vocab_coverage": _q_vocab_coverage,
         "kmv_source_overlap": _q_kmv_source_overlap,
         "conv_dedup": _q_conv_dedup,
         "semantic_dedup": _q_semantic_dedup,
@@ -2427,6 +2441,25 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
             FROM documents ORDER BY doc_id
+        """,
+        "vocab_coverage": r"""
+            WITH docs AS (SELECT lower(coalesce(text, '')) AS t FROM documents),
+            words AS (SELECT u.w
+                      FROM docs, LATERAL unnest(regexp_extract_all(t, '\w+')) AS u(w)),
+            vocab AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w),
+            tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS vs FROM vocab),
+            r AS (SELECT c,
+                         sum(c) OVER (ORDER BY c DESC, w) AS cum,
+                         row_number() OVER (ORDER BY c DESC, w) AS rn
+                  FROM vocab),
+            sel AS (SELECT min(rn)::BIGINT AS needed
+                    FROM r, tot WHERE cum >= (9 * tot.n + 9) // 10)
+            SELECT tot.n AS n_tokens,
+                   ((9 * tot.n + 9) // 10)::BIGINT AS target,
+                   sel.needed AS n_words_needed,
+                   (SELECT c FROM r WHERE rn = sel.needed)::BIGINT AS boundary_cnt,
+                   tot.vs AS vocab_size
+            FROM tot, sel
         """,
         "heavy_hitters": r"""
             WITH docs AS (SELECT lower(coalesce(text, '')) AS t FROM documents),

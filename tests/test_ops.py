@@ -398,6 +398,34 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_vocab_coverage_inversion(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import vocab_coverage
+
+        # counts: a=5, b=3, c=1, d=1 -> N=10; 70% target=7 -> a+b = 2 words
+        tbl = pa.table({"text": ["a a a a a b", "b b c d"]})
+        out = vocab_coverage(
+            ray.data.from_arrow(tbl).repartition(2), num=7, den=10
+        ).to_pandas()
+        assert out["n_tokens"][0] == 10 and out["target"][0] == 7
+        assert out["n_words_needed"][0] == 2
+        assert out["boundary_cnt"][0] == 3
+        assert out["vocab_size"][0] == 4
+
+    def test_vocab_coverage_tie_level(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import vocab_coverage
+
+        # counts 4,4,2 -> N=10; 50% target=5 -> ceil(5/4)=2 words of cnt 4
+        tbl = pa.table({"text": ["x x x x y y", "y y z z"]})
+        out = vocab_coverage(
+            ray.data.from_arrow(tbl).repartition(2), num=5, den=10
+        ).to_pandas()
+        assert out["n_words_needed"][0] == 2
+        assert out["boundary_cnt"][0] == 4
+
     def test_watermark_late_events_matches_brute_force(self, ray_session):
         import ray.data
 

@@ -851,3 +851,97 @@ def normalize_unicode(
         return pa.table(cols)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def vocab_coverage(
+    ds,
+    text_col: str = "text",
+    num: int = 9,
+    den: int = 10,
+) -> pa.Table:
+    """Nucleus-style vocabulary coverage: the MINIMUM number of distinct
+    words (taken in decreasing frequency order) whose occurrences cover
+    at least ``num/den`` of all corpus tokens — the statistic behind
+    "how big must the tokenizer vocab be" sizing decisions. Returns one
+    row (n_tokens, target, n_words_needed, boundary_cnt, vocab_size),
+    exact integers (target = ceil(num*N/den)).
+
+    Scale shape: pass 1 is the standard vocabulary-bounded
+    ``groupby(word)`` count; pass 2 collapses the vocab table to its
+    COUNT-OF-COUNTS histogram (per-batch partials over (count ->
+    n_words, token_mass), one tiny groupby over the count domain) and
+    the driver inverts the cumulative histogram — words with equal
+    count are interchangeable, so the count-of-counts is sufficient and
+    nothing vocabulary-sized reaches the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        _, codes, dic = _doc_word_codes(batch[text_col])
+        return pa.table(
+            {
+                "w": dic,
+                "c": pa.array(
+                    np.bincount(codes, minlength=len(dic)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def coc_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], dtype=np.int64)
+        uniq, n_at = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(uniq, pa.int64()),
+                "n_words": pa.array(n_at.astype(np.int64), pa.int64()),
+                "mass": pa.array(uniq * n_at, pa.int64()),
+            }
+        )
+
+    hist = (
+        vocab.map_batches(coc_partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("mass", alias_name="mass"),
+        )
+        .to_pandas()
+    )
+    schema = {
+        "n_tokens": pa.int64(),
+        "target": pa.int64(),
+        "n_words_needed": pa.int64(),
+        "boundary_cnt": pa.int64(),
+        "vocab_size": pa.int64(),
+    }
+    if len(hist) == 0:
+        return pa.table({k: pa.array([], t) for k, t in schema.items()})
+    hist = hist.sort_values("c", ascending=False)
+    counts = hist["c"].to_numpy().astype(np.int64)
+    n_words = hist["n_words"].to_numpy().astype(np.int64)
+    mass = hist["mass"].to_numpy().astype(np.int64)
+    n_tokens = int(mass.sum())
+    target = (num * n_tokens + den - 1) // den
+    cum = np.cumsum(mass)
+    lvl = int(np.searchsorted(cum, target, side="left"))
+    above = int(cum[lvl - 1]) if lvl > 0 else 0
+    c_star = int(counts[lvl])
+    needed = int(n_words[:lvl].sum()) + max(
+        0, -(-(target - above) // c_star)
+    )
+    return pa.table(
+        {
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "target": pa.array([target], pa.int64()),
+            "n_words_needed": pa.array([needed], pa.int64()),
+            "boundary_cnt": pa.array([c_star], pa.int64()),
+            "vocab_size": pa.array([int(n_words.sum())], pa.int64()),
+        }
+    )
