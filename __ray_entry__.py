@@ -1486,6 +1486,34 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_pagerank2(sf_dir: str):
+    """Exact integer PageRank, 2 rounds, over the symmetrized
+    order<->part bipartite graph from lineitem (pipelines/graph.py::
+    pagerank): per round ONE edges-x-state hash join + ONE grouped sum
+    with per-batch dst pre-combine — the Pregel BSP shape on Ray
+    Datasets. Integer micro-ranks with floor-division shares make the
+    whole trajectory bit-equal to the DuckDB oracle's unrolled CTEs
+    (the kmeans_iter2 treatment applied to graph message passing)."""
+    import numpy as np
+
+    from texoo_ray.pipelines.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def symm(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch["l_orderkey"], dtype=np.int64) + 1_000_000_000
+        p = np.asarray(batch["l_partkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([o, p]), pa.int64()),
+                "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+            }
+        )
+
+    edges = li.map_batches(symm, batch_format="pyarrow")
+    return pagerank(edges, iterations=2).sort("id")
+
+
 def _q_dsir_score(sf_dir: str):
     """DSIR importance weights for data selection (stages/lm.py::
     dsir_logratio, after Xie et al. 2023): per-document integer-micro
@@ -2189,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
         "dsir_score": _q_dsir_score,
+        "pagerank2": _q_pagerank2,
         "line_dedup": _q_line_dedup,
         "c4_clean": _q_c4_clean,
         "unicode_normalize": _q_unicode_normalize,
@@ -3495,6 +3524,32 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "pagerank2": r"""
+            WITH e0 AS (SELECT l_orderkey + 1000000000 AS src, l_partkey AS dst
+                        FROM lineitem),
+            edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            deg AS (SELECT src AS id, count(*)::BIGINT AS outdeg
+                    FROM edges GROUP BY src),
+            pr0 AS (SELECT id, 1000000::BIGINT AS pr FROM nodes),
+            c1 AS (SELECT e.dst AS id,
+                          sum(p.pr * 85 // (100 * d.outdeg))::BIGINT AS s
+                   FROM edges e
+                   JOIN pr0 p ON p.id = e.src
+                   JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            pr1 AS (SELECT n.id, (150000 + coalesce(c.s, 0))::BIGINT AS pr
+                    FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+            c2 AS (SELECT e.dst AS id,
+                          sum(p.pr * 85 // (100 * d.outdeg))::BIGINT AS s
+                   FROM edges e
+                   JOIN pr1 p ON p.id = e.src
+                   JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            pr2 AS (SELECT n.id, (150000 + coalesce(c.s, 0))::BIGINT AS pr
+                    FROM nodes n LEFT JOIN c2 c ON c.id = n.id)
+            SELECT id, pr FROM pr2 ORDER BY id
         """,
         "dsir_score": r"""
             WITH docs AS (SELECT doc_id, (source = 'src0') AS tgt,

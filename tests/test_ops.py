@@ -398,6 +398,62 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_pagerank_matches_integer_reference(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.graph import pagerank
+
+        rng = np.random.RandomState(9)
+        n_nodes, n_edges = 30, 120
+        src = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+        dst = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+        edges = pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+        iters, scale, dn, dd = 3, 1_000_000, 85, 100
+        out = (
+            pagerank(
+                ray.data.from_arrow(edges).repartition(5),
+                iterations=iters,
+                scale=scale,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        # brute-force integer reference with the identical formula
+        ids = np.unique(np.concatenate([src, dst]))
+        idx = {v: i for i, v in enumerate(ids)}
+        od = np.zeros(len(ids), np.int64)
+        for u in src:
+            od[idx[u]] += 1
+        pr = np.full(len(ids), scale, np.int64)
+        base = scale * (dd - dn) // dd
+        for _ in range(iters):
+            nxt = np.full(len(ids), base, np.int64)
+            share = pr * dn // (dd * np.maximum(od, 1))
+            for u, v in zip(src, dst):
+                nxt[idx[v]] += share[idx[u]]
+            pr = nxt
+        assert out["id"].tolist() == ids.tolist()
+        assert out["pr"].tolist() == pr.tolist()
+        # rank mass sanity: every node at least the base term
+        assert (out["pr"] >= base).all()
+
+    def test_pagerank_empty_edges(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.graph import pagerank
+
+        edges = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        out = pagerank(ray.data.from_arrow(edges)).to_pandas()
+        assert len(out) == 0
+
     def test_vocab_coverage_inversion(self, ray_session):
         import ray.data
 
