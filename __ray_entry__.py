@@ -1511,7 +1511,9 @@ def _q_pagerank2(sf_dir: str):
         )
 
     edges = li.map_batches(symm, batch_format="pyarrow")
-    return pagerank(edges, iterations=2).sort("id")
+    # num_partitions sized to this graph (~120k edges at sf0.01): each
+    # of the per-round joins pays fixed aggregator cost per partition
+    return pagerank(edges, iterations=2, num_partitions=4).sort("id")
 
 
 def _q_dsir_score(sf_dir: str):
