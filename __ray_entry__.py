@@ -1486,6 +1486,52 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_data_contract(sf_dir: str):
+    """Data-contract validation with dead-letter routing
+    (stages/contracts.py): rows violating any rule land in quarantine
+    labeled with the FIRST failed rule. Corruptions are PLANTED in both
+    engines (every 37th doc gets lang 'zz', every 41st an off-by-one
+    n_chars); rules: lang enum, n_chars==length(text) consistency,
+    non-empty text. Row-local, zero shuffle, vectorized predicates."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.contracts import (
+        lang_allowed,
+        length_consistent,
+        quarantine,
+        text_nonempty,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        lang[ids % 37 == 0] = "zz"
+        n_chars = np.asarray(
+            pc.cast(batch["n_chars"], pa.int64()), dtype=np.int64
+        ).copy()
+        n_chars[ids % 41 == 0] += 1
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": pa.array(lang, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    rules = [
+        lang_allowed("lang", ["de", "en", "es", "fr", "zh"]),
+        length_consistent("n_chars", "text"),
+        text_nonempty("text"),
+    ]
+    return quarantine(
+        ds.map_batches(corrupt, batch_format="pyarrow"), rules
+    ).sort("doc_id")
+
+
 def _q_pagerank2(sf_dir: str):
     """Exact integer PageRank, 2 rounds, over the symmetrized
     order<->part bipartite graph from lineitem (pipelines/graph.py::
@@ -2220,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "dsir_score": _q_dsir_score,
         "pagerank2": _q_pagerank2,
+        "data_contract": _q_data_contract,
         "line_dedup": _q_line_dedup,
         "c4_clean": _q_c4_clean,
         "unicode_normalize": _q_unicode_normalize,
@@ -3526,6 +3573,25 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "data_contract": r"""
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 37 = 0 THEN 'zz' ELSE lang END AS lang,
+                              (CASE WHEN doc_id % 41 = 0 THEN n_chars + 1
+                                    ELSE n_chars END)::BIGINT AS n_chars,
+                              coalesce(text, '') AS text
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+                             THEN 'lang_allowed'
+                        WHEN n_chars <> length(text)
+                             THEN 'n_chars_consistent'
+                        ELSE 'text_nonempty' END AS reason
+            FROM d
+            WHERE lang NOT IN ('de','en','es','fr','zh')
+               OR n_chars <> length(text)
+               OR length(text) = 0
+            ORDER BY doc_id
         """,
         "pagerank2": r"""
             WITH e0 AS (SELECT l_orderkey + 1000000000 AS src, l_partkey AS dst

@@ -398,6 +398,50 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_contract_quarantine_first_reason_wins(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.contracts import (
+            enforce,
+            lang_allowed,
+            length_consistent,
+            quarantine,
+            text_nonempty,
+        )
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "lang": ["en", "zz", "en", "zz", "de"],
+                "n_chars": pa.array([2, 2, 99, 0, 0], pa.int64()),
+                "text": ["ok", "ok", "ok", "", ""],
+            }
+        )
+        rules = [
+            lang_allowed("lang", ["en", "de"]),
+            length_consistent("n_chars", "text"),
+            text_nonempty("text"),
+        ]
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        bad = (
+            quarantine(ds, rules)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 2: lang fails first; doc 3: length; doc 4: lang beats
+        # nonempty (declaration order); doc 5: length holds (0 == 0)
+        # but nonempty fails
+        assert bad["doc_id"].tolist() == [2, 3, 4, 5]
+        assert bad["reason"].tolist() == [
+            "lang_allowed",
+            "n_chars_consistent",
+            "lang_allowed",
+            "text_nonempty",
+        ]
+        good = enforce(ds, rules).to_pandas()
+        assert good["doc_id"].tolist() == [1]
+
     def test_pagerank_matches_integer_reference(self, ray_session):
         import ray.data
 
