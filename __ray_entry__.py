@@ -1486,6 +1486,19 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_value_moments(sf_dir: str):
+    """Exact per-type second moments over event values
+    (pipelines/analytics.py::grouped_moments): cents-quantized n / sum /
+    sum-of-squares — order-independent integer sufficient statistics for
+    mean/variance (the scalar analogue of embedding_gram). Per-batch
+    group partials, one small groupby. Oracle: the identical
+    floor(x*100+0.5) algebra in SQL."""
+    from texoo_ray.pipelines.analytics import grouped_moments
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_moments(ds, "event_type", "value").sort("event_type")
+
+
 def _q_data_contract(sf_dir: str):
     """Data-contract validation with dead-letter routing
     (stages/contracts.py): rows violating any rule land in quarantine
@@ -2267,6 +2280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_score": _q_dsir_score,
         "pagerank2": _q_pagerank2,
         "data_contract": _q_data_contract,
+        "value_moments": _q_value_moments,
         "line_dedup": _q_line_dedup,
         "c4_clean": _q_c4_clean,
         "unicode_normalize": _q_unicode_normalize,
@@ -3573,6 +3587,16 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "value_moments": r"""
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   sum(cents)::BIGINT AS sum_cents,
+                   sum(cents * cents)::BIGINT AS sumsq_cents2
+            FROM e GROUP BY event_type ORDER BY event_type
         """,
         "data_contract": r"""
             WITH d AS (SELECT doc_id,

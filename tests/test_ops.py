@@ -398,6 +398,39 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_grouped_moments_exact_cents(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import grouped_moments
+
+        tbl = pa.table(
+            {
+                "event_type": ["a", "a", "b", "a"],
+                "value": [1.25, 2.50, 0.01, 1.25],
+            }
+        )
+        out = (
+            grouped_moments(
+                ray.data.from_arrow(tbl).repartition(3), "event_type", "value"
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert out["event_type"].tolist() == ["a", "b"]
+        assert out["n"].tolist() == [3, 1]
+        assert out["sum_cents"].tolist() == [125 + 250 + 125, 1]
+        assert out["sumsq_cents2"].tolist() == [
+            125 * 125 + 250 * 250 + 125 * 125,
+            1,
+        ]
+        # variance derives exactly from the integer statistics:
+        # var_cents2 = (n*sumsq - sum^2) / n^2
+        n, s, ss = out["n"][0], out["sum_cents"][0], out["sumsq_cents2"][0]
+        assert (n * ss - s * s) / (n * n) == pytest.approx(
+            np.var([125, 250, 125])
+        )
+
     def test_contract_quarantine_first_reason_wins(self, ray_session):
         import ray.data
 

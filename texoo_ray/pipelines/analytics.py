@@ -541,3 +541,54 @@ def watermark_late_events(
     return keyed.groupby("__bkt").map_groups(
         late_in_bucket, batch_format="pyarrow"
     )
+
+
+def grouped_moments(ds, group_col: str, value_col: str):
+    """Exact second-moment sufficient statistics per group:
+    Dataset[(group_col, n, sum_cents, sumsq_cents2)] where values are
+    quantized to integer cents (floor(x*100+0.5)) BEFORE any summation —
+    count/mean/variance then derive exactly on the caller's side with no
+    float-accumulation order dependence (the scalar analogue of
+    stages/knn.py::embedding_gram's quantize-then-sum trick; a float
+    Welford pass would differ across block layouts).
+
+    Scale shape: per-batch groupby partials (one row per group per
+    block) into one small global groupby — shuffle volume is
+    O(blocks x groups). int64 headroom: n * (100*max|x|)^2 < 2^63.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.cast(
+                pc.floor(pc.add(pc.multiply(batch[value_col], 100.0), 0.5)),
+                pa.int64(),
+            ),
+            dtype=np.int64,
+        )
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+                "sum_cents": pa.array(cents, pa.int64()),
+                "sumsq_cents2": pa.array(cents * cents, pa.int64()),
+            }
+        )
+        grp = t.group_by([group_col]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum"), ("sumsq_cents2", "sum")]
+        )
+        return grp.rename_columns(
+            [group_col, "n", "sum_cents", "sumsq_cents2"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents2", alias_name="sumsq_cents2"),
+        )
+    )
