@@ -150,6 +150,12 @@ def run_queries() -> dict:
         "dedup_incremental",
         "embedding_gram",
         "dsir_score",
+        "c4_clean",
+        "unicode_normalize",
+        "late_events",
+        "vocab_coverage",
+        "data_contract",
+        "value_moments",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
