@@ -1570,8 +1570,8 @@ def _q_pagerank2(sf_dir: str):
         )
 
     edges = li.map_batches(symm, batch_format="pyarrow")
-    # num_partitions sized to this graph (~120k edges at sf0.01): each
-    # of the per-round joins pays fixed aggregator cost per partition
+    # partitions pinned for the gate's graph size (the library
+    # auto-sizes by edge count when the caller doesn't)
     return pagerank(edges, iterations=2, num_partitions=4).sort("id")
 
 

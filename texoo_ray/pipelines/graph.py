@@ -53,7 +53,13 @@ def pagerank(
 
     from ..stages.dedup import _compact, _join_partitions, _norm
 
-    P = num_partitions or _join_partitions()
+    if num_partitions is None:
+        # each per-round join pays fixed aggregator cost per partition:
+        # size to the edge count (one count() pass, cheap next to the
+        # iteration joins), capped by the cluster-sized default
+        n_edges = edges.count()
+        num_partitions = max(2, min(_join_partitions(), 1 + n_edges // 50_000))
+    P = num_partitions
     base = scale * (damp_den - damp_num) // damp_den
 
     id_schema = pa.schema([("id", pa.int64())])
