@@ -1415,6 +1415,41 @@ def _q_unicode_normalize(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_trending_terms(sf_dir: str):
+    """Burst detection over the timestamped transcript corpus
+    (stages/text_stats.py::trending_terms): words whose hourly count is
+    >= 3x their previous-hour count with min support 20; a 'launchday'
+    marker is PLANTED on noon-hour turns in both engines so guaranteed
+    bursts exist. One (hour, word) groupby, then a pair-bounded
+    self-join on (hour-1, word); integer cross-multiplied ratio."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from texoo_ray.stages.text_stats import trending_terms
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir), columns=["ts", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        hour = ts_us // 3_600_000_000
+        marker = pa.array(
+            np.where(hour % 24 == 12, " launchday", "").tolist(), pa.string()
+        )
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), marker, ""
+        )
+        return pa.table(
+            {"hour": pa.array(hour, pa.int64()), "text": txt}
+        )
+
+    return trending_terms(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ratio_num=3,
+        min_count=20,
+    ).sort(["hour", "word"])
+
+
 def _q_c4_clean(sf_dir: str):
     """C4 cleaning heuristics over the transcript corpus
     (stages/text_stats.py::c4_clean, after Raffel et al. 2020 §2.2):
@@ -2283,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": _q_value_moments,
         "line_dedup": _q_line_dedup,
         "c4_clean": _q_c4_clean,
+        "trending_terms": _q_trending_terms,
         "unicode_normalize": _q_unicode_normalize,
         "boilerplate_lines": _q_boilerplate_lines,
         "intra_line_dedup": _q_intra_line_dedup,
@@ -3519,6 +3555,24 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "trending_terms": r"""
+            WITH t AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                              lower(coalesce(text, ''))
+                              || CASE WHEN (epoch_us(ts) // 3600000000) % 24 = 12
+                                      THEN ' launchday' ELSE '' END AS txt
+                       FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            words AS (SELECT hour, u.w
+                      FROM t, LATERAL unnest(regexp_extract_all(txt, '\w+')) AS u(w)),
+            counts AS (SELECT hour, w, count(*)::BIGINT AS cnt
+                       FROM words GROUP BY hour, w),
+            j AS (SELECT c.hour, c.w, c.cnt,
+                         coalesce(p.cnt, 0)::BIGINT AS prev_cnt
+                  FROM counts c
+                  LEFT JOIN counts p ON p.hour = c.hour - 1 AND p.w = c.w)
+            SELECT hour, w AS word, cnt, prev_cnt
+            FROM j WHERE cnt >= 20 AND cnt >= 3 * prev_cnt
+            ORDER BY hour, word
         """,
         "unicode_normalize": r"""
             WITH d AS (SELECT doc_id,

@@ -398,6 +398,42 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_trending_terms_burst_and_baseline(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import trending_terms
+
+        rows = []
+        # hour 10: steady word 'base' x30; hour 11: 'base' x30 (no
+        # burst: 30 < 3*30) plus 'viral' x25 (prev 0 -> burst)
+        rows += [(10, "base")] * 30
+        rows += [(11, "base")] * 30 + [(11, "viral")] * 25
+        # hour 12: 'base' x90 = exactly 3x prev -> burst at >=
+        rows += [(12, "base")] * 90
+        tbl = pa.table(
+            {
+                "hour": pa.array([h for h, _ in rows], pa.int64()),
+                "text": [w for _, w in rows],
+            }
+        )
+        out = (
+            trending_terms(
+                ray.data.from_arrow(tbl).repartition(4),
+                ratio_num=3,
+                min_count=20,
+            )
+            .to_pandas()
+            .sort_values(["hour", "word"])
+            .reset_index(drop=True)
+        )
+        got = list(zip(out["hour"], out["word"], out["cnt"], out["prev_cnt"]))
+        # hour 10 'base' has no prev -> burst; hour 11 'viral' bursts;
+        # hour 12 'base' is exactly 3x -> bursts
+        assert (10, "base", 30, 0) in got
+        assert (11, "viral", 25, 0) in got
+        assert (12, "base", 90, 30) in got
+        assert not any(h == 11 and w == "base" for h, w, _, _ in got)
+
     def test_grouped_moments_exact_cents(self, ray_session):
         import ray.data
 

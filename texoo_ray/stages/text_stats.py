@@ -945,3 +945,119 @@ def vocab_coverage(
             "vocab_size": pa.array([int(n_words.sum())], pa.int64()),
         }
     )
+
+
+def trending_terms(
+    ds,
+    text_col: str = "text",
+    hour_col: str = "hour",
+    ratio_num: int = 3,
+    ratio_den: int = 1,
+    min_count: int = 20,
+):
+    """Burst detection over a timestamped corpus: words whose count in
+    hour h is at least ``ratio_num/ratio_den`` times their count in hour
+    h-1 (absent -> 0) and at least ``min_count`` — the trending-terms /
+    anomaly shape of log analytics. ``ds`` must carry an integer
+    epoch-hour column (``hour_col``). Returns
+    Dataset[(hour, word, cnt, prev_cnt)].
+
+    Scale shape: per-batch (hour, word) partial counts (one np.unique
+    over combined keys — no Python loop over words), ONE
+    groupby((hour, word)) sum, then the counts table self-joins on
+    (hour-1, word) — everything after the first exchange is bounded by
+    distinct (hour, word) pairs, not corpus rows; integer
+    cross-multiplication keeps the ratio test exact.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _compact, _join_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = np.asarray(batch[hour_col], dtype=np.int64)
+        doc_of, codes, dic = _doc_word_codes(batch[text_col])
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        V = np.int64(len(dic))
+        key = hours[doc_of] * V + codes
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(u // V, pa.int64()),
+                "word": dic.take(pa.array(u % V)),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = _compact(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "word"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    empty = pa.schema(
+        [
+            ("hour", pa.int64()),
+            ("word", pa.string()),
+            ("cnt", pa.int64()),
+            ("prev_cnt", pa.int64()),
+        ]
+    ).empty_table()
+    if counts is None:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "hour" not in batch.column_names:
+            return pa.table(
+                {
+                    "hm1": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "prev_cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "hm1": pc.add(batch["hour"], 1),
+                "word": batch["word"],
+                "prev_cnt": batch["cnt"],
+            }
+        )
+
+    prev = _compact(counts.map_batches(shifted, batch_format="pyarrow"))
+    joined = counts.join(
+        prev,
+        "left_outer",
+        _join_partitions(),
+        on=("hour", "word"),
+        right_on=("hm1", "word"),
+    )
+
+    def burst(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cnt" not in batch.column_names:
+            return empty
+        cnt = np.asarray(batch["cnt"], dtype=np.int64)
+        prev_c = np.asarray(
+            pc.fill_null(pc.cast(batch["prev_cnt"], pa.int64()), 0),
+            dtype=np.int64,
+        )
+        keep = (cnt >= min_count) & (
+            cnt * ratio_den >= ratio_num * prev_c
+        )
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "hour": batch["hour"].filter(mask),
+                "word": batch["word"].filter(mask),
+                "cnt": pa.array(cnt[keep], pa.int64()),
+                "prev_cnt": pa.array(prev_c[keep], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(burst, batch_format="pyarrow")
