@@ -1534,6 +1534,64 @@ def _q_value_moments(sf_dir: str):
     return grouped_moments(ds, "event_type", "value").sort("event_type")
 
 
+def _q_upsert_merge(sf_dir: str):
+    """CDC upsert / SCD-1 merge (pipelines/relational.py::
+    upsert_merge): base snapshot (documents at version 1) merged with a
+    PLANTED update stream (every 5th doc re-issued at version 2 with
+    modified text, every 7th inserted under a new id) — latest
+    (version, side) wins per key. Per-batch keep-latest partials cap
+    the single hash exchange at one row per key per block. Oracle:
+    row_number() OVER (PARTITION BY key ORDER BY version DESC, side
+    DESC) = 1."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.relational import upsert_merge
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "version": pa.array(np.ones(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "text": pc.fill_null(batch["text"], ""),
+            }
+        )
+
+    def as_updates(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = pc.fill_null(batch["text"], "")
+        upd = ids % 5 == 0
+        ins = ids % 7 == 0
+        out_ids = np.concatenate([ids[upd], ids[ins] + 1_000_000])
+        out_txt = pa.concat_arrays(
+            [
+                pc.binary_join_element_wise(
+                    pa.array(["UPDATED"] * int(upd.sum()), pa.string()),
+                    texts.combine_chunks().filter(pa.array(upd)),
+                    " ",
+                ),
+                texts.combine_chunks().filter(pa.array(ins)),
+            ]
+        )
+        n = len(out_ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "version": pa.array(np.full(n, 2, np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "text": out_txt,
+            }
+        )
+
+    base = ds.map_batches(as_base, batch_format="pyarrow")
+    updates = ds.map_batches(as_updates, batch_format="pyarrow")
+    return upsert_merge(base, updates).sort("doc_id")
+
+
 def _q_data_contract(sf_dir: str):
     """Data-contract validation with dead-letter routing
     (stages/contracts.py): rows violating any rule land in quarantine
@@ -2316,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank2": _q_pagerank2,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
+        "upsert_merge": _q_upsert_merge,
         "line_dedup": _q_line_dedup,
         "c4_clean": _q_c4_clean,
         "trending_terms": _q_trending_terms,
@@ -3641,6 +3700,25 @@ def oracle_sql() -> dict[str, str]:
                    (len(t0.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t0 LEFT JOIN agg a USING (conv_id, turn_idx)
             ORDER BY conv_id, turn_idx
+        """,
+        "upsert_merge": r"""
+            WITH base AS (SELECT doc_id, 1::BIGINT AS version, 0::BIGINT AS side,
+                                 coalesce(text, '') AS text
+                          FROM documents),
+            upd AS (SELECT doc_id, 2::BIGINT, 1::BIGINT,
+                           'UPDATED ' || coalesce(text, '')
+                    FROM documents WHERE doc_id % 5 = 0
+                    UNION ALL
+                    SELECT doc_id + 1000000, 2::BIGINT, 1::BIGINT,
+                           coalesce(text, '')
+                    FROM documents WHERE doc_id % 7 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY version DESC, side DESC) AS rn
+                  FROM u)
+            SELECT doc_id, version, side, text
+            FROM r WHERE rn = 1 ORDER BY doc_id
         """,
         "value_moments": r"""
             WITH e AS (SELECT event_type,

@@ -398,6 +398,43 @@ class TestRayOps:
         assert r4["n_kept"] == 1
         assert r4["clean_text"] == "This line is okay here."
 
+    def test_upsert_merge_latest_wins(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import upsert_merge
+
+        base = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "version": pa.array([1, 1, 5], pa.int64()),
+                    "side": pa.array([0, 0, 0], pa.int64()),
+                    "text": ["a1", "b1", "c5"],
+                }
+            )
+        ).repartition(2)
+        updates = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([2, 3, 4], pa.int64()),
+                    "version": pa.array([2, 5, 1], pa.int64()),
+                    "side": pa.array([1, 1, 1], pa.int64()),
+                    "text": ["b2", "c5u", "d1"],
+                }
+            )
+        ).repartition(2)
+        out = (
+            upsert_merge(base, updates)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 1 untouched; doc 2 updated; doc 3 version TIE -> update
+        # side wins; doc 4 inserted
+        assert out["doc_id"].tolist() == [1, 2, 3, 4]
+        assert out["text"].tolist() == ["a1", "b2", "c5u", "d1"]
+        assert out["version"].tolist() == [1, 2, 5, 1]
+
     def test_trending_terms_burst_and_baseline(self, ray_session):
         import ray.data
 

@@ -329,3 +329,43 @@ def order_rollup(orders_ds):
         )
         .sort(["o_orderpriority", "o_orderstatus"])
     )
+
+
+def upsert_merge(
+    base,
+    updates,
+    key: str = "doc_id",
+    version_col: str = "version",
+    side_col: str = "side",
+):
+    """CDC upsert (SCD type-1 merge): union a base snapshot with an
+    update stream and keep, per key, the row with the highest
+    ``(version, side)`` — the latest-wins compaction every lakehouse
+    MERGE INTO performs. ``side`` disambiguates equal versions
+    (updates = 1 beat base = 0). Inputs must share a schema; returns
+    the merged snapshot with all payload columns intact.
+
+    Scale shape: per-batch keep-latest partials (one lexsort over the
+    batch, one surviving row per key per block — the same pre-combine
+    that caps every dedup shuffle) feed ONE hash exchange, and the
+    per-key group pick is the identical vectorized lexsort. Shuffle
+    volume is bounded by distinct keys x blocks, not input rows.
+    """
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        k = np.asarray(batch[key], dtype=np.int64)
+        v = np.asarray(batch[version_col], dtype=np.int64)
+        s = np.asarray(batch[side_col], dtype=np.int64)
+        order = np.lexsort((s, v, k))  # ascending; last per key wins
+        k_s = k[order]
+        last = np.ones(len(k_s), bool)
+        last[:-1] = k_s[1:] != k_s[:-1]
+        return batch.take(pa.array(order[last]))
+
+    unioned = base.union(updates)
+    partial = unioned.map_batches(keep_latest, batch_format="pyarrow")
+    return partial.groupby(key).map_groups(
+        keep_latest, batch_format="pyarrow"
+    )
