@@ -1668,6 +1668,36 @@ def _q_pagerank2(sf_dir: str):
     return pagerank(edges, iterations=2, num_partitions=4).sort("id")
 
 
+def _q_graph_components(sf_dir: str):
+    """Connected components via alternating large-star / small-star
+    contraction (pipelines/graph.py::connected_components — Kiveris et
+    al. 2014's O(log n)-round MapReduce algorithm) over a deterministic
+    chain-and-bridge graph on document ids: chain edges (i, i+1) inside
+    16-id runs plus bridge edges (i, i mod 101) at every 23rd id stitch
+    the runs into multi-chain components, so the answer exercises both
+    the star contraction and the final exact min-label pass. Oracle: a
+    recursive-CTE min-label closure over the identical edge list."""
+    import numpy as np
+
+    from texoo_ray.pipelines.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    maxid = ds.max("doc_id")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        chain = (ids % 16 < 15) & (ids < maxid)
+        bridge = (ids % 23 == 0) & (ids % 101 != ids)
+        src = np.concatenate([ids[chain], ids[bridge]])
+        dst = np.concatenate([ids[chain] + 1, ids[bridge] % 101])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return connected_components(e, num_partitions=4).sort("id")
+
+
 def _q_dsir_score(sf_dir: str):
     """DSIR importance weights for data selection (stages/lm.py::
     dsir_logratio, after Xie et al. 2023): per-document integer-micro
@@ -2372,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "dsir_score": _q_dsir_score,
         "pagerank2": _q_pagerank2,
+        "graph_components": _q_graph_components,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
         "upsert_merge": _q_upsert_merge,
@@ -3774,6 +3805,30 @@ def oracle_sql() -> dict[str, str]:
             pr2 AS (SELECT n.id, (150000 + coalesce(c.s, 0))::BIGINT AS pr
                     FROM nodes n LEFT JOIN c2 c ON c.id = n.id)
             SELECT id, pr FROM pr2 ORDER BY id
+        """,
+        "graph_components": r"""
+            WITH RECURSIVE
+            mx AS (SELECT max(doc_id) AS m FROM documents),
+            base AS (
+                SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+                FROM documents d, mx
+                WHERE d.doc_id % 16 < 15 AND d.doc_id < mx.m
+                UNION ALL
+                SELECT d.doc_id AS src, d.doc_id % 101 AS dst
+                FROM documents d
+                WHERE d.doc_id % 23 = 0 AND d.doc_id % 101 <> d.doc_id
+            ),
+            sym AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+            nodes AS (SELECT DISTINCT src AS id FROM sym),
+            walk(id, lab) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT s.dst, w.lab
+                FROM walk w JOIN sym s ON s.src = w.id
+                WHERE w.lab < s.dst
+            )
+            SELECT id, min(lab)::BIGINT AS component
+            FROM walk GROUP BY id ORDER BY id
         """,
         "dsir_score": r"""
             WITH docs AS (SELECT doc_id, (source = 'src0') AS tgt,

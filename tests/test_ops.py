@@ -604,6 +604,77 @@ class TestRayOps:
         out = pagerank(ray.data.from_arrow(edges)).to_pandas()
         assert len(out) == 0
 
+    @staticmethod
+    def _cc_brute(pairs):
+        nodes = sorted({x for e in pairs for x in e})
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in pairs:
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(mem) for mem in comp.values() for n in mem}
+
+    def test_connected_components_random_vs_union_find(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.graph import connected_components
+
+        rng = np.random.RandomState(11)
+        for n in (6, 40, 250):
+            pairs = [(i, i + 1) for i in range(n - 1) if rng.rand() < 0.6]
+            pairs += [
+                (int(rng.randint(n)), int(rng.randint(n))) for _ in range(n // 4)
+            ]
+            pairs.append((0, 0))  # self-loop tolerated
+            exp = self._cc_brute(pairs)
+            edges = pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+            out = (
+                connected_components(
+                    ray.data.from_arrow(edges).repartition(4), num_partitions=4
+                )
+                .to_pandas()
+                .sort_values("id")
+            )
+            assert dict(zip(out["id"], out["component"])) == exp
+
+    def test_connected_components_long_chain_logarithmic(self, ray_session):
+        """A 300-hop chain: plain min-label propagation needs 300 rounds;
+        the alternating star contraction collapses it inside the 20-round
+        default, so a correct answer here evidences the O(log n) path."""
+        import ray.data
+
+        from texoo_ray.pipelines.graph import connected_components
+
+        n = 300
+        edges = pa.table(
+            {
+                "src": pa.array(list(range(n - 1)), pa.int64()),
+                "dst": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+        out = (
+            connected_components(ray.data.from_arrow(edges).repartition(3))
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert out["id"].tolist() == list(range(n))
+        assert set(out["component"]) == {0}
+
     def test_vocab_coverage_inversion(self, ray_session):
         import ray.data
 
