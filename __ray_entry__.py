@@ -1727,6 +1727,20 @@ def _q_dsir_score(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Corpus-wide BM25 top-20 for one free-text query (stages/lm.py::
+    bm25_topk — the Okapi scoring the reference's Lucene candidate
+    retrieval applies inside KnowledgeBase.searchCandidates,
+    texoo-entity-recognition/.../KnowledgeBase.java, here as a
+    two-pass streaming operator: one driver-sized stats aggregate,
+    one broadcast-idf scoring pass with per-block top-k). Contributions
+    are integer micros so the DuckDB oracle hash-matches exactly."""
+    from texoo_ray.stages.lm import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "fast hash join order", k=20)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape over lineitem: per-batch partial aggregation into
     integer cents, tiny global groupby."""
@@ -2401,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
         "dsir_score": _q_dsir_score,
+        "bm25_topk": _q_bm25_topk,
         "pagerank2": _q_pagerank2,
         "graph_components": _q_graph_components,
         "data_contract": _q_data_contract,
@@ -3854,6 +3869,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM docs) d
             LEFT JOIN scored s ON s.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "bm25_topk": r"""
+            WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                          FROM documents),
+            words AS (SELECT doc_id, u.w
+                      FROM docs,
+                           LATERAL unnest(regexp_extract_all(t, '[a-z0-9]+')) AS u(w)),
+            stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+                             (SELECT count(*) FROM words)::DOUBLE AS tl),
+            qt AS (SELECT * FROM (VALUES ('fast'), ('hash'), ('join'), ('order')) AS q(w)),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM words GROUP BY doc_id),
+            df AS (SELECT w.w, count(DISTINCT w.doc_id)::DOUBLE AS df
+                   FROM words w JOIN qt USING (w) GROUP BY w.w),
+            tf AS (SELECT w.doc_id, w.w, count(*)::DOUBLE AS tf
+                   FROM words w JOIN qt USING (w) GROUP BY w.doc_id, w.w),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(floor(ln(1 + ((stats.n - df.df) + 0.5) / (df.df + 0.5))
+                                 * ((tf.tf * (1.2 + 1.0))
+                                    / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                        + (0.75 * dl.dl) / (stats.tl / stats.n))))
+                                 * 1e6 + 0.5)::BIGINT)::BIGINT AS bm25_micro
+                FROM tf JOIN df ON df.w = tf.w
+                        JOIN dl ON dl.doc_id = tf.doc_id, stats
+                GROUP BY tf.doc_id)
+            SELECT doc_id, bm25_micro FROM scored
+            ORDER BY bm25_micro DESC, doc_id LIMIT 20
         """,
         "lm_score": """
             WITH tok AS (

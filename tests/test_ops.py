@@ -675,6 +675,53 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_bm25_topk_matches_bruteforce(self, ray_session):
+        import math
+        import re
+
+        import ray.data
+
+        from texoo_ray.stages.lm import bm25_topk
+
+        texts = [
+            "fast hash join beats slow scan",
+            "order by hash hash hash",
+            "slow table scan only",
+            "join join join order fast",
+            "",
+            "unrelated words entirely here",
+        ]
+        query = "fast hash join order"
+        toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+        N = len(texts)
+        TL = sum(len(t) for t in toks)
+        avgdl = TL / N
+        qts = sorted(set(query.split()))
+        expected = {}
+        for i, tt in enumerate(toks):
+            s = 0
+            for w in qts:
+                tf = tt.count(w)
+                if tf == 0:
+                    continue
+                df = sum(w in o for o in toks)
+                idf = math.log(1.0 + ((N - df) + 0.5) / (df + 0.5))
+                part = (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + (0.75 * len(tt)) / avgdl)
+                )
+                s += math.floor(idf * part * 1e6 + 0.5)
+            if s or any(w in tt for w in qts):
+                expected[i] = s
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(3)
+        out = bm25_topk(ds, query, k=3).to_pandas()
+        exp_top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert list(zip(out["doc_id"], out["bm25_micro"])) == exp_top
+        # k larger than the match set returns every matching doc once
+        out_all = bm25_topk(ds, query, k=50).to_pandas()
+        assert sorted(out_all["doc_id"]) == sorted(expected)
+
     def test_vocab_coverage_inversion(self, ray_session):
         import ray.data
 

@@ -484,3 +484,153 @@ def dsir_logratio(
             Sum("dsir_micro", alias_name="dsir_micro"),
         )
     )
+
+
+def bm25_topk(
+    ds,
+    query_text: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-wide BM25 top-k for ONE free-text query (Robertson &
+    Zaragoza 2009, the Okapi BM25 the reference's Lucene candidate
+    retrieval runs under the hood — KnowledgeBase.java's
+    `searchCandidates` BM25 scoring, reference
+    texoo-entity-recognition/.../KnowledgeBase.java:1 semantics made
+    corpus-scale). Returns Dataset[(id_col, bm25_micro)] with exactly
+    min(k, matching docs) rows, ordered (bm25_micro DESC, id ASC).
+
+    Exactness: per-(doc, term) contributions are stabilized to integer
+    micros (floor(x*1e6+0.5)) before the per-document sum, so results
+    are order-independent and bit-equal to the DuckDB oracle; ``idf``
+    uses the Lucene form ln(1 + (N - df + 0.5)/(df + 0.5)) evaluated
+    once per query term.
+
+    Scale shape (two streaming passes, zero corpus shuffle):
+
+    1. stats pass — ONE partial aggregate emits per-batch (term, df)
+       rows for the QUERY terms only plus a sentinel row carrying
+       (doc count, total token count); the groupby output is
+       |query|+1 rows, driver-sized by construction.
+    2. score pass — idf/avgdl broadcast in the task closure (a dict of
+       |query| floats); each batch computes tf/dl with one
+       ``np.unique`` over (doc, term) codes and emits its own top-k,
+       so the final exchange sorts <= k rows per block.
+    """
+    import re
+
+    from ray.data.aggregate import Sum
+
+    q_terms = sorted(set(re.findall(r"[a-z0-9]+", query_text.lower())))
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "bm25_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not q_terms:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    q_index = {w: i for i, w in enumerate(q_terms)}
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        ws, dfs = ["\x00stats"], [np.int64(0)]
+        nd = [np.int64(batch.num_rows)]
+        tl = [np.int64(len(codes))]
+        if len(codes):
+            # df partial: count DISTINCT docs per query term in block
+            hit = np.array([w in q_index for w in dic.to_pylist()], bool)
+            if hit.any():
+                sel = hit[codes]
+                pair = np.unique(
+                    doc_of[sel].astype(np.int64) * np.int64(len(dic))
+                    + codes[sel]
+                )
+                term_codes = (pair % np.int64(len(dic))).astype(np.int64)
+                cnt = np.bincount(term_codes, minlength=len(dic))
+                for code in np.flatnonzero(cnt):
+                    ws.append(dic[int(code)].as_py())
+                    dfs.append(np.int64(cnt[code]))
+                    nd.append(np.int64(0))
+                    tl.append(np.int64(0))
+        return pa.table(
+            {
+                "w": pa.array(ws, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "nd": pa.array(nd, pa.int64()),
+                "tl": pa.array(tl, pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("nd", alias_name="nd"),
+            Sum("tl", alias_name="tl"),
+        )
+        .to_pandas()
+    )
+    N = float(stats["nd"].sum())
+    TL = float(stats["tl"].sum())
+    if N == 0 or TL == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    avgdl = TL / N
+    # idf per query term, Lucene form; same expression order as the oracle
+    idf = np.zeros(len(q_terms), np.float64)
+    for w, df in zip(stats["w"], stats["df"]):
+        i = q_index.get(w)
+        if i is not None and df > 0:
+            idf[i] = math.log(1.0 + ((N - float(df)) + 0.5) / (float(df) + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        if len(codes) == 0:
+            return empty
+        # dic word -> query-term index (or -1)
+        tmap = np.full(len(dic), -1, np.int64)
+        for j, w in enumerate(dic.to_pylist()):
+            tmap[j] = q_index.get(w, -1)
+        term_of = tmap[codes]
+        dl = np.bincount(doc_of, minlength=batch.num_rows).astype(np.float64)
+        sel = term_of >= 0
+        if not sel.any():
+            return empty
+        T = np.int64(len(q_terms))
+        key = doc_of[sel].astype(np.int64) * T + term_of[sel]
+        uniq, tf = np.unique(key, return_counts=True)
+        d_i = (uniq // T).astype(np.int64)
+        t_i = (uniq % T).astype(np.int64)
+        tf = tf.astype(np.float64)
+        # identical expression order to the SQL oracle
+        part = (tf * (k1 + 1.0)) / (
+            tf + k1 * ((1.0 - b) + (b * dl[d_i]) / avgdl)
+        )
+        micro = np.floor(idf[t_i] * part * 1e6 + 0.5).astype(np.int64)
+        n = batch.num_rows
+        sums = np.zeros(n, np.int64)
+        np.add.at(sums, d_i, micro)
+        hit = np.zeros(n, bool)
+        hit[d_i] = True
+        ids = np.asarray(batch[id_col], dtype=np.int64)[hit]
+        sc = sums[hit]
+        keep = min(k, len(sc))
+        # block-local top-k with the global tiebreak (score desc, id asc)
+        order = np.lexsort((ids, -sc))[:keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "bm25_micro": pa.array(sc[order], pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["bm25_micro", id_col], descending=[True, False]).limit(k)
