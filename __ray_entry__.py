@@ -1698,6 +1698,36 @@ def _q_graph_components(sf_dir: str):
     return connected_components(e, num_partitions=4).sort("id")
 
 
+def _q_triangle_count(sf_dir: str):
+    """Per-node triangle counts (pipelines/graph.py::triangle_count —
+    Suri & Vassilvitskii 2011's degree-ordered wedge check, O(m^1.5)
+    wedge volume independent of hub skew) over a deterministic graph on
+    document ids: chain edges (i, i+1), chord edges (i, i+2) when
+    i % 5 >= 3 (these close triangles), and sparse long chords
+    (i, i+7) at i % 11 == 0 (these never close). Oracle: the canonical
+    three-way self-join on the ordered distinct edge set."""
+    import numpy as np
+
+    from texoo_ray.pipelines.graph import triangle_count
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    maxid = ds.max("doc_id")
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        chain = ids < maxid
+        chord = (ids % 5 >= 3) & (ids < maxid - 1)
+        lng = (ids % 11 == 0) & (ids < maxid - 6)
+        src = np.concatenate([ids[chain], ids[chord], ids[lng]])
+        dst = np.concatenate([ids[chain] + 1, ids[chord] + 2, ids[lng] + 7])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return triangle_count(e, num_partitions=4).sort("id")
+
+
 def _q_dsir_score(sf_dir: str):
     """DSIR importance weights for data selection (stages/lm.py::
     dsir_logratio, after Xie et al. 2023): per-document integer-micro
@@ -2418,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "pagerank2": _q_pagerank2,
         "graph_components": _q_graph_components,
+        "triangle_count": _q_triangle_count,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
         "upsert_merge": _q_upsert_merge,
@@ -3844,6 +3875,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, min(lab)::BIGINT AS component
             FROM walk GROUP BY id ORDER BY id
+        """,
+        "triangle_count": r"""
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            base AS (
+                SELECT doc_id AS src, doc_id + 1 AS dst
+                FROM documents, mx WHERE doc_id < m
+                UNION ALL
+                SELECT doc_id, doc_id + 2
+                FROM documents, mx WHERE doc_id % 5 >= 3 AND doc_id < m - 1
+                UNION ALL
+                SELECT doc_id, doc_id + 7
+                FROM documents, mx WHERE doc_id % 11 = 0 AND doc_id < m - 6
+            ),
+            e AS (SELECT DISTINCT least(src, dst) AS lo,
+                                  greatest(src, dst) AS hi
+                  FROM base WHERE src <> dst),
+            tri AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+                    FROM e x
+                    JOIN e y ON y.lo = x.hi
+                    JOIN e z ON z.lo = x.lo AND z.hi = y.hi),
+            cr AS (SELECT a AS id FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+            SELECT id, count(*)::BIGINT AS triangles
+            FROM cr GROUP BY id ORDER BY id
         """,
         "dsir_score": r"""
             WITH docs AS (SELECT doc_id, (source = 'src0') AS tgt,

@@ -675,6 +675,42 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_triangle_count_random_vs_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data
+
+        from texoo_ray.pipelines.graph import triangle_count
+
+        rng = np.random.RandomState(7)
+        for n, p in ((8, 0.5), (30, 0.25), (60, 0.12)):
+            pairs = [
+                (i, j)
+                for i, j in itertools.combinations(range(n), 2)
+                if rng.rand() < p
+            ]
+            # noise: orientation flips, duplicates, self-loops
+            raw = pairs + [(j, i) for i, j in pairs[::3]] + [(2, 2), (0, 0)]
+            adj = {i: set() for i in range(n)}
+            for i, j in pairs:
+                adj[i].add(j)
+                adj[j].add(i)
+            exp = {}
+            for a, b, c in itertools.combinations(range(n), 3):
+                if b in adj[a] and c in adj[a] and c in adj[b]:
+                    for x in (a, b, c):
+                        exp[x] = exp.get(x, 0) + 1
+            edges = pa.table(
+                {
+                    "src": pa.array([e[0] for e in raw], pa.int64()),
+                    "dst": pa.array([e[1] for e in raw], pa.int64()),
+                }
+            )
+            out = triangle_count(
+                ray.data.from_arrow(edges).repartition(4), num_partitions=4
+            ).to_pandas()
+            assert dict(zip(out["id"], out["triangles"])) == exp
+
     def test_bm25_topk_matches_bruteforce(self, ray_session):
         import math
         import re

@@ -368,3 +368,236 @@ def _cluster(nodes, edges):
             batch_format="pyarrow",
         )
     return cluster_from_edges(nodes, edges, id_col="id")
+
+
+def triangle_count(edges, num_partitions: int | None = None):
+    """Per-node triangle counts over an undirected graph given as a
+    directed edge Dataset[(src, dst)] (int64; orientation, parallel
+    edges and self-loops are normalized away). Returns
+    Dataset[(id, triangles)] for every node in >= 1 triangle.
+
+    Algorithm: the degree-ordered wedge-check of Suri & Vassilvitskii
+    2011 ("Counting triangles and the curse of the last reducer", WWW —
+    public paper). Every edge is oriented from its lower-(degree, id)
+    endpoint to its higher one, so each node's out-degree is bounded by
+    O(sqrt(m)) on any graph and total wedge volume by O(m^1.5) — hub
+    nodes never explode a reducer, which is the whole point at 100 TB.
+
+    Stages (every intermediate stays a Dataset):
+      1. canonical edge set — one groupby((lo, hi)) distinct;
+      2. degrees — partial bincount per batch + node-sized groupby sum;
+      3. orientation — two node-table hash joins attach endpoint
+         degrees, a row-local pass picks the (deg, id) order;
+      4. wedges — oriented edges hash-bucket BY SRC (many centers per
+         bucket, cached triu indices per adjacency length — the
+         term_cooccurrence idiom, no per-node group dispatch); each
+         wedge (a, b, apex) is emitted with (a, b) already in
+         orientation order, so the closing edge can only be a -> b;
+      5. match — wedges and oriented edges hash-bucket by the (a, b)
+         pair; per bucket one structured-array searchsorted marks the
+         closed wedges, which credit apex, a and b;
+      6. per-node groupby sum of the credits.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _compact, _join_partitions, _norm
+    from ..stages.text_stats import _triu_cached
+
+    P = num_partitions or _join_partitions()
+
+    lohi_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    deg_schema = pa.schema([("id", pa.int64()), ("d", pa.int64())])
+    orient_schema = pa.schema(
+        [
+            ("bkt", pa.int64()),
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("sd", pa.int64()),  # sort key within the src adjacency
+        ]
+    )
+    pair_schema = pa.schema(
+        [
+            ("bkt", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("apex", pa.int64()),  # -1 marks a closing edge row
+        ]
+    )
+    cnt_schema = pa.schema([("id", pa.int64()), ("triangles", pa.int64())])
+    out_schema = cnt_schema
+
+    def _empty():
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def _bkt(x: np.ndarray) -> np.ndarray:
+        h = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+
+    @_norm(lohi_schema)
+    def canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["src"], dtype=np.int64)
+        d = np.asarray(b["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d), pa.int64()),
+                "hi": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    e = _compact(
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lo", "hi"])
+    )
+    if e is None:
+        return _empty()
+
+    @_norm(deg_schema)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b["lo"], dtype=np.int64)
+        hi = np.asarray(b["hi"], dtype=np.int64)
+        u, c = np.unique(np.concatenate([lo, hi]), return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(u, pa.int64()),
+                "d": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg = _compact(
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    j = e.join(deg, "inner", P, on=("lo",), right_on=("id",))
+    j = _compact(
+        j.map_batches(
+            _norm(pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("dlo", pa.int64())]))(
+                lambda b: pa.table(
+                    {"lo": b["lo"], "hi": b["hi"], "dlo": b["d"]}
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    if j is None:
+        return _empty()
+    j = j.join(deg, "inner", P, on=("hi",), right_on=("id",))
+
+    @_norm(orient_schema)
+    def orient(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b["lo"], dtype=np.int64)
+        hi = np.asarray(b["hi"], dtype=np.int64)
+        dlo = np.asarray(b["dlo"], dtype=np.int64)
+        dhi = np.asarray(b["d"], dtype=np.int64)
+        # src = endpoint with the smaller (degree, id); ids distinct, so
+        # the tie-break is total
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        sd = np.where(lo_first, dhi, dlo)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(src), pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "sd": pa.array(sd, pa.int64()),
+            }
+        )
+
+    oriented = _compact(j.map_batches(orient, batch_format="pyarrow"))
+    if oriented is None:
+        return _empty()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        src = np.asarray(g["src"], dtype=np.int64)
+        dst = np.asarray(g["dst"], dtype=np.int64)
+        sd = np.asarray(g["sd"], dtype=np.int64)
+        # adjacency ordered by (dst degree, dst id) inside each src run,
+        # so pair (i, j) with i < j is already orientation-ordered
+        order = np.lexsort((dst, sd, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        aa, bb, ap = [], [], []
+        for s0, s1 in zip(starts, ends):
+            L = s1 - s0
+            if L < 2:
+                continue
+            i, jx = _triu_cached(L)
+            aa.append(dst[s0 + i])
+            bb.append(dst[s0 + jx])
+            ap.append(np.full(len(i), src[s0], np.int64))
+        if not aa:
+            return pair_schema.empty_table()
+        a = np.concatenate(aa)
+        bcol = np.concatenate(bb)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(a * np.int64(31) + bcol), pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(bcol, pa.int64()),
+                "apex": pa.array(np.concatenate(ap), pa.int64()),
+            }
+        )
+
+    wedge_ds = oriented.groupby("bkt").map_groups(
+        wedges, batch_format="pyarrow"
+    )
+
+    @_norm(pair_schema)
+    def edge_pairs(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["src"], dtype=np.int64)
+        dst = np.asarray(b["dst"], dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(src * np.int64(31) + dst), pa.int64()),
+                "a": pa.array(src, pa.int64()),
+                "b": pa.array(dst, pa.int64()),
+                "apex": pa.array(np.full(len(src), -1, np.int64), pa.int64()),
+            }
+        )
+
+    both = wedge_ds.union(
+        oriented.map_batches(edge_pairs, batch_format="pyarrow")
+    )
+
+    def close(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["a"], dtype=np.int64)
+        b = np.asarray(g["b"], dtype=np.int64)
+        apex = np.asarray(g["apex"], dtype=np.int64)
+        is_edge = apex == -1
+        if not is_edge.any() or is_edge.all():
+            return cnt_schema.empty_table()
+        ek = np.stack([a[is_edge], b[is_edge]], axis=1)
+        ev = np.sort(ek.view([("a", "<i8"), ("b", "<i8")]).ravel())
+        wk = np.stack([a[~is_edge], b[~is_edge]], axis=1)
+        wv = wk.view([("a", "<i8"), ("b", "<i8")]).ravel()
+        pos = np.searchsorted(ev, wv)
+        pos[pos >= len(ev)] = len(ev) - 1
+        hit = ev[pos] == wv
+        if not hit.any():
+            return cnt_schema.empty_table()
+        ids = np.concatenate(
+            [a[~is_edge][hit], b[~is_edge][hit], apex[~is_edge][hit]]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(u, pa.int64()),
+                "triangles": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("bkt")
+        .map_groups(close, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("triangles", alias_name="triangles"))
+    )
