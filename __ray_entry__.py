@@ -1698,6 +1698,19 @@ def _q_graph_components(sf_dir: str):
     return connected_components(e, num_partitions=4).sort("id")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Token-count-weighted sampling without replacement (pipelines/
+    curation.py::weighted_sample — Efraimidis-Spirakis A-ES priorities
+    ln(u)/w over content-keyed uniforms): one stateless map emits
+    per-block top-k priorities, one <=k-rows-per-block exchange picks
+    the global top 100. Oracle: the identical ln/floor micro algebra
+    ranked with ORDER BY ... LIMIT in SQL."""
+    from texoo_ray.pipelines.curation import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return weighted_sample(ds, k=100)
+
+
 def _q_triangle_count(sf_dir: str):
     """Per-node triangle counts (pipelines/graph.py::triangle_count —
     Suri & Vassilvitskii 2011's degree-ordered wedge check, O(m^1.5)
@@ -2449,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank2": _q_pagerank2,
         "graph_components": _q_graph_components,
         "triangle_count": _q_triangle_count,
+        "weighted_sample": _q_weighted_sample,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
         "upsert_merge": _q_upsert_merge,
@@ -3900,6 +3914,20 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT c FROM tri)
             SELECT id, count(*)::BIGINT AS triangles
             FROM cr GROUP BY id ORDER BY id
+        """,
+        "weighted_sample": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(coalesce(text, '')),
+                                              '[a-z0-9]+'))::DOUBLE AS w,
+                       ('0x' || substring(md5(coalesce(text, '')), 1, 8))
+                           ::UBIGINT::BIGINT AS h
+                FROM documents)
+            SELECT doc_id,
+                   floor(ln((h::DOUBLE + 1.0) / 4294967296.0) / w * 1e6 + 0.5)
+                       ::BIGINT AS pri_micro
+            FROM d WHERE w > 0
+            ORDER BY pri_micro DESC, doc_id LIMIT 100
         """,
         "dsir_score": r"""
             WITH docs AS (SELECT doc_id, (source = 'src0') AS tgt,

@@ -675,6 +675,36 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_weighted_sample_matches_scalar_recompute(self, ray_session):
+        import hashlib
+        import math
+        import re
+
+        import ray.data
+
+        from texoo_ray.pipelines.curation import weighted_sample
+
+        texts = [f"doc {i} " + "word " * (i % 7) for i in range(40)]
+        texts[5] = ""  # zero tokens after alnum split? no: "" -> 0 words
+        texts[6] = "!!! ???"  # punctuation only -> zero tokens, excluded
+        exp = []
+        for i, t in enumerate(texts):
+            w = len(re.findall(r"[a-z0-9]+", t.lower()))
+            if w == 0:
+                continue
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+            pri = math.floor(
+                math.log((h + 1.0) / 4294967296.0) / w * 1e6 + 0.5
+            )
+            exp.append((i, pri))
+        exp.sort(key=lambda kv: (-kv[1], kv[0]))
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        for parts in (1, 5):
+            out = weighted_sample(ds.repartition(parts), k=10).to_pandas()
+            assert list(zip(out["doc_id"], out["pri_micro"])) == exp[:10]
+
     def test_triangle_count_random_vs_bruteforce(self, ray_session):
         import itertools
 

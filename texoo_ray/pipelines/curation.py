@@ -596,3 +596,69 @@ def quantile_trim(
         ).filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Weighted sampling WITHOUT replacement, weight = document token
+    count: the distributed one-pass A-ES scheme of Efraimidis &
+    Spirakis 2006 ("Weighted random sampling with a reservoir", IPL —
+    public paper). Each document draws priority ``ln(u) / w`` (u a
+    content-keyed uniform, w its alnum token count) and the global
+    top-k priorities ARE the weighted sample — so the whole operation
+    is one stateless map plus a <= k-rows-per-block top-k exchange,
+    with no RNG state, no sequential reservoir, no coordination.
+
+    Determinism/oracle parity: u = (md5_h32(text) + 1) / 2^32 — md5 is
+    pinned by the other sampling oracles, (h+1) and the 2^-32 scale are
+    exact in doubles, and ln runs through the same libm as DuckDB — so
+    ``pri_micro = floor(ln(u)/w * 1e6 + 0.5)`` is bit-equal across
+    engines (ties break on id). Zero-token documents draw nothing.
+
+    Reference parity: the per-record sampling surface of the reference
+    is unweighted (Sampler shapes over datasets); length-weighted
+    selection is the LLM-curation extension (sampling proportional to
+    token mass keeps the TOKEN budget, not the document count,
+    representative).
+    """
+    import math
+
+    from ..stages.text_stats import _doc_word_codes
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("pri_micro", pa.int64())])
+
+    def pri(batch: pa.Table) -> pa.Table:
+        doc_of, _, _ = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        w = np.bincount(doc_of, minlength=batch.num_rows).astype(np.float64)
+        h32 = _md5_h32(batch[text_col])
+        sel = w > 0
+        if not sel.any():
+            return out_schema.empty_table()
+        # scalar math.log per DISTINCT draw — numpy's SIMD log can differ
+        # from libm by 1 ulp, which would break the floor() oracle parity
+        hu, inv = np.unique(h32[sel], return_inverse=True)
+        lnu = np.array(
+            [math.log((float(h) + 1.0) / 4294967296.0) for h in hu],
+            np.float64,
+        )
+        pri_micro = np.floor(
+            lnu[inv] / w[sel] * 1e6 + 0.5
+        ).astype(np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)[sel]
+        keep = min(k, len(ids))
+        order = np.lexsort((ids, -pri_micro))[:keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "pri_micro": pa.array(pri_micro[order], pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(pri, batch_format="pyarrow")
+    return partial.sort(["pri_micro", id_col], descending=[True, False]).limit(k)
