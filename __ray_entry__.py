@@ -1246,6 +1246,28 @@ def _q_dedup_incremental(sf_dir: str):
     return incremental_dedup(ds, ref).sort("doc_id")
 
 
+def _q_dedup_bloom(sf_dir: str):
+    """Bloom-prefiltered cross-snapshot dedup (stages/dedup.py::
+    incremental_dedup_bloom): the prior snapshot (planted: doc_id % 3
+    == 1) compresses into a mergeable bit-filter built shuffle-free,
+    broadcasts once, and rules most new-crawl rows out BEFORE the
+    exact anti-join — only bloom-maybes enter the exchange, so shuffle
+    volume is |matches| + fp sliver instead of the corpus. No false
+    negatives, so the oracle is the same exact NOT EXISTS."""
+    from texoo_ray.stages.dedup import incremental_dedup_bloom
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(ids % 3 == 1, pa.bool_()))
+
+    ref = ds.map_batches(snapshot, batch_format="pyarrow")
+    return incremental_dedup_bloom(ds, ref, m_bits=1 << 20).sort("doc_id")
+
+
 def _q_embedding_gram(sf_dir: str):
     """EXACT corpus Gram matrix X^T X (stages/knn.py::embedding_gram):
     int64-quantized per-batch integer matmul partials summed up a
@@ -2502,6 +2524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": _q_token_budget,
         "quantile_trim": _q_quantile_trim,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_bloom": _q_dedup_bloom,
         "embedding_gram": _q_embedding_gram,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "conv_integrity": _q_conv_integrity,
@@ -3260,6 +3283,16 @@ def oracle_sql() -> dict[str, str]:
                      FROM d)
             SELECT doc_id, n_chars FROM d, cuts
             WHERE n_chars BETWEEN lo AND hi
+            ORDER BY doc_id
+        """,
+        "dedup_bloom": r"""
+            WITH cand AS (SELECT md5(coalesce(text, '')) AS content_h, doc_id, source
+                          FROM documents),
+            ref AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+                    FROM documents WHERE doc_id % 3 = 1)
+            SELECT content_h, doc_id, source
+            FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = cand.content_h)
             ORDER BY doc_id
         """,
         "dedup_incremental": r"""

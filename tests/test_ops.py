@@ -675,6 +675,29 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_bloom_antijoin_equals_exact(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import incremental_dedup_bloom
+
+        texts = [f"text {i % 17}" for i in range(60)]
+        rows = [
+            {"doc_id": i, "source": f"s{i % 3}", "text": t}
+            for i, t in enumerate(texts)
+        ]
+        ds = ray.data.from_items(rows).repartition(4)
+        ref = ray.data.from_items(
+            [r for r in rows if r["doc_id"] % 4 == 0]
+        ).repartition(2)
+        ref_texts = {r["text"] for r in rows if r["doc_id"] % 4 == 0}
+        exp = sorted(r["doc_id"] for r in rows if r["text"] not in ref_texts)
+        # tiny filter (m_bits=64) forces false positives -> the exact
+        # verify path must still produce the exact anti-join answer
+        for m_bits in (64, 1 << 16):
+            out = incremental_dedup_bloom(ds, ref, m_bits=m_bits).to_pandas()
+            assert sorted(out["doc_id"]) == exp
+            assert set(out.columns) == {"content_h", "doc_id", "source"}
+
     def test_weighted_sample_matches_scalar_recompute(self, ray_session):
         import hashlib
         import math

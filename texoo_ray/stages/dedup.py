@@ -1567,3 +1567,136 @@ def incremental_dedup(
     return anti_join(
         left, right, "content_h", ["content_h", id_col, *keep_cols]
     )
+
+
+def _md5_h1h2(texts):
+    """Per-row (hex md5, h1, h2) for bloom double-hashing; md5 runs once
+    per batch-DISTINCT text. h2 is forced odd so the probe sequence
+    h1 + i*h2 walks distinct slots of any power-of-two table."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    enc = pc.fill_null(texts, "").dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    dic = enc.dictionary.to_pylist()
+    hexes = np.empty(len(dic), object)
+    h1 = np.empty(len(dic), np.uint64)
+    h2 = np.empty(len(dic), np.uint64)
+    for i, w in enumerate(dic):
+        d = hashlib.md5(w.encode("utf-8")).digest()
+        hexes[i] = d.hex()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:16], "big") | 1
+    return hexes[codes], h1[codes], h2[codes]
+
+
+def _bloom_positions(h1, h2, m_bits: int, n_hashes: int):
+    """(byte_index, bit_mask) arrays, shape (n_hashes, len(h1))."""
+    idx = (
+        h1[None, :]
+        + np.arange(n_hashes, dtype=np.uint64)[:, None] * h2[None, :]
+    ) & np.uint64(m_bits - 1)
+    return (idx >> np.uint64(3)).astype(np.int64), (
+        np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+    )
+
+
+def incremental_dedup_bloom(
+    ds,
+    ref_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = ("source",),
+    m_bits: int = 1 << 23,
+    n_hashes: int = 4,
+):
+    """:func:`incremental_dedup` semantics (keep rows of ``ds`` whose
+    content hash does not occur in ``ref_ds``) with a BLOOM-FILTER
+    pre-pass, the shape that wins at 100 TB: the prior snapshot's keys
+    compress into an ``m_bits``-bit filter built by a shuffle-free
+    mergeable aggregate (Bloom 1970; the "join filter" every warehouse
+    pushes below a big-big join), the filter broadcasts ONCE via
+    ``ray.put``, and only the rows the filter cannot rule out —
+    true matches plus the ~(1 - e^{-kn/m})^k false-positive sliver —
+    enter the exact anti-join exchange. Blooms have NO false negatives,
+    so the output is bit-identical to the exact operator (same oracle),
+    while the shuffle volume drops from |new crawl| to |matches| + eps.
+
+    Size ``m_bits`` at ~10 bits per prior-snapshot key (1 GB of filter
+    covers ~8e8 keys at fpr ~1%%); the filter is the only driver-sized
+    state and merges associatively, so the build tree-reduces.
+    """
+    import ray as _ray
+
+    from ..pipelines.joins import anti_join
+
+    m_bytes = m_bits >> 3
+
+    hash_schema_cols = ["content_h", id_col, *keep_cols]
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hexes, _, _ = _md5_h1h2(batch[text_col])
+        cols = {"content_h": pa.array(hexes, pa.string())}
+        for c in (id_col, *keep_cols):
+            if c in batch.column_names:
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+    # --- build the filter over the prior snapshot (one aggregate pass)
+    from ray.data.aggregate import AggregateFn
+
+    def acc(state: np.ndarray, block: pa.Table) -> np.ndarray:
+        _, h1, h2 = _md5_h1h2(block[text_col])
+        if len(h1):
+            byte, mask = _bloom_positions(h1, h2, m_bits, n_hashes)
+            np.bitwise_or.at(state, byte.ravel(), mask.ravel())
+        return state
+
+    bloom = ref_ds.select_columns([text_col]).aggregate(
+        AggregateFn(
+            init=lambda _: np.zeros(m_bytes, np.uint8),
+            merge=np.bitwise_or,
+            accumulate_block=acc,
+            finalize=lambda s: s,
+            name="bloom",
+        )
+    )["bloom"]
+    bloom_ref = _ray.put(bloom)
+
+    class Probe:
+        """keep_maybe=False emits rows the filter PROVES absent (the
+        definite keeps); True emits the candidates needing exact check."""
+
+        def __init__(self, keep_maybe: bool):
+            self.bloom = _ray.get(bloom_ref)
+            self.keep_maybe = keep_maybe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hexes, h1, h2 = _md5_h1h2(batch[text_col])
+            if len(h1):
+                byte, mask = _bloom_positions(h1, h2, m_bits, n_hashes)
+                maybe = np.logical_and.reduce(
+                    (self.bloom[byte] & mask) != 0, axis=0
+                )
+            else:
+                maybe = np.zeros(0, bool)
+            sel = maybe if self.keep_maybe else ~maybe
+            cols = {"content_h": pa.array(hexes[sel], pa.string())}
+            for c in (id_col, *keep_cols):
+                cols[c] = batch[c].filter(pa.array(sel, pa.bool_()))
+            return pa.table(cols)
+
+    definite = ds.map_batches(
+        Probe, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"keep_maybe": False},
+    )
+    maybes = ds.map_batches(
+        Probe, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"keep_maybe": True},
+    )
+    verified = anti_join(
+        maybes,
+        ref_ds.map_batches(add_hash, batch_format="pyarrow"),
+        "content_h",
+        hash_schema_cols,
+    )
+    return definite.union(verified)
