@@ -1720,6 +1720,18 @@ def _q_graph_components(sf_dir: str):
     return connected_components(e, num_partitions=4).sort("id")
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-document Shannon character entropy (stages/text_stats.py::
+    char_entropy — the compression-ratio quality proxy): row-local,
+    zero shuffle, one codepoint histogram per batch-distinct text.
+    Oracle: the identical cnt*ln(L/cnt) floor-micro algebra over
+    string_split(text, '') in SQL."""
+    from texoo_ray.stages.text_stats import char_entropy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(char_entropy, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Token-count-weighted sampling without replacement (pipelines/
     curation.py::weighted_sample — Efraimidis-Spirakis A-ES priorities
@@ -2485,6 +2497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "triangle_count": _q_triangle_count,
         "weighted_sample": _q_weighted_sample,
+        "char_entropy": _q_char_entropy,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
         "upsert_merge": _q_upsert_merge,
@@ -3947,6 +3960,27 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT c FROM tri)
             SELECT id, count(*)::BIGINT AS triangles
             FROM cr GROUP BY id ORDER BY id
+        """,
+        "char_entropy": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            chars AS (SELECT doc_id, u.c
+                      FROM d, LATERAL unnest(string_split(t, '')) AS u(c)),
+            lens AS (SELECT doc_id, count(*)::BIGINT AS L
+                     FROM chars GROUP BY doc_id),
+            cnts AS (SELECT doc_id, c, count(*)::BIGINT AS cnt
+                     FROM chars GROUP BY doc_id, c),
+            ent AS (SELECT cn.doc_id,
+                           sum(floor(cn.cnt::DOUBLE
+                                     * ln(l.L::DOUBLE / cn.cnt::DOUBLE)
+                                     * 1e6 + 0.5)::BIGINT)::BIGINT AS ent_micro
+                    FROM cnts cn JOIN lens l ON l.doc_id = cn.doc_id
+                    GROUP BY cn.doc_id)
+            SELECT d.doc_id, coalesce(l.L, 0)::BIGINT AS n_chars,
+                   coalesce(e.ent_micro, 0)::BIGINT AS ent_micro
+            FROM d
+            LEFT JOIN lens l ON l.doc_id = d.doc_id
+            LEFT JOIN ent e ON e.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "weighted_sample": r"""
             WITH d AS (

@@ -675,6 +675,23 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_char_entropy_known_values(self):
+        import math
+
+        from texoo_ray.stages.text_stats import char_entropy
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["", "aaaa", "aabb", "abcd"], pa.string()),
+            }
+        )
+        out = char_entropy(batch).to_pydict()
+        assert out["n_chars"] == [0, 4, 4, 4]
+        e2 = 2 * math.floor(2 * math.log(2.0) * 1e6 + 0.5)
+        e4 = 4 * math.floor(1 * math.log(4.0) * 1e6 + 0.5)
+        assert out["ent_micro"] == [0, 0, e2, e4]
+
     def test_bloom_antijoin_equals_exact(self, ray_session):
         import ray.data
 

@@ -1061,3 +1061,58 @@ def trending_terms(
         )
 
     return joined.map_batches(burst, batch_format="pyarrow")
+
+
+def char_entropy(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document Shannon character entropy — the compression-ratio
+    proxy quality filters use to flag machine-generated or degenerate
+    text (low entropy = repeated boilerplate, high = encrypted/binary
+    junk; the C4/Gopher-family heuristics' information-theoretic
+    sibling). Returns (id_col, n_chars, ent_micro) where
+
+        ent_micro = sum over distinct codepoints c of
+                    floor(cnt_c * ln(n_chars / cnt_c) * 1e6 + 0.5)
+
+    i.e. n_chars * H(doc) in natural-log micro units, an
+    order-independent integer (exact oracle parity; divide by n_chars
+    for bits-per-char after a / ln 2). Row-local, zero shuffle; the
+    per-text codepoint histogram is one np.unique over a utf-32 view,
+    run once per batch-DISTINCT text; ln runs once per distinct
+    (cnt, len) pair per batch. Codepoint semantics match DuckDB's
+    string_split(t, '') on NFC text (combining sequences would split
+    differently — normalize first, see normalize_unicode)."""
+    import math
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    enc = pc.fill_null(texts, "").dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    dic = enc.dictionary.to_pylist()
+    n_chars = np.empty(len(dic), np.int64)
+    ent = np.empty(len(dic), np.int64)
+    ln_cache: dict = {}
+    for i, t in enumerate(dic):
+        cp = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+        L = len(cp)
+        n_chars[i] = L
+        if L == 0:
+            ent[i] = 0
+            continue
+        _, cnt = np.unique(cp, return_counts=True)
+        s = 0
+        for c in np.unique(cnt):
+            v = ln_cache.get((int(c), L))
+            if v is None:
+                v = math.log(float(L) / float(c))
+                ln_cache[(int(c), L)] = v
+            k = int(np.sum(cnt == c))
+            s += k * math.floor(float(c) * v * 1e6 + 0.5)
+        ent[i] = s
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars": pa.array(n_chars[codes], pa.int64()),
+            "ent_micro": pa.array(ent[codes], pa.int64()),
+        }
+    )
