@@ -1720,6 +1720,26 @@ def _q_graph_components(sf_dir: str):
     return connected_components(e, num_partitions=4).sort("id")
 
 
+def _q_profile_table(sf_dir: str):
+    """Column-level profiling of the orders table (pipelines/
+    relational.py::profile_columns): per-column row/null counts and
+    native-typed min/max from zero-shuffle per-block partials; exact
+    distinct counts from ONE exchange bounded by distinct-value volume.
+    Oracle: per-column UNION ALL of count/count(DISTINCT)/min/max."""
+    from texoo_ray.pipelines.relational import profile_columns
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return profile_columns(
+        ds,
+        int_cols=["o_orderkey", "o_custkey"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    ).sort("column")
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-document Shannon character entropy (stages/text_stats.py::
     char_entropy — the compression-ratio quality proxy): row-local,
@@ -2498,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "weighted_sample": _q_weighted_sample,
         "char_entropy": _q_char_entropy,
+        "profile_table": _q_profile_table,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
         "upsert_merge": _q_upsert_merge,
@@ -3960,6 +3981,34 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT c FROM tri)
             SELECT id, count(*)::BIGINT AS triangles
             FROM cr GROUP BY id ORDER BY id
+        """,
+        "profile_table": r"""
+            WITH p AS (
+                SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+                       (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+                       count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                       coalesce(min(o_orderkey)::VARCHAR, '') AS min_v,
+                       coalesce(max(o_orderkey)::VARCHAR, '') AS max_v
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                       count(DISTINCT o_custkey),
+                       coalesce(min(o_custkey)::VARCHAR, ''),
+                       coalesce(max(o_custkey)::VARCHAR, '')
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus),
+                       coalesce(min(o_orderstatus), ''),
+                       coalesce(max(o_orderstatus), '')
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority),
+                       coalesce(min(o_orderpriority), ''),
+                       coalesce(max(o_orderpriority), '')
+                FROM orders)
+            SELECT * FROM p ORDER BY "column"
         """,
         "char_entropy": r"""
             WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),

@@ -675,6 +675,37 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_profile_columns_nulls_and_numeric_minmax(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import profile_columns
+
+        # 9 vs 10 catches lexicographic min/max bugs across blocks
+        rows = [
+            {"k": 9, "s": "b"},
+            {"k": 10, "s": None},
+            {"k": None, "s": "a"},
+            {"k": 100, "s": "a"},
+        ]
+        out = (
+            profile_columns(
+                ray.data.from_items(rows).repartition(3),
+                int_cols=["k"],
+                str_cols=["s"],
+            )
+            .to_pandas()
+            .set_index("column")
+        )
+        assert out.loc["k", "n_rows"] == 4
+        assert out.loc["k", "n_nulls"] == 1
+        assert out.loc["k", "n_distinct"] == 3
+        assert out.loc["k", "min_v"] == "9"
+        assert out.loc["k", "max_v"] == "100"
+        assert out.loc["s", "n_nulls"] == 1
+        assert out.loc["s", "n_distinct"] == 2
+        assert out.loc["s", "min_v"] == "a"
+        assert out.loc["s", "max_v"] == "b"
+
     def test_char_entropy_known_values(self):
         import math
 

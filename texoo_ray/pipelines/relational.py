@@ -369,3 +369,170 @@ def upsert_merge(
     return partial.groupby(key).map_groups(
         keep_latest, batch_format="pyarrow"
     )
+
+
+def profile_columns(ds, int_cols: list, str_cols: list):
+    """Column-level data profiling — the schema-drift / data-quality
+    summary every ingest pipeline runs before training jobs trust a new
+    drop: one row per profiled column with
+
+        (column, n_rows, n_nulls, n_distinct, min_v, max_v)
+
+    where min/max are stringified for output-schema uniformity but
+    aggregate in their NATIVE type (int64 minima/maxima per batch merge
+    numerically; only the final row formats them), so "10" < "9"
+    lexicographic traps can't corrupt the profile.
+
+    Scale shape: counts/min/max come from per-batch PARTIALS (one row
+    per column per block — zero data shuffle, a mergeable groupby over
+    |columns| x |blocks| rows). Exact distinct counts are the only part
+    that must see every value once: per-batch DISTINCT (column, value)
+    rows feed one hash exchange bounded by the DISTINCT-value volume,
+    never the row count (the KMV sketch in stages/sketches.py is the
+    approximate alternative when even that is too wide).
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cols = [*int_cols, *str_cols]
+    int_set = set(int_cols)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = {
+            "column": [], "n_rows": [], "n_nulls": [],
+            "min_i": [], "max_i": [], "min_s": [], "max_s": [],
+        }
+        for c in cols:
+            arr = batch[c]
+            mm = pc.min_max(arr)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            rows["column"].append(c)
+            rows["n_rows"].append(batch.num_rows)
+            rows["n_nulls"].append(arr.null_count)
+            if c in int_set:
+                rows["min_i"].append(mn)
+                rows["max_i"].append(mx)
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            else:
+                rows["min_i"].append(None)
+                rows["max_i"].append(None)
+                rows["min_s"].append(mn)
+                rows["max_s"].append(mx)
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+                "min_i": pa.array(rows["min_i"], pa.int64()),
+                "max_i": pa.array(rows["max_i"], pa.int64()),
+                "min_s": pa.array(rows["min_s"], pa.string()),
+                "max_s": pa.array(rows["max_s"], pa.string()),
+            }
+        )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cs, vs = [], []
+        for c in cols:
+            u = pc.unique(pc.cast(batch[c].combine_chunks(), pa.string()))
+            u = u.drop_null()
+            cs.extend([c] * len(u))
+            vs.append(u if isinstance(u, pa.Array) else u.combine_chunks())
+        return pa.table(
+            {
+                "column": pa.array(cs, pa.string()),
+                "v": pa.concat_arrays(vs)
+                if vs
+                else pa.array([], pa.string()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_i", alias_name="min_i"),
+            Max("max_i", alias_name="max_i"),
+            Min("min_s", alias_name="min_s"),
+            Max("max_s", alias_name="max_s"),
+        )
+    )
+    nd = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["column", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("column")
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = batch["column"].to_pylist()
+        mi = batch["min_i"].to_pylist()
+        ma = batch["max_i"].to_pylist()
+        ms = batch["min_s"].to_pylist()
+        mas = batch["max_s"].to_pylist()
+
+        def fmt(c, iv, sv):
+            if c in int_set:
+                return "" if iv is None else str(int(iv))
+            return "" if sv is None else sv
+
+        return pa.table(
+            {
+                "column": batch["column"],
+                "n_rows": batch["n_rows"],
+                "n_nulls": batch["n_nulls"],
+                "n_distinct": batch["n_distinct"],
+                "min_v": pa.array(
+                    [fmt(c, i, s) for c, i, s in zip(names, mi, ms)],
+                    pa.string(),
+                ),
+                "max_v": pa.array(
+                    [fmt(c, i, s) for c, i, s in zip(names, ma, mas)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    # _compact: Ray's hash aggregate/join emits schema-less empty blocks
+    # for empty partitions (see stages/dedup.py); with only |columns|
+    # distinct keys most join partitions are empty
+    from ..stages.dedup import _compact
+
+    # Min/Max over an all-null group can come back null-TYPED, which the
+    # downstream join rejects; pin the physical types first
+    def retype(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": batch["column"].cast(pa.string()),
+                "n_rows": batch["n_rows"].cast(pa.int64()),
+                "n_nulls": batch["n_nulls"].cast(pa.int64()),
+                "min_i": batch["min_i"].cast(pa.int64()),
+                "max_i": batch["max_i"].cast(pa.int64()),
+                "min_s": batch["min_s"].cast(pa.string()),
+                "max_s": batch["max_s"].cast(pa.string()),
+            }
+        )
+
+    stats = stats.map_batches(retype, batch_format="pyarrow")
+    stats = _compact(stats)
+    nd = _compact(nd)
+    if stats is None or nd is None:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("column", pa.string()),
+                    ("n_rows", pa.int64()),
+                    ("n_nulls", pa.int64()),
+                    ("n_distinct", pa.int64()),
+                    ("min_v", pa.string()),
+                    ("max_v", pa.string()),
+                ]
+            ).empty_table()
+        )
+    return stats.join(nd, "inner", 4, on=("column",)).map_batches(
+        finish, batch_format="pyarrow"
+    )
