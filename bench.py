@@ -156,6 +156,14 @@ def run_queries() -> dict:
         "vocab_coverage",
         "data_contract",
         "value_moments",
+        # round-3 graph / retrieval / sampling additions
+        "graph_components",
+        "triangle_count",
+        "bm25_topk",
+        "weighted_sample",
+        "dedup_bloom",
+        "char_entropy",
+        "profile_table",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
