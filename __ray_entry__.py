@@ -2434,6 +2434,18 @@ def _q_event_funnel(sf_dir: str):
     return event_funnel(ds).sort("step")
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    (pipelines/analytics.py::event_transitions): one user-bucket hash
+    exchange, lexsort + shifted-compare per bucket, |types|^2-row global
+    aggregate. Oracle: lead() window over the same (ts, event_id)
+    order."""
+    from texoo_ray.pipelines.analytics import event_transitions
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return event_transitions(ds).sort(["from_type", "to_type"])
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention matrix (first-activity-day cohorts x day
     offsets, exact distinct-user counts from bucket-local partials —
@@ -2552,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_iter2": _q_kmeans_iter2,
         "event_funnel": _q_event_funnel,
+        "event_transitions": _q_event_transitions,
         "cohort_retention": _q_cohort_retention,
         "term_cooccurrence": _q_term_cooccurrence,
         "props_stats": _q_props_stats,
@@ -3399,6 +3412,18 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2)
             SELECT word_a, word_b, n_docs FROM p
             ORDER BY n_docs DESC, word_a, word_b LIMIT 50
+        """,
+        "event_transitions": r"""
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   count(*)::BIGINT AS n
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY from_type, to_type
         """,
         "event_funnel": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

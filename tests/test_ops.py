@@ -675,6 +675,33 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_event_transitions_tiebreak_and_user_boundary(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import event_transitions
+
+        rows = [
+            # user 1: a -> b -> c (b/c share ts, event_id breaks the tie)
+            {"user_id": 1, "event_type": "a", "ts": 100, "event_id": 1},
+            {"user_id": 1, "event_type": "c", "ts": 200, "event_id": 3},
+            {"user_id": 1, "event_type": "b", "ts": 200, "event_id": 2},
+            # user 2: single event -> no transition across users
+            {"user_id": 2, "event_type": "a", "ts": 50, "event_id": 4},
+            # user 3: a -> a self-transition
+            {"user_id": 3, "event_type": "a", "ts": 10, "event_id": 5},
+            {"user_id": 3, "event_type": "a", "ts": 20, "event_id": 6},
+        ]
+        for r in rows:
+            r["ts"] = pd.Timestamp(r["ts"], unit="s")
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+        out = event_transitions(ds, n_buckets=4).to_pandas()
+        got = {
+            (f, t): n
+            for f, t, n in zip(out["from_type"], out["to_type"], out["n"])
+        }
+        assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "a"): 1}
+
     def test_profile_columns_nulls_and_numeric_minmax(self, ray_session):
         import ray.data
 

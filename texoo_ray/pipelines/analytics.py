@@ -592,3 +592,67 @@ def grouped_moments(ds, group_col: str, value_col: str):
             Sum("sumsq_cents2", alias_name="sumsq_cents2"),
         )
     )
+
+
+def event_transitions(ds, n_buckets: int = 64):
+    """First-order Markov transition counts over per-user event streams:
+    for every user, order events by (ts, event_id) and count each
+    consecutive (from_type, to_type) pair; return
+    Dataset[(from_type, to_type, n)] — the session-flow / next-action
+    model feeding funnel design and synthetic-session generation.
+
+    Shape: the ONE user-bucket hash exchange (``_user_buckets``)
+    co-locates each user's events; inside a bucket the whole scan is a
+    lexsort + shifted-compare (transitions never cross the user
+    boundary), and each bucket emits at most |event_types|^2 partial
+    rows, so the global groupby is type-pair-sized regardless of
+    corpus size. Ties on ts break by event_id, matching the SQL
+    window ``ORDER BY ts, event_id`` exactly.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(group["ts"].cast(pa.int64()), dtype=np.int64)
+        eid = np.asarray(group["event_id"], dtype=np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary
+        order = np.lexsort((eid, ts, u))
+        u, codes = u[order], codes[order]
+        same_user = u[1:] == u[:-1]
+        frm = codes[:-1][same_user]
+        to = codes[1:][same_user]
+        if len(frm) == 0:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        D = np.int64(len(dic))
+        pair, cnt = np.unique(frm * D + to, return_counts=True)
+        return pa.table(
+            {
+                "from_type": dic.take(pa.array(pair // D)),
+                "to_type": dic.take(pa.array(pair % D)),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _user_buckets(
+            ds.select_columns(["user_id", "event_type", "ts", "event_id"]),
+            n_buckets,
+        )
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
