@@ -2507,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wiki727_eval": _q_wiki727_eval,
         # approximate / heuristic (rows-only)
         "dedup_minhash": _q_dedup_minhash,
+        "cross_contamination": _q_cross_contamination,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
@@ -2693,6 +2694,106 @@ def _embedding_oracle_sql() -> str:
             SELECT id AS vec_id, min(lab)::BIGINT AS cluster_id
             FROM cc GROUP BY id ORDER BY vec_id
         """.replace("__VALS__", vals)
+
+
+def _q_cross_contamination(sf_dir: str):
+    """Cross-corpus NEAR-dup contamination (stages/dedup.py::
+    cross_minhash_contamination): a planted benchmark set (docs with
+    doc_id % 7 == 2, suffixed with one marker word and re-keyed
+    +1,000,000) is LSH-banded against the full corpus; flagged pairs
+    carry the exact equal-minhash-component count. Oracle: the full
+    signature pipeline rebuilt in SQL (same permutation constants),
+    cross-side band join, HAVING n_eq over the threshold."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.dedup import cross_minhash_contamination
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = pa.array(ids % 7 == 2, pa.bool_())
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(
+                    pc.fill_null(t["text"], ""), " benchmarkmarker", ""
+                ),
+            }
+        )
+
+    bench_ds = ds.map_batches(bench, batch_format="pyarrow")
+    return cross_minhash_contamination(ds, bench_ds).sort(
+        ["doc_id", "bench_id"]
+    )
+
+
+def _cross_minhash_oracle_sql() -> str:
+    """SQL mirror of cross_minhash_contamination over the planted
+    benchmark set — shares the signature algebra of
+    :func:`_minhash_oracle_sql` (same permutation constants)."""
+    from texoo_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(64, 42)
+    values = ", ".join(
+        "(%d, %d, %d)" % (i, int(a[i]), int(b[i])) for i in range(64)
+    )
+    return r"""
+            WITH docs AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       lower(coalesce(text, '') || ' benchmarkmarker')
+                FROM documents WHERE doc_id % 7 = 2),
+            words AS (SELECT doc_id, regexp_extract_all(t, '\w+') AS w FROM docs),
+            grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM words, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+              WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(w, ' ') AS g FROM words
+              WHERE len(w) BETWEEN 1 AND 2
+            ),
+            sh AS (SELECT DISTINCT doc_id,
+                          ('0x' || substring(md5(g), 1, 15))::BIGINT AS h
+                   FROM grams),
+            perm(i, a, b) AS (VALUES __VALUES__),
+            raw AS (SELECT s.doc_id, p.i,
+                           (p.a::HUGEINT * s.h + p.b) % 18446744073709551616 AS u
+                    FROM sh s CROSS JOIN perm p),
+            wr AS (SELECT doc_id, i,
+                    CASE WHEN u >= 9223372036854775808
+                         THEN u - 18446744073709551616 ELSE u END AS w
+                   FROM raw),
+            vv AS (SELECT doc_id, i,
+                    CASE WHEN (w % 2305843009213693951) < 0
+                         THEN (w % 2305843009213693951) + 2305843009213693951
+                         ELSE (w % 2305843009213693951) END AS v
+                   FROM wr),
+            sig AS (SELECT doc_id, i, min(v)::BIGINT AS v FROM vv GROUP BY 1, 2),
+            bandv AS (SELECT doc_id, i // 4 AS band,
+                             min(CASE WHEN i % 4 = 0 THEN v END) AS v0,
+                             min(CASE WHEN i % 4 = 1 THEN v END) AS v1,
+                             min(CASE WHEN i % 4 = 2 THEN v END) AS v2,
+                             min(CASE WHEN i % 4 = 3 THEN v END) AS v3
+                      FROM sig GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b
+                     FROM bandv ca JOIN bandv cb
+                       USING (band, v0, v1, v2, v3)
+                     WHERE ca.doc_id < 1000000 AND cb.doc_id >= 1000000),
+            est AS (SELECT c.a, c.b,
+                           sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END)
+                               ::BIGINT AS n_eq
+                    FROM cand c JOIN sig s1 ON s1.doc_id = c.a
+                    JOIN sig s2 ON s2.doc_id = c.b AND s2.i = s1.i
+                    GROUP BY 1, 2)
+            SELECT a AS doc_id, b AS bench_id, n_eq
+            FROM est WHERE n_eq >= 32
+            ORDER BY doc_id, bench_id
+        """.replace("__VALUES__", values)
 
 
 def _minhash_oracle_sql() -> str:
@@ -3054,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY doc_id
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "cross_contamination": _cross_minhash_oracle_sql(),
         "dedup_embedding": _embedding_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
         "dedup_simhash": r"""

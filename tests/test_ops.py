@@ -675,6 +675,32 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_cross_minhash_contamination_planted(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.dedup import cross_minhash_contamination
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "completely different content about ray data pipelines here",
+            "a third document with its own unrelated set of words okay",
+        ]
+        corpus = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+        )
+        # bench: doc 0 lightly suffixed (near-dup), plus one novel doc
+        bench = ray.data.from_items(
+            [
+                {"doc_id": 100, "text": base[0] + " suffix"},
+                {"doc_id": 101, "text": "novel benchmark item nothing shared"},
+            ]
+        )
+        out = cross_minhash_contamination(corpus, bench).to_pandas()
+        pairs = set(zip(out["doc_id"], out["bench_id"]))
+        assert (0, 100) in pairs
+        assert all(b >= 100 for _, b in pairs)  # cross-side only
+        assert (out["n_eq"] >= 32).all()
+
     def test_event_transitions_tiebreak_and_user_boundary(self, ray_session):
         import pandas as pd
         import ray.data

@@ -1700,3 +1700,113 @@ def incremental_dedup_bloom(
         hash_schema_cols,
     )
     return definite.union(verified)
+
+
+def cross_minhash_contamination(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Cross-corpus NEAR-duplicate contamination: flag every (corpus
+    doc, benchmark doc) pair whose estimated Jaccard (fraction of equal
+    minhash components) reaches ``threshold`` — the fuzzy counterpart of
+    the exact n-gram ContaminationStage, catching benchmark items that
+    were lightly paraphrased or suffixed before leaking into training
+    data (the decontamination gap GPT-3's appendix C and successors
+    patch with exactly this LSH shape).
+
+    Returns Dataset[(id_col, bench_id_col, n_eq)] — distinct flagged
+    pairs with the equal-component count (est = n_eq / k).
+
+    Shape: both sides sign once (k minhashes), explode into band
+    bucket rows carrying the binary signature, ONE union + groupby on
+    the exact band slice; inside a bucket only CROSS-side pairs are
+    compared (corpus-side m x bench-side b equality counts, row-slabbed
+    so the m*b*k tensor stays bounded), and a final
+    groupby(doc, bench).max dedups across bands. Nothing all-pairs:
+    candidate volume is governed by the LSH collision rate exactly as
+    in minhash_dedup.
+    """
+    from ray.data.aggregate import Max
+
+    assert k % bands == 0
+    r = k // bands
+    vcols = ["v%d" % j for j in range(r)]
+    pair_schema = pa.schema(
+        [(id_col, pa.int64()), (bench_id_col, pa.int64()), ("n_eq", pa.int64())]
+    )
+
+    def make_explode(side: int):
+        def explode(batch: pa.Table) -> pa.Table:
+            mat = _sig_matrix(batch["sig"], k)
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            n = mat.shape[0]
+            cols = {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+            }
+            sl = mat.reshape(n, bands, r)
+            for j in range(r):
+                cols["v%d" % j] = pa.array(sl[:, :, j].reshape(-1))
+            cols["mid"] = pa.array(np.repeat(ids, bands))
+            cols["side"] = pa.array(
+                np.full(n * bands, side, dtype=np.int8), pa.int8()
+            )
+            cols["sig"] = batch["sig"].take(
+                pa.array(np.repeat(np.arange(n), bands))
+            )
+            return pa.table(cols)
+
+        return explode
+
+    sigs_a = minhash_signatures(ds, text_col, id_col, k)
+    sigs_b = minhash_signatures(bench_ds, text_col, id_col, k)
+    buckets = sigs_a.map_batches(
+        make_explode(0), batch_format="pyarrow"
+    ).union(sigs_b.map_batches(make_explode(1), batch_format="pyarrow"))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        a_rows = side == 0
+        b_rows = side == 1
+        if not a_rows.any() or not b_rows.any():
+            return pair_schema.empty_table()
+        sig = _sig_matrix(group["sig"], k)
+        ids = np.asarray(group["mid"], dtype=np.int64)
+        A, B = sig[a_rows], sig[b_rows]
+        ida, idb = ids[a_rows], ids[b_rows]
+        out_a, out_b, out_n = [], [], []
+        # slab the corpus side so the (slab x |B| x k) compare tensor
+        # stays ~16M cells no matter how hot the bucket is
+        slab = max(1, (1 << 24) // max(1, len(B) * k))
+        for s0 in range(0, len(A), slab):
+            neq = (A[s0 : s0 + slab, None, :] == B[None, :, :]).sum(
+                axis=2, dtype=np.int64
+            )
+            est = neq / float(k)
+            ai, bi = np.nonzero(est >= threshold)
+            out_a.append(ida[s0 + ai])
+            out_b.append(idb[bi])
+            out_n.append(neq[ai, bi])
+        if not out_a:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_a), pa.int64()),
+                bench_id_col: pa.array(np.concatenate(out_b), pa.int64()),
+                "n_eq": pa.array(
+                    np.concatenate(out_n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = buckets.groupby(["band"] + vcols).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby([id_col, bench_id_col]).aggregate(
+        Max("n_eq", alias_name="n_eq")
+    )
