@@ -1720,6 +1720,68 @@ def _q_graph_components(sf_dir: str):
     return connected_components(e, num_partitions=4).sort("id")
 
 
+def _q_clustered_join(sf_dir: str):
+    """Shuffle-FREE co-partitioned join (state/clustered.py): orders and
+    customer are each written ONCE hash-clustered by custkey
+    (write_clustered -> bucket=i/ dirs + layout manifest), then
+    join_clustered fans out one task per bucket that joins its two
+    bucket directories locally — zero rows move between workers at join
+    time; the exchange was prepaid at write time and amortizes over
+    every later join on the same key. Output: per-customer order count
+    + revenue cents for customers in the BUILDING segment. Oracle: the
+    plain SQL join."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from texoo_ray.state.clustered import join_clustered, write_clustered
+
+    base = tempfile.mkdtemp(prefix="texoo_clustered_")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": batch["o_custkey"], "cents": c})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    write_clustered(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        base + "/orders",
+        "o_custkey",
+        n_buckets=16,
+    )
+    write_clustered(cust, base + "/customer", "c_custkey", n_buckets=16)
+    j = join_clustered(base + "/orders", base + "/customer")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["c_mktsegment"], "BUILDING"))
+        grp = batch.group_by(["o_custkey"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "c_custkey": grp["o_custkey"],
+                "revenue_cents": grp["cents_sum"].cast(pa.int64()),
+                "n_orders": grp["cents_count"].cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .sort("c_custkey")
+    )
+
+
 def _q_profile_table(sf_dir: str):
     """Column-level profiling of the orders table (pipelines/
     relational.py::profile_columns): per-column row/null counts and
@@ -1738,6 +1800,20 @@ def _q_profile_table(sf_dir: str):
         int_cols=["o_orderkey", "o_custkey"],
         str_cols=["o_orderstatus", "o_orderpriority"],
     ).sort("column")
+
+
+def _q_weighted_sample_grouped(sf_dir: str):
+    """Per-source weighted sampling without replacement (pipelines/
+    curation.py::weighted_sample_grouped): A-ES priorities ranked within
+    each source; batches pre-trim to per-group top-k so the exchange
+    carries <= k rows per group per block. Oracle: row_number() over
+    the identical priority algebra."""
+    from texoo_ray.pipelines.curation import weighted_sample_grouped
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return weighted_sample_grouped(ds, k_per_group=20).sort(
+        ["source", "doc_id"]
+    )
 
 
 def _q_char_entropy(sf_dir: str):
@@ -2530,8 +2606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "triangle_count": _q_triangle_count,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_grouped": _q_weighted_sample_grouped,
         "char_entropy": _q_char_entropy,
         "profile_table": _q_profile_table,
+        "clustered_join": _q_clustered_join,
         "data_contract": _q_data_contract,
         "value_moments": _q_value_moments,
         "upsert_merge": _q_upsert_merge,
@@ -4109,6 +4187,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, count(*)::BIGINT AS triangles
             FROM cr GROUP BY id ORDER BY id
         """,
+        "clustered_join": r"""
+            SELECT o.o_custkey AS c_custkey,
+                   sum(floor(o.o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
+                       AS revenue_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_custkey ORDER BY c_custkey
+        """,
         "profile_table": r"""
             WITH p AS (
                 SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,
@@ -4157,6 +4244,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lens l ON l.doc_id = d.doc_id
             LEFT JOIN ent e ON e.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "weighted_sample_grouped": r"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(lower(coalesce(text, '')),
+                                              '[a-z0-9]+'))::DOUBLE AS w,
+                       ('0x' || substring(md5(coalesce(text, '')), 1, 8))
+                           ::UBIGINT::BIGINT AS h
+                FROM documents),
+            p AS (SELECT doc_id, source,
+                         floor(ln((h::DOUBLE + 1.0) / 4294967296.0) / w
+                               * 1e6 + 0.5)::BIGINT AS pri_micro
+                  FROM d WHERE w > 0),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY pri_micro DESC, doc_id) AS rn
+                  FROM p)
+            SELECT source, doc_id, pri_micro FROM r WHERE rn <= 20
+            ORDER BY source, doc_id
         """,
         "weighted_sample": r"""
             WITH d AS (

@@ -164,6 +164,8 @@ def run_queries() -> dict:
         "dedup_bloom",
         "char_entropy",
         "profile_table",
+        "event_transitions",
+        "cross_contamination",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -675,6 +675,74 @@ class TestRayOps:
         assert out["id"].tolist() == list(range(n))
         assert set(out["component"]) == {0}
 
+    def test_clustered_join_equals_plain_join(self, ray_session, tmp_path):
+        import ray.data
+
+        from texoo_ray.state.clustered import (
+            join_clustered,
+            read_cluster_manifest,
+            write_clustered,
+        )
+
+        left = ray.data.from_items(
+            [{"k": i % 7, "lv": i} for i in range(40)]
+        ).repartition(3)
+        right = ray.data.from_items(
+            [{"ck": i, "rv": i * 10} for i in range(5)]  # keys 5,6 unmatched
+        ).repartition(2)
+        ld = write_clustered(left, str(tmp_path / "l"), "k", n_buckets=4)
+        rd = write_clustered(right, str(tmp_path / "r"), "ck", n_buckets=4)
+        assert read_cluster_manifest(ld)["key"] == "k"
+        out = join_clustered(ld, rd).to_pandas()
+        exp = [
+            (i % 7, i, (i % 7) * 10) for i in range(40) if i % 7 < 5
+        ]
+        got = sorted(zip(out["k"], out["lv"], out["rv"]))
+        assert got == sorted(exp)
+        # mismatched layouts refuse to join silently-wrong
+        rd8 = write_clustered(right, str(tmp_path / "r8"), "ck", n_buckets=8)
+        with pytest.raises(ValueError):
+            join_clustered(ld, rd8)
+
+    def test_weighted_sample_grouped_matches_scalar(self, ray_session):
+        import hashlib
+        import math
+        import re
+
+        import ray.data
+
+        from texoo_ray.pipelines.curation import weighted_sample_grouped
+
+        rows = []
+        for i in range(60):
+            rows.append(
+                {
+                    "doc_id": i,
+                    "source": f"s{i % 3}",
+                    "text": f"doc {i} " + "pad " * (i % 5),
+                }
+            )
+        by_group = {}
+        for r in rows:
+            w = len(re.findall(r"[a-z0-9]+", r["text"].lower()))
+            h = int.from_bytes(
+                hashlib.md5(r["text"].encode()).digest()[:4], "big"
+            )
+            pri = math.floor(
+                math.log((h + 1.0) / 4294967296.0) / w * 1e6 + 0.5
+            )
+            by_group.setdefault(r["source"], []).append((r["doc_id"], pri))
+        exp = set()
+        for g, lst in by_group.items():
+            lst.sort(key=lambda kv: (-kv[1], kv[0]))
+            exp.update((g, i, p) for i, p in lst[:4])
+        ds = ray.data.from_items(rows).repartition(5)
+        out = weighted_sample_grouped(
+            ds, k_per_group=4
+        ).to_pandas()
+        got = set(zip(out["source"], out["doc_id"], out["pri_micro"]))
+        assert got == exp
+
     def test_cross_minhash_contamination_planted(self, ray_session):
         import ray.data
 

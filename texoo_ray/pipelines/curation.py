@@ -662,3 +662,91 @@ def weighted_sample(
 
     partial = ds.map_batches(pri, batch_format="pyarrow")
     return partial.sort(["pri_micro", id_col], descending=[True, False]).limit(k)
+
+
+def weighted_sample_grouped(
+    ds,
+    k_per_group: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-group weighted sampling without replacement: the A-ES scheme
+    of :func:`weighted_sample` ranked WITHIN each group (source, lang,
+    shard...) — "keep the best-weighted k documents of every source",
+    the per-stratum form of token-mass-preserving selection.
+
+    Shape: the stateless priority map runs once; each batch pre-trims
+    to its own per-group top-k (a lexsort + segment-head pick, so the
+    exchange carries <= k rows per group per block), then ONE
+    groupby(group) finishes the top-k inside map_groups. Priorities are
+    the same content-keyed ln(u)/w micros as the global operator, so
+    group membership changes never reshuffle the randomness.
+    """
+    import math
+
+    from ..stages.text_stats import _doc_word_codes
+
+    out_schema = pa.schema(
+        [
+            (group_col, pa.string()),
+            (id_col, pa.int64()),
+            ("pri_micro", pa.int64()),
+        ]
+    )
+
+    def pri(batch: pa.Table) -> pa.Table:
+        doc_of, _, _ = _doc_word_codes(batch[text_col], nonword="[^a-z0-9]+")
+        w = np.bincount(doc_of, minlength=batch.num_rows).astype(np.float64)
+        h32 = _md5_h32(batch[text_col])
+        sel = w > 0
+        if not sel.any():
+            return out_schema.empty_table()
+        hu, inv = np.unique(h32[sel], return_inverse=True)
+        lnu = np.array(
+            [math.log((float(h) + 1.0) / 4294967296.0) for h in hu],
+            np.float64,
+        )
+        pri_micro = np.floor(lnu[inv] / w[sel] * 1e6 + 0.5).astype(np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)[sel]
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        grp = pc.fill_null(grp, "").dictionary_encode()
+        gcodes = np.asarray(grp.indices, dtype=np.int64)[sel]
+        gdic = grp.dictionary
+        # per-group top-k inside the batch: sort (group, -pri, id), keep
+        # the first k of every group run
+        order = np.lexsort((ids, -pri_micro, gcodes))
+        gs = gcodes[order]
+        new_seg = np.r_[True, gs[1:] != gs[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        rank_in_seg = np.arange(len(gs)) - starts[seg_id]
+        keep = rank_in_seg < k_per_group
+        sel_idx = order[keep]
+        return pa.table(
+            {
+                group_col: gdic.take(pa.array(gcodes[sel_idx])),
+                id_col: pa.array(ids[sel_idx], pa.int64()),
+                "pri_micro": pa.array(pri_micro[sel_idx], pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        pri_micro = np.asarray(group["pri_micro"], dtype=np.int64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        order = np.lexsort((ids, -pri_micro))[:k_per_group]
+        return pa.table(
+            {
+                group_col: group[group_col].take(pa.array(order)),
+                id_col: pa.array(ids[order], pa.int64()),
+                "pri_micro": pa.array(pri_micro[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pri, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -1622,7 +1622,7 @@ def incremental_dedup_bloom(
     while the shuffle volume drops from |new crawl| to |matches| + eps.
 
     Size ``m_bits`` at ~10 bits per prior-snapshot key (1 GB of filter
-    covers ~8e8 keys at fpr ~1%%); the filter is the only driver-sized
+    covers ~8e8 keys at fpr ~1%); the filter is the only driver-sized
     state and merges associatively, so the build tree-reduces.
     """
     import ray as _ray
