@@ -2544,6 +2544,32 @@ def _q_term_cooccurrence(sf_dir: str):
     return term_cooccurrence(ds, vocab_size=500, top_k=50)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (stages/bpe.py::bpe_learn,
+    Sennrich et al. 2016): ONE corpus pass builds the word-frequency
+    table; each of the 8 merge rounds is a vectorized pair-count map
+    over the vocabulary-sized word table + a pair-vocabulary groupby +
+    a 1-row deterministic pick + a vectorized literal replace — the
+    standard corpus-size-independent BPE learning shape. Oracle: the
+    8 rounds unrolled as MATERIALIZED CTEs doing the identical
+    wrapped-string replace algebra."""
+    from texoo_ray.stages.bpe import bpe_learn
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_learn(ds, n_merges=8)
+
+
+def _q_bpe_token_count(sf_dir: str):
+    """Learned-subword token counting (stages/bpe.py::bpe_token_count):
+    the 8 merges from bpe_learn applied per document via batch-DISTINCT
+    word replaces (a repeated word is never re-tokenized), zero shuffle.
+    Oracle: learning + application unrolled in one SQL statement."""
+    from texoo_ray.stages.bpe import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_count(ds, n_merges=8).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -2663,6 +2689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdv_retrieval": _q_cdv_retrieval,
         "cdv_eval": _q_cdv_eval,
         "media_features": _q_media_features,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -2948,8 +2976,91 @@ def _minhash_oracle_sql() -> str:
         """.replace("__VALUES__", values)
 
 
+def _bpe_learn_ctes(n_merges: int) -> str:
+    """Shared CTE chain for the BPE oracles: word-frequency table,
+    US-wrapped symbol sequences, then per round (pair counts ->
+    deterministic 1-row pick -> leftmost-non-overlap replace) — the
+    identical algebra to stages/bpe.py. Every CTE is MATERIALIZED: the
+    chain references each seq{k} twice, so inlined CTEs would blow up
+    exponentially in rounds."""
+    us = "chr(31)"
+    parts = [
+        f"""words AS MATERIALIZED (
+      SELECT w AS word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS w
+        FROM documents) GROUP BY 1),
+    seq0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS seq, freq
+      FROM words)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq)::BIGINT AS cnt
+      FROM (SELECT string_split(trim(seq, {us}), {us} || {us}) AS s, freq
+            FROM seq{k - 1}),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i)
+      GROUP BY 1, 2),
+    b{k} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    seq{k} AS MATERIALIZED (
+      SELECT replace(seq,
+               {us} || (SELECT lhs FROM b{k}) || {us} || {us} ||
+                 (SELECT rhs FROM b{k}) || {us},
+               {us} || (SELECT lhs || rhs FROM b{k}) || {us}) AS seq, freq
+      FROM seq{k - 1})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 8) -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT {k}::BIGINT AS merge_idx, lhs, rhs, cnt AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + _bpe_learn_ctes(n_merges) + "\n" + unions + "\nORDER BY merge_idx"
+
+
+def _bpe_token_count_oracle_sql(n_merges: int = 8) -> str:
+    us = "chr(31)"
+    parts = [_bpe_learn_ctes(n_merges)]
+    parts.append(
+        f"""docw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS word
+      FROM documents),
+    wq0 AS MATERIALIZED (
+      SELECT doc_id, regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS seq
+      FROM docw)"""
+    )
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""wq{k} AS MATERIALIZED (
+      SELECT doc_id, replace(seq,
+               {us} || (SELECT lhs FROM b{k}) || {us} || {us} ||
+                 (SELECT rhs FROM b{k}) || {us},
+               {us} || (SELECT lhs || rhs FROM b{k}) || {us}) AS seq
+      FROM wq{k - 1})"""
+        )
+    parts.append(
+        f"""cnts AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(len(string_split(trim(seq, {us}), {us} || {us})))::BIGINT
+               AS n_bpe_tokens
+      FROM wq{n_merges} GROUP BY 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT d.doc_id, coalesce(c.n_words, 0)::BIGINT AS n_words,"
+        + " coalesce(c.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens"
+        + "\nFROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_merges": _bpe_merges_oracle_sql(8),
+        "bpe_token_count": _bpe_token_count_oracle_sql(8),
         "doc_tokenize": """
             SELECT doc_id,
                    1::BIGINT AS n_sentences,

@@ -166,6 +166,8 @@ def run_queries() -> dict:
         "profile_table",
         "event_transitions",
         "cross_contamination",
+        "bpe_merges",
+        "bpe_token_count",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
