@@ -2570,6 +2570,35 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_token_count(ds, n_merges=8).sort("doc_id")
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization training + encoding (stages/pq.py, Jégou et
+    al. 2011): label-seeded per-subspace codebooks, ONE exact-int64
+    Lloyd refinement round, then shuffle-free encoding to (vec_id, sub,
+    code) rows — 8 subspaces x 8 dims over the 64-dim embeddings. The
+    oracle replays the identical integer algebra (quantize -> init
+    centroids -> per-subspace assign -> refit -> assign)."""
+    from texoo_ray.stages.pq import pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    book = pq_train(ds, m=8)
+    return pq_encode(ds, book, m=8).sort(["vec_id", "sub"])
+
+
+def _q_pq_search(sf_dir: str):
+    """PQ asymmetric-distance top-10 (stages/pq.py::pq_search): the
+    (M x K) ADC table is driver-computed and closure-broadcast; every
+    block contributes <= k partial rows. Exact int64 throughout, so the
+    approximate distances themselves hash-match the SQL mirror."""
+    from texoo_ray.stages.pq import pq_search, pq_train
+
+    q = _knn_query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    book = pq_train(ds, m=8)
+    df = pq_search(ds, book, q, k=10, m=8).to_pandas()
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df[["rank", "vec_id", "ad2"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -2691,6 +2720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_count": _q_bpe_token_count,
+        "pq_codes": _q_pq_codes,
+        "pq_search": _q_pq_search,
     }
 
 
@@ -3057,10 +3088,77 @@ def _bpe_token_count_oracle_sql(n_merges: int = 8) -> str:
     )
 
 
+_PQ_CTES = """
+    vq AS MATERIALIZED (
+      SELECT vec_id, (i - 1)::BIGINT AS dim, ((i - 1) // 8)::BIGINT AS sub,
+             CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+    init AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT init.label, vq.dim, vq.sub, sum(vq.v)::BIGINT AS s,
+             count(*)::BIGINT AS n
+      FROM vq JOIN init USING (vec_id) GROUP BY 1, 2, 3),
+    q0 AS (SELECT label, dim, sub,
+             ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+           FROM c0),
+    d0 AS MATERIALIZED (
+      SELECT vq.vec_id, vq.sub, q0.label,
+             sum((vq.v - q0.c) * (vq.v - q0.c))::BIGINT AS d2
+      FROM vq JOIN q0 ON q0.dim = vq.dim GROUP BY 1, 2, 3),
+    a0 AS MATERIALIZED (
+      SELECT vec_id, sub, label AS code FROM (
+        SELECT vec_id, sub, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, label) AS rn
+        FROM d0) WHERE rn = 1),
+    c1 AS MATERIALIZED (
+      SELECT a0.sub, a0.code, vq.dim, sum(vq.v)::BIGINT AS s,
+             count(*)::BIGINT AS n
+      FROM vq JOIN a0 ON a0.vec_id = vq.vec_id AND a0.sub = vq.sub
+      GROUP BY 1, 2, 3),
+    q1 AS MATERIALIZED (
+      SELECT sub, code, dim,
+             ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+      FROM c1),
+    d1 AS MATERIALIZED (
+      SELECT vq.vec_id, vq.sub, q1.code,
+             sum((vq.v - q1.c) * (vq.v - q1.c))::BIGINT AS d2
+      FROM vq JOIN q1 ON q1.dim = vq.dim AND q1.sub = vq.sub
+      GROUP BY 1, 2, 3),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM d1) WHERE rn = 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_merges_oracle_sql(8),
         "bpe_token_count": _bpe_token_count_oracle_sql(8),
+        "pq_codes": "WITH " + _PQ_CTES + """
+            SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub
+        """,
+        "pq_search": "WITH " + _PQ_CTES + """,
+            q AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+            qq AS (SELECT (i - 1)::BIGINT AS dim, ((i - 1) // 8)::BIGINT AS sub,
+                          CAST(floor(qv[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+                   FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i)),
+            dt AS (SELECT q1.sub, q1.code,
+                          sum((qq.v - q1.c) * (qq.v - q1.c))::BIGINT AS d2
+                   FROM qq JOIN q1 ON q1.dim = qq.dim GROUP BY 1, 2),
+            ad AS (SELECT codes.vec_id, sum(dt.d2)::BIGINT AS ad2
+                   FROM codes JOIN dt ON dt.sub = codes.sub
+                                     AND dt.code = codes.code
+                   GROUP BY 1)
+            SELECT ROW_NUMBER() OVER (ORDER BY ad2, vec_id)::BIGINT AS rank,
+                   vec_id, ad2
+            FROM ad ORDER BY rank LIMIT 10
+        """,
         "doc_tokenize": """
             SELECT doc_id,
                    1::BIGINT AS n_sentences,

@@ -168,6 +168,8 @@ def run_queries() -> dict:
         "cross_contamination",
         "bpe_merges",
         "bpe_token_count",
+        "pq_codes",
+        "pq_search",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
