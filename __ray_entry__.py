@@ -2599,6 +2599,37 @@ def _q_pq_search(sf_dir: str):
     return df[["rank", "vec_id", "ad2"]]
 
 
+def _q_dedup_canonical(sf_dir: str):
+    """Canonicalized dedup keeping the most complete representative
+    (stages/dedup.py::canonical_dedup_best): lowercase +
+    whitespace-collapse defines the group; the survivor is the longest
+    RAW variant, ties to lowest id — planted SHOUTING-case variants
+    with trailing whitespace (doc_id % 7, +100000) must win over the
+    originals. One corpus exchange, <=1 row per canonical key per
+    block; the argmax rides the groupby as a Min over a fixed-width
+    priority string."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.dedup import canonical_dedup_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch["doc_id"], dtype=np.int64) % 7 == 0
+        sub = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "doc_id": pc.add(sub["doc_id"], 100000),
+                "text": pc.binary_join_element_wise(
+                    pc.utf8_upper(pc.fill_null(sub["text"], "")), "  ", ""
+                ),
+            }
+        )
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    return canonical_dedup_best(aug).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship transcript extraction (non-SQL; pytest holds the oracle)
@@ -2722,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "pq_codes": _q_pq_codes,
         "pq_search": _q_pq_search,
+        "dedup_canonical": _q_dedup_canonical,
     }
 
 
@@ -3139,6 +3171,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_merges_oracle_sql(8),
         "bpe_token_count": _bpe_token_count_oracle_sql(8),
+        "dedup_canonical": r"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, upper(text) || '  '
+              FROM documents WHERE doc_id % 7 = 0),
+            c AS (SELECT doc_id, len(text)::BIGINT AS L,
+                         trim(regexp_replace(lower(coalesce(text, '')),
+                                             '\s+', ' ', 'g'), ' ') AS canon
+                  FROM aug)
+            SELECT doc_id, dup_count FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY canon
+                                        ORDER BY L DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY canon)::BIGINT AS dup_count
+              FROM c) WHERE rn = 1
+            ORDER BY doc_id
+        """,
         "pq_codes": "WITH " + _PQ_CTES + """
             SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub
         """,

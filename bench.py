@@ -170,6 +170,7 @@ def run_queries() -> dict:
         "bpe_token_count",
         "pq_codes",
         "pq_search",
+        "dedup_canonical",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1810,3 +1810,96 @@ def cross_minhash_contamination(
     return pairs.groupby([id_col, bench_id_col]).aggregate(
         Max("n_eq", alias_name="n_eq")
     )
+
+
+# --- canonicalized dedup keeping the best representative -----------------
+
+_PRI_BIG = 10**18  # > any text length; keeps the padded priority 19 digits
+
+
+def canonical_dedup_best(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup over CANONICALIZED content, keeping the most complete
+    raw representative: documents whose lowercased,
+    whitespace-collapsed, trimmed text is identical form one group; the
+    survivor is the group's longest RAW text (most complete variant),
+    ties to the lowest id. This is the keep-best policy production
+    pipelines use where :func:`exact_dedup`'s min-id policy would keep
+    an arbitrary (possibly truncated/shouting-case) variant.
+
+    Returns Dataset[(id_col, dup_count)] — one row per surviving doc.
+
+    Shape: one corpus exchange, <= 1 row per canonical key per block.
+    The per-batch partial canonicalizes vectorized (utf8_lower +
+    RE2 \\s+ collapse + space trim), hashes only batch-DISTINCT
+    canonical texts (blake2b-128), and pre-reduces to the batch's best
+    row per key via one lexsort. The argmax-with-tiebreak survives the
+    groupby as a ``Min`` over a fixed-width sortable priority string
+    ``zfill(BIG - len) || zfill(id)`` — max length then min id, no
+    map_groups needed. Equivalent SQL: ROW_NUMBER() OVER (PARTITION BY
+    canon ORDER BY len(text) DESC, id) = 1.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "pri": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        # a block of only-null texts arrives as type null — cast first
+        t = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        lengths = np.asarray(pc.utf8_length(t), dtype=np.int64)
+        canon = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(t), r"\s+", " "), " "
+        )
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        dk = canon.dictionary_encode()
+        codes = np.asarray(dk.indices, dtype=np.int64)
+        dic = dk.dictionary.to_pylist()
+        keys = [
+            hashlib.blake2b(s.encode("utf-8"), digest_size=16).hexdigest()
+            for s in dic
+        ]
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        # batch-local best per key: group by code, then len desc, id asc
+        order = np.lexsort((ids, -lengths, codes))
+        sc = codes[order]
+        first = np.ones(len(sc), dtype=bool)
+        first[1:] = sc[1:] != sc[:-1]
+        sel = order[first]
+        cnt = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array([keys[c] for c in codes[sel]], pa.string()),
+                "pri": pa.array(
+                    [
+                        "%019d%019d" % (_PRI_BIG - lengths[i], ids[i])
+                        for i in sel
+                    ],
+                    pa.string(),
+                ),
+                "cnt": pa.array(cnt[codes[sel]], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min("pri", alias_name="pri"), Sum("cnt", alias_name="dup_count"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = [int(p[19:]) for p in batch["pri"].to_pylist()]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "dup_count": batch["dup_count"],
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
