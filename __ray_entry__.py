@@ -2599,6 +2599,23 @@ def _q_pq_search(sf_dir: str):
     return df[["rank", "vec_id", "ad2"]]
 
 
+def _q_knn_ivf_pq(sf_dir: str):
+    """IVF + PQ composed ANN (stages/pq.py::ivf_pq_search, Jégou et al.
+    2011 §V): the query probes only its nprobe=3 of 10 coarse cells and
+    ranks survivors by PQ asymmetric distance — a GENUINELY pruned
+    approximate search (unlike knn_ivf's probe-everything exact mode)
+    that still hash-matches SQL because the coarse quantizer and the
+    codebook are both exact int64. One shuffle-free search pass,
+    <= k rows per block."""
+    from texoo_ray.stages.pq import ivf_pq_search
+
+    q = _knn_query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    df = ivf_pq_search(ds, q, k=10, nprobe=3, m=8).to_pandas()
+    df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df[["rank", "vec_id", "cell", "ad2"]]
+
+
 def _q_dedup_canonical(sf_dir: str):
     """Canonicalized dedup keeping the most complete representative
     (stages/dedup.py::canonical_dedup_best): lowercase +
@@ -2754,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "pq_search": _q_pq_search,
         "dedup_canonical": _q_dedup_canonical,
+        "knn_ivf_pq": _q_knn_ivf_pq,
     }
 
 
@@ -3191,6 +3209,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_codes": "WITH " + _PQ_CTES + """
             SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub
+        """,
+        "knn_ivf_pq": "WITH " + _PQ_CTES + """,
+            dfull AS (SELECT vec_id, label, sum(d2)::BIGINT AS d2
+                      FROM d0 GROUP BY 1, 2),
+            cell AS MATERIALIZED (
+              SELECT vec_id, label AS cell FROM (
+                SELECT vec_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, label) AS rn
+                FROM dfull) WHERE rn = 1),
+            q AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+            qq AS MATERIALIZED (
+              SELECT (i - 1)::BIGINT AS dim, ((i - 1) // 8)::BIGINT AS sub,
+                     CAST(floor(qv[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+              FROM q, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i)),
+            qd AS (SELECT q0.label,
+                          sum((qq.v - q0.c) * (qq.v - q0.c))::BIGINT AS d2
+                   FROM qq JOIN q0 ON q0.dim = qq.dim GROUP BY 1),
+            probe AS (SELECT label FROM qd ORDER BY d2, label LIMIT 3),
+            dt AS (SELECT q1.sub, q1.code,
+                          sum((qq.v - q1.c) * (qq.v - q1.c))::BIGINT AS d2
+                   FROM qq JOIN q1 ON q1.dim = qq.dim GROUP BY 1, 2),
+            ad AS (SELECT codes.vec_id, sum(dt.d2)::BIGINT AS ad2
+                   FROM codes
+                   JOIN dt ON dt.sub = codes.sub AND dt.code = codes.code
+                   JOIN cell ON cell.vec_id = codes.vec_id
+                   JOIN probe ON probe.label = cell.cell
+                   GROUP BY 1)
+            SELECT ROW_NUMBER() OVER (ORDER BY ad2, ad.vec_id)::BIGINT AS rank,
+                   ad.vec_id, cell.cell, ad2
+            FROM ad JOIN cell ON cell.vec_id = ad.vec_id
+            ORDER BY rank LIMIT 10
         """,
         "pq_search": "WITH " + _PQ_CTES + """,
             q AS (SELECT embedding AS qv FROM embeddings

@@ -171,6 +171,7 @@ def run_queries() -> dict:
         "pq_codes",
         "pq_search",
         "dedup_canonical",
+        "knn_ivf_pq",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

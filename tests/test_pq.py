@@ -144,3 +144,29 @@ def test_pq_train_rejects_bad_m(ray_session):
     ds = ray.data.from_items(make_items(n=10))
     with pytest.raises(ValueError):
         pq_train(ds, m=5)  # 16 % 5 != 0
+
+
+def test_ivf_pq_search_prunes_and_ranks(ray_session):
+    import ray.data
+
+    from texoo_ray.stages.pq import ivf_pq_search
+
+    items = make_items(n=80, seed=11)
+    ds = ray.data.from_items(items).repartition(4)
+    q = np.asarray(items[5]["embedding"], dtype=np.float64)
+    got = ivf_pq_search(ds, q, k=8, nprobe=2, m=M).take_all()
+    assert len(got) == 8
+    # results only come from the 2 probed cells
+    assert len({r["cell"] for r in got}) <= 2
+    # ad2 ascending, id-tie-break ascending
+    keys = [(r["ad2"], r["vec_id"]) for r in got]
+    assert keys == sorted(keys)
+
+    # full probe (nprobe = #labels) must dominate the pruned result:
+    # every pruned hit appears in the full ranking with the same ad2
+    full = ivf_pq_search(ds, q, k=80, nprobe=5, m=M).take_all()
+    full_ad2 = {r["vec_id"]: r["ad2"] for r in full}
+    for r in got:
+        assert full_ad2[r["vec_id"]] == r["ad2"]
+    # and pruning genuinely excluded some cells' rows from consideration
+    assert len({r["cell"] for r in full}) > 2

@@ -243,3 +243,103 @@ def pq_search(
         .sort(["ad2", id_col])
         .limit(k)
     )
+
+
+def ivf_pq_search(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 8,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+):
+    """IVF + PQ composed search — the classic two-level ANN pipeline
+    (Jégou et al. 2011 §V: inverted file for candidate pruning,
+    product-quantizer codes for ranking): vectors are coarse-assigned
+    to K cells; a query probes only its ``nprobe`` nearest cells and
+    ranks the survivors by ADC distance.
+
+    Unlike :func:`~.ivf.ivf_topk` (float path, exact only when probing
+    every cell), every step here is int64 on the 2**scale_bits grid —
+    the coarse quantizer is the label-seeded exact centroid table and
+    the ranker is :func:`pq_train`'s refined codebook — so the search is
+    GENUINELY pruned (nprobe < K skips most of the corpus) yet still
+    bit-reproducible and SQL-hash-checkable end to end.
+
+    Scale shape: three aggregate passes build the KB-sized coarse +
+    codebook tables (all O(blocks x K x D) integer partials); the search
+    itself is one shuffle-free pass emitting <= k rows per block — and
+    with a cell-partitioned layout (build_ivf_index's trick) the read
+    itself would touch only nprobe/K of the data.
+
+    Returns Dataset[(id_col, cell, ad2)] of the k best candidates by
+    (ad2, id).
+    """
+    cent0 = pa.Table.from_pylist(
+        label_centroids(
+            ds, label_col=label_col, vec_col=vec_col, scale_bits=scale_bits
+        ).take_all()
+    )
+    labels0 = np.unique(np.asarray(cent0["label"], dtype=np.int64))
+    dim = cent0.num_rows // len(labels0)
+    sub_dim = dim // m
+    t0 = cent0.sort_by([("label", "ascending"), ("dim", "ascending")])
+    cq0 = _round_div(
+        np.asarray(t0["sum_q"], dtype=np.int64).reshape(len(labels0), dim),
+        np.asarray(t0["n_vecs"], dtype=np.int64).reshape(len(labels0), dim),
+    )
+    book = pq_train(
+        ds, m=m, label_col=label_col, vec_col=vec_col, scale_bits=scale_bits
+    )
+    books = _codebook_matrices(book, m, dim)
+    scale = float(1 << scale_bits)
+    qq = np.floor(np.asarray(query, dtype=np.float64) * scale + 0.5).astype(
+        np.int64
+    )
+    # probed cells: nprobe smallest exact distances, ties to lowest label
+    dq = np.einsum("ij,ij->i", qq[None, :] - cq0, qq[None, :] - cq0)
+    probe = np.lexsort((labels0, dq))[:nprobe]
+    probe_set = np.zeros(len(labels0), dtype=bool)
+    probe_set[probe] = True
+    dt = []
+    for sub, (_, cq) in enumerate(books):
+        d = qq[sub * sub_dim : (sub + 1) * sub_dim][None, :] - cq
+        dt.append(np.einsum("ij,ij->i", d, d))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col).astype(np.float64)
+        vq = np.floor(mat * scale + 0.5).astype(np.int64)
+        diff = vq[:, None, :] - cq0[None, :, :]
+        cell_idx = np.argmin(np.einsum("ijk,ijk->ij", diff, diff), axis=1)
+        mask = probe_set[cell_idx]
+        sel = np.nonzero(mask)[0]
+        ids = np.asarray(batch[id_col], dtype=np.int64)[sel]
+        if len(sel) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "ad2": pa.array([], pa.int64()),
+                }
+            )
+        best = _assign_subspaces(vq[sel], books, sub_dim)
+        ad2 = np.zeros(len(sel), dtype=np.int64)
+        for sub in range(m):
+            ad2 += dt[sub][best[:, sub]]
+        order = np.lexsort((ids, ad2))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "cell": pa.array(labels0[cell_idx[sel]][order], pa.int64()),
+                "ad2": pa.array(ad2[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["ad2", id_col])
+        .limit(k)
+    )
