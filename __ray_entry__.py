@@ -2599,6 +2599,24 @@ def _q_pq_search(sf_dir: str):
     return df[["rank", "vec_id", "ad2"]]
 
 
+def _q_postings_search(sf_dir: str):
+    """Inverted-index build + pruned-read conjunctive search
+    (stages/postings.py): postings (term, doc_id, tf) written ONCE
+    hash-partitioned by term into bucket=i/ dirs (the Lucene-index
+    analogue as a storage layout, LuceneArticleIndex.java:65-97), then
+    the AND-query reads ONLY its terms' bucket directories. Ranking:
+    total tf desc, doc_id asc. Oracle: plain conjunctive GROUP
+    BY/HAVING over the documents table."""
+    import tempfile
+
+    from texoo_ray.stages.postings import build_postings, search_postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="texoo_postings_")
+    build_postings(ds, idx, n_buckets=16)
+    return search_postings(idx, ["table", "query", "value"], k=20)
+
+
 def _q_knn_ivf_pq(sf_dir: str):
     """IVF + PQ composed ANN (stages/pq.py::ivf_pq_search, Jégou et al.
     2011 §V): the query probes only its nprobe=3 of 10 coarse cells and
@@ -2772,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_search": _q_pq_search,
         "dedup_canonical": _q_dedup_canonical,
         "knn_ivf_pq": _q_knn_ivf_pq,
+        "postings_search": _q_postings_search,
     }
 
 
@@ -3189,6 +3208,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_merges_oracle_sql(8),
         "bpe_token_count": _bpe_token_count_oracle_sql(8),
+        "postings_search": r"""
+            WITH w AS (
+              SELECT doc_id, w AS term, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '\w+')) AS w
+                FROM documents) GROUP BY 1, 2),
+            m AS (SELECT doc_id, count(*)::BIGINT AS nt,
+                         sum(tf)::BIGINT AS total_tf
+                  FROM w WHERE term IN ('table', 'query', 'value')
+                  GROUP BY 1)
+            SELECT doc_id, total_tf FROM m WHERE nt = 3
+            ORDER BY total_tf DESC, doc_id LIMIT 20
+        """,
         "dedup_canonical": r"""
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -172,6 +172,7 @@ def run_queries() -> dict:
         "pq_search",
         "dedup_canonical",
         "knn_ivf_pq",
+        "postings_search",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
