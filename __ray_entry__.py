@@ -2617,6 +2617,23 @@ def _q_postings_search(sf_dir: str):
     return search_postings(idx, ["table", "query", "value"], k=20)
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact phrase search over a POSITIONAL postings index
+    (stages/postings.py::phrase_search): the index carries 1-based word
+    positions per (term, doc) row; the query reads only the phrase
+    terms' buckets and verifies consecutiveness via shifted-position
+    intersection per document — the Lucene PhraseQuery analogue.
+    Oracle: three-way positional self-join over the documents table."""
+    import tempfile
+
+    from texoo_ray.stages.postings import build_postings, phrase_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="texoo_postings_pos_")
+    build_postings(ds, idx, n_buckets=16, positions=True)
+    return phrase_search(idx, ["stream", "table", "hash"], k=20)
+
+
 def _q_knn_ivf_pq(sf_dir: str):
     """IVF + PQ composed ANN (stages/pq.py::ivf_pq_search, Jégou et al.
     2011 §V): the query probes only its nprobe=3 of 10 coarse cells and
@@ -2791,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical": _q_dedup_canonical,
         "knn_ivf_pq": _q_knn_ivf_pq,
         "postings_search": _q_postings_search,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -3221,6 +3239,26 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1)
             SELECT doc_id, total_tf FROM m WHERE nt = 3
             ORDER BY total_tf DESC, doc_id LIMIT 20
+        """,
+        "phrase_search": r"""
+            WITH pos AS MATERIALIZED (
+              SELECT doc_id, w[i] AS term, i::BIGINT AS i
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '\w+') AS w
+                    FROM documents),
+                   LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+            hits AS (
+              SELECT a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a
+              JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                        AND b.term = 'table'
+              JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                        AND c.term = 'hash'
+              WHERE a.term = 'stream'
+              GROUP BY 1)
+            SELECT doc_id, n_occ FROM hits
+            ORDER BY n_occ DESC, doc_id LIMIT 20
         """,
         "dedup_canonical": r"""
             WITH aug AS (

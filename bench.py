@@ -173,6 +173,7 @@ def run_queries() -> dict:
         "dedup_canonical",
         "knn_ivf_pq",
         "postings_search",
+        "phrase_search",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -83,3 +83,71 @@ def test_search_reads_only_probed_buckets(index_dir):
             removed += 1
     assert removed > 0  # the corpus hashes into more buckets than probed
     assert got(index_dir, terms) == expected
+
+
+def ref_phrase(phrase, docs, k=10):
+    out = []
+    for did, text in docs:
+        words = re.findall(r"\w+", text.lower(), re.ASCII)
+        n = sum(
+            1
+            for i in range(len(words) - len(phrase) + 1)
+            if words[i : i + len(phrase)] == list(phrase)
+        )
+        if n:
+            out.append((did, n))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+PHRASE_DOCS = [
+    (0, "a b c a b c a b"),
+    (1, "b a b a b a"),  # overlapping 'a b a' occurrences
+    (2, "c c c"),
+    (3, "a b"),
+    (4, "x a b c y a b c"),
+]
+
+
+@pytest.fixture()
+def pos_index(ray_session, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in PHRASE_DOCS]
+    ).repartition(2)
+    from texoo_ray.stages.postings import build_postings
+
+    return build_postings(
+        ds, str(tmp_path / "pidx"), n_buckets=4, positions=True
+    )
+
+
+def test_phrase_search_counts(pos_index):
+    from texoo_ray.stages.postings import phrase_search
+
+    def got(phrase, k=10):
+        return [
+            (r["doc_id"], r["n_occ"])
+            for r in phrase_search(pos_index, phrase, k=k).take_all()
+        ]
+
+    for phrase in (
+        ["a", "b", "c"],
+        ["a", "b"],
+        # repeated-word phrases: offsets reuse the same postings row,
+        # and overlapping occurrences all count as start positions
+        ["b", "a", "b"],
+        ["c", "c"],
+        ["c", "a"],
+    ):
+        assert got(phrase) == ref_phrase(phrase, PHRASE_DOCS), phrase
+    assert got(["a", "x"]) == []
+    assert got(["nosuch", "phrase"]) == []
+
+
+def test_phrase_search_requires_positions(index_dir):
+    from texoo_ray.stages.postings import phrase_search
+
+    with pytest.raises(ValueError):
+        phrase_search(index_dir, ["alpha", "beta"])

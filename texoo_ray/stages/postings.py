@@ -49,10 +49,14 @@ def build_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 32,
+    positions: bool = False,
 ) -> str:
     """Write the inverted index: ``out_dir/bucket=i/`` parquet of
     (term, doc_id, tf) rows, term-hash partitioned, plus a layout
-    manifest. RE2 ASCII ``\\w+`` lowercased terms."""
+    manifest. RE2 ASCII ``\\w+`` lowercased terms. With
+    ``positions=True`` each postings row also carries the 1-based
+    in-document word positions (``pos: list<int64>``) for phrase
+    search."""
     from .text_stats import _doc_word_codes
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -60,27 +64,48 @@ def build_postings(
         doc_of, codes, dic = _doc_word_codes(batch[text_col])
         n = max(batch.num_rows, 1)
         if len(codes) == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], pa.string()),
-                    id_col: pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "term": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+            if positions:
+                cols["pos"] = pa.array([], pa.list_(pa.int64()))
+            cols["bucket"] = pa.array([], pa.int64())
+            return pa.table(cols)
         pair = codes * n + doc_of
-        uk, cnt = np.unique(pair, return_counts=True)
+        order = np.argsort(pair, kind="stable")
+        sp = pair[order]
+        first = np.ones(len(sp), dtype=bool)
+        first[1:] = sp[1:] != sp[:-1]
+        starts = np.nonzero(first)[0]
+        offsets = np.concatenate([starts, [len(sp)]]).astype(np.int64)
+        uk = sp[starts]
+        cnt = np.diff(offsets)
         code_u = uk // n
         doc_u = uk % n
         buckets = _term_buckets(dic.to_pylist(), n_buckets)
-        return pa.table(
-            {
-                "term": dic.take(pa.array(code_u, pa.int64())),
-                id_col: pa.array(ids[doc_u], pa.int64()),
-                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
-                "bucket": pa.array(buckets[code_u], pa.int64()),
-            }
-        )
+        cols = {
+            "term": dic.take(pa.array(code_u, pa.int64())),
+            id_col: pa.array(ids[doc_u], pa.int64()),
+            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+        if positions:
+            # 1-based word position within its document, flat order ==
+            # text order (split + empty-filter preserve order)
+            words_per_doc = np.bincount(doc_of, minlength=n)
+            doc_starts = np.concatenate([[0], np.cumsum(words_per_doc)[:-1]])
+            pos = (
+                np.arange(len(codes), dtype=np.int64)
+                - doc_starts[doc_of]
+                + 1
+            )
+            cols["pos"] = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(pos[order], pa.int64()),
+            )
+        cols["bucket"] = pa.array(buckets[code_u], pa.int64())
+        return pa.table(cols)
 
     os.makedirs(out_dir, exist_ok=True)
     ds.map_batches(partial, batch_format="pyarrow").write_parquet(
@@ -88,7 +113,13 @@ def build_postings(
     )
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(
-            {"n_buckets": n_buckets, "hash": "fnv64", "id_col": id_col}, f
+            {
+                "n_buckets": n_buckets,
+                "hash": "fnv64",
+                "id_col": id_col,
+                "positions": bool(positions),
+            },
+            f,
         )
     return out_dir
 
@@ -153,3 +184,86 @@ def search_postings(index_dir: str, terms: Sequence[str], k: int = 20):
         .limit(k)
     )
     return agg
+
+
+def phrase_search(index_dir: str, phrase: Sequence[str], k: int = 20):
+    """Exact phrase search over a positional index
+    (``build_postings(..., positions=True)``): documents containing the
+    words of ``phrase`` at consecutive positions, ranked by occurrence
+    count (desc, then id). Returns Dataset[(id_col, n_occ)], <= k rows.
+
+    Scale shape: the read is pruned to the phrase terms' buckets; the
+    only exchange is a ``groupby(doc)`` over the postings rows of THOSE
+    terms (query-bounded, never index-sized); each group holds one row
+    per distinct phrase term and verifies consecutiveness with
+    ``np.intersect1d`` over shifted position lists. Repeated phrase
+    words reuse the same postings row at different offsets."""
+    import ray.data
+
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    if not man.get("positions"):
+        raise ValueError("index was built without positions=True")
+    id_col = man["id_col"]
+    phrase = [str(w) for w in phrase]
+    if not phrase:
+        raise ValueError("empty phrase")
+    qterms = sorted(set(phrase))
+    buckets = sorted(set(_term_buckets(qterms, int(man["n_buckets"])).tolist()))
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "n_occ": pa.array([], pa.int64())}
+    )
+    paths = []
+    for b in buckets:
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+    if not paths:
+        return ray.data.from_arrow(empty)
+    term_set = pa.array(qterms, pa.string())
+    ds = ray.data.read_parquet(paths, columns=["term", id_col, "pos"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"], value_set=term_set))
+
+    need = len(qterms)
+
+    def verify(group: pa.Table) -> pa.Table:
+        if group.num_rows < need:
+            return empty
+        pos_by_term = {
+            t: np.asarray(p, dtype=np.int64)
+            for t, p in zip(
+                group["term"].to_pylist(), group["pos"].to_pylist()
+            )
+        }
+        base = None
+        for off, w in enumerate(phrase):
+            if w not in pos_by_term:
+                return empty
+            shifted = pos_by_term[w] - off
+            base = shifted if base is None else np.intersect1d(base, shifted)
+            if len(base) == 0:
+                return empty
+        return pa.table(
+            {
+                id_col: pa.array(
+                    [int(group[id_col][0].as_py())], pa.int64()
+                ),
+                "n_occ": pa.array([len(base)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(verify, batch_format="pyarrow")
+        .sort(["n_occ", id_col], descending=[True, False])
+        .limit(k)
+    )
