@@ -2617,6 +2617,20 @@ def _q_postings_search(sf_dir: str):
     return search_postings(idx, ["table", "query", "value"], k=20)
 
 
+def _q_ntile_shards(sf_dir: str):
+    """Exact distributed NTILE / curriculum sharding
+    (pipelines/curation.py::ntile_shards): every document assigned to
+    one of 4 equal-size shards by global (length, id) rank WITHOUT a
+    global sort — one score-histogram aggregate + radix boundary-cutoff
+    searches resolve each shard boundary to an exact (score, id)
+    threshold, then assignment is a row-local broadcast compare.
+    Oracle: SQL NTILE(4) OVER (ORDER BY len(text), doc_id)."""
+    from texoo_ray.pipelines.curation import ntile_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ntile_shards(ds, n_shards=4).sort("doc_id")
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact phrase search over a POSITIONAL postings index
     (stages/postings.py::phrase_search): the index carries 1-based word
@@ -2809,6 +2823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pq": _q_knn_ivf_pq,
         "postings_search": _q_postings_search,
         "phrase_search": _q_phrase_search,
+        "ntile_shards": _q_ntile_shards,
     }
 
 
@@ -3239,6 +3254,13 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1)
             SELECT doc_id, total_tf FROM m WHERE nt = 3
             ORDER BY total_tf DESC, doc_id LIMIT 20
+        """,
+        "ntile_shards": r"""
+            SELECT doc_id,
+                   len(coalesce(text, ''))::BIGINT AS score,
+                   NTILE(4) OVER (ORDER BY len(coalesce(text, '')),
+                                  doc_id)::BIGINT AS shard
+            FROM documents ORDER BY doc_id
         """,
         "phrase_search": r"""
             WITH pos AS MATERIALIZED (

@@ -174,6 +174,7 @@ def run_queries() -> dict:
         "knn_ivf_pq",
         "postings_search",
         "phrase_search",
+        "ntile_shards",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -750,3 +750,114 @@ def weighted_sample_grouped(
         .groupby(group_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def ntile_shards(
+    ds,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact distributed NTILE: assign every document to one of
+    ``n_shards`` equal-size shards by global ``(score, id)`` rank —
+    curriculum sharding (easy->hard training order) without a global
+    sort. Score = text length in codepoints. Returns
+    Dataset[(id_col, score, shard)] with SQL NTILE semantics: the first
+    ``N % S`` shards get the extra row.
+
+    NO corpus sort and NO corpus-sized driver state: the global rank
+    structure comes from one score-histogram aggregate (distinct-score
+    cardinality), and each of the S-1 shard boundaries resolves to an
+    exact ``(score, id)`` threshold via the same radix histogram
+    inversion ``token_budget_select`` uses (``_boundary_cutoff`` with
+    unit weights = the r-th smallest id of the boundary score group,
+    found without collecting the group). Assignment is then a row-local
+    broadcast compare against S-1 thresholds.
+    """
+    from ray.data.aggregate import Sum
+
+    def score_pass(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col].cast(pa.string()), "")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score_pass, batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        grp = batch.group_by(["score"]).aggregate([("score", "count")])
+        return pa.table(
+            {
+                "score": grp["score"],
+                "cnt": pc.cast(grp["score_count"], pa.int64()),
+            }
+        )
+
+    h = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("score")
+        .reset_index(drop=True)
+    )
+    if h.empty:
+        return scored.map_batches(
+            lambda b: b.append_column(
+                "shard", pa.array([1] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    n_total = int(h["cnt"].sum())
+    cum = h["cnt"].cumsum()
+    base, extra = divmod(n_total, n_shards)
+
+    # shard-boundary ranks c_j (inclusive last rank of shard j)
+    cuts = []
+    c = 0
+    for j in range(1, n_shards):
+        c += base + (1 if j <= extra else 0)
+        cuts.append(c)
+
+    # resolve each boundary rank to an exact (score, id) threshold
+    thresholds = []
+    cutoff_cache: dict = {}
+    for c_j in cuts:
+        if c_j <= 0:
+            # degenerate empty-prefix shard: threshold below everything
+            thresholds.append((int(h.loc[0, "score"]) - 1, -1))
+            continue
+        b = int((cum >= c_j).idxmax())
+        s_star = int(h.loc[b, "score"])
+        below = int(cum[b - 1]) if b > 0 else 0
+        residual = c_j - below
+        key = (s_star, residual)
+        if key not in cutoff_cache:
+            bnd = (
+                scored.filter(expr=f"score == {s_star}")
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            id_col: t[id_col],
+                            "tokens": pa.array([1] * t.num_rows, pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            cutoff_cache[key] = _boundary_cutoff(bnd, residual, id_col)
+        thresholds.append((s_star, int(cutoff_cache[key])))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["score"], dtype=np.int64)
+        i = np.asarray(batch[id_col], dtype=np.int64)
+        shard = np.ones(batch.num_rows, dtype=np.int64)
+        for s_j, i_j in thresholds:
+            shard += (s > s_j) | ((s == s_j) & (i > i_j))
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")
