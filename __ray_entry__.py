@@ -2617,6 +2617,42 @@ def _q_postings_search(sf_dir: str):
     return search_postings(idx, ["table", "query", "value"], k=20)
 
 
+def _q_fuzzy_join(sf_dir: str):
+    """Blocked fuzzy join / record linkage (pipelines/joins.py::
+    fuzzy_join): part names vs a planted DIRTY side (chars 3/4 swapped,
+    every third part), blocked on the first 2 chars, matched at
+    Jaro-Winkler >= 0.9. In-block cost is distinct-name pairs only
+    (64 distinct part names), fanned out to id pairs vectorized. The
+    JW implementation is DuckDB-gate-exact, so the oracle is the native
+    jaro_winkler_similarity join."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.joins import fuzzy_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch["p_partkey"], dtype=np.int64) % 3 == 0
+        sub = batch.filter(pa.array(mask))
+        names = [
+            n[0:2] + n[3:4] + n[2:3] + n[4:]
+            for n in sub["p_name"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "r_id": pc.add(sub["p_partkey"], 100000),
+                "r_name": pa.array(names, pa.string()),
+            }
+        )
+
+    dirty = part.map_batches(plant, batch_format="pyarrow")
+    out = fuzzy_join(
+        part, dirty, "p_partkey", "p_name", "r_id", "r_name",
+        threshold=0.9, block_chars=2,
+    )
+    return out.sort(["l_id", "r_id"])
+
+
 def _q_ntile_shards(sf_dir: str):
     """Exact distributed NTILE / curriculum sharding
     (pipelines/curation.py::ntile_shards): every document assigned to
@@ -2824,6 +2860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_search": _q_postings_search,
         "phrase_search": _q_phrase_search,
         "ntile_shards": _q_ntile_shards,
+        "fuzzy_join": _q_fuzzy_join,
     }
 
 
@@ -3254,6 +3291,20 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1)
             SELECT doc_id, total_tf FROM m WHERE nt = 3
             ORDER BY total_tf DESC, doc_id LIMIT 20
+        """,
+        "fuzzy_join": r"""
+            WITH dirty AS (
+              SELECT p_partkey + 100000 AS r_id,
+                     substr(p_name, 1, 2) || substr(p_name, 4, 1) ||
+                     substr(p_name, 3, 1) || substr(p_name, 5) AS r_name
+              FROM part WHERE p_partkey % 3 = 0)
+            SELECT p.p_partkey AS l_id, d.r_id,
+                   CAST(floor(jaro_winkler_similarity(p.p_name, d.r_name)
+                              * 1000000 + 0.5) AS BIGINT) AS sim_micro
+            FROM part p
+            JOIN dirty d ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
+            WHERE jaro_winkler_similarity(p.p_name, d.r_name) >= 0.9
+            ORDER BY l_id, r_id
         """,
         "ntile_shards": r"""
             SELECT doc_id,

@@ -175,6 +175,7 @@ def run_queries() -> dict:
         "postings_search",
         "phrase_search",
         "ntile_shards",
+        "fuzzy_join",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1,0 +1,80 @@
+"""Blocked fuzzy join (pipelines/joins.py): DuckDB-exact Jaro-Winkler,
+blocking semantics, distinct-name fan-out."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from texoo_ray.pipelines.joins import fuzzy_join, jaro_winkler_std
+
+
+def test_jw_matches_duckdb_exactly():
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    cases = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("abc", "abc"),
+        ("", "abc"),
+        ("a", ""),
+        ("", ""),
+        ("crate", "trace"),
+        ("abcd", "abdc"),
+    ]
+    for _ in range(1500):
+        a = "".join(rng.choice("abcdef") for _ in range(rng.randint(0, 10)))
+        b = "".join(rng.choice("abcdef") for _ in range(rng.randint(0, 10)))
+        cases.append((a, b))
+    for a, b in cases:
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler_std(a, b) == d, (a, b)
+
+
+def run(left, right, threshold=0.9, block_chars=2):
+    import ray.data
+
+    lds = ray.data.from_items(
+        [{"id": i, "name": n} for i, n in left]
+    ).repartition(2)
+    rds = ray.data.from_items(
+        [{"id": i, "name": n} for i, n in right]
+    ).repartition(2)
+    out = fuzzy_join(
+        lds, rds, "id", "name", "id", "name",
+        threshold=threshold, block_chars=block_chars,
+    ).take_all()
+    return sorted((r["l_id"], r["r_id"]) for r in out)
+
+
+def test_blocked_matching(ray_session):
+    left = [(1, "jonathan smith"), (2, "maria garcia"), (3, "wei chen")]
+    right = [
+        (10, "jonathan smyth"),   # same 'jo' block, close
+        (11, "maria garcai"),     # same 'ma' block, close
+        (12, "XXwei chen"),       # prefix corrupted -> different block
+        (13, "zz unrelated"),
+    ]
+    got = run(left, right)
+    assert (1, 10) in got and (2, 11) in got
+    # blocking trade-off: the prefix-corrupted duplicate is unmatchable
+    assert all(l != 3 for l, _ in got)
+    assert all(r != 13 for _, r in got)
+
+
+def test_distinct_name_fanout(ray_session):
+    """Repeated identical names on both sides produce the full id
+    cross-product per matching name pair."""
+    left = [(1, "acme corp"), (2, "acme corp"), (3, "other")]
+    right = [(10, "acme corp"), (11, "acme corp")]
+    got = run(left, right, threshold=0.99)
+    assert got == [(1, 10), (1, 11), (2, 10), (2, 11)]
+
+
+def test_empty_sides(ray_session):
+    assert run([(1, "abc")], [(2, "zzz")]) == []

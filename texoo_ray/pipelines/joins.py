@@ -520,3 +520,145 @@ def purchase_attribution(events_ds, strict: bool = True, salt_us=None):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --- blocked fuzzy join (record linkage) ---------------------------------
+
+
+def jaro_winkler_std(a: str, b: str) -> float:
+    """Standard Jaro-Winkler similarity with the classic Winkler gate
+    (prefix bonus only when jaro > 0.7, prefix capped at 4, scale 0.1;
+    either-empty -> 0.0) — bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` (verified by fuzzing), which is what the
+    fuzzy_join oracle compares against. The linker keeps its own variant
+    (ungated bonus) mirroring the reference's rerank
+    (texoo-entity-linking/.../LuceneArticleIndex.java:180-214)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    w = max(la, lb) // 2 - 1
+    if w < 0:
+        w = 0
+    bm = [False] * lb
+    am = [False] * la
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - w), min(lb, i + w + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ca:
+                bm[j] = True
+                am[i] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / la + m / lb + (m - t) / m) / 3.0
+    if j > 0.7:
+        p = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            p += 1
+        j = j + p * 0.1 * (1.0 - j)
+    return j
+
+
+def fuzzy_join(
+    left,
+    right,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    threshold: float = 0.9,
+    block_chars: int = 2,
+):
+    """Blocked fuzzy (record-linkage) join: pairs of (left, right) rows
+    whose names have Jaro-Winkler similarity >= ``threshold``, compared
+    only WITHIN blocks sharing the first ``block_chars`` characters —
+    the classic blocking trade-off (pairs whose corruption touches the
+    block prefix are unmatchable by construction; pick the key
+    accordingly). Returns Dataset[(l_id, r_id, sim_micro)].
+
+    Shape: one tagged-union exchange on the block key; inside a block
+    the JW computation runs on DISTINCT-NAME pairs only and fans the
+    verdict out to id pairs vectorized — cost |distinct_L| x
+    |distinct_R| per block, not rows x rows. Hot blocks (a very common
+    prefix) are the skew axis: lengthen the key, or pre-salt exactly
+    like the minhash buckets (SCALE.md). At 100 TB the block exchange
+    is the only corpus-sized move."""
+    import ray.data
+
+    def tag(side: str, id_col: str, name_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            names = pc.fill_null(batch[name_col].cast(pa.string()), "")
+            return pa.table(
+                {
+                    "block": pc.utf8_slice_codeunits(names, 0, block_chars),
+                    "side": pa.array([side] * batch.num_rows, pa.string()),
+                    "rid": pc.cast(batch[id_col], pa.int64()),
+                    "name": names,
+                }
+            )
+
+        return fn
+
+    both = left.map_batches(
+        tag("l", left_id, left_name), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag("r", right_id, right_name), batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            "l_id": pa.array([], pa.int64()),
+            "r_id": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    def match_block(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group["side"].to_pylist())
+        ids = np.asarray(group["rid"], dtype=np.int64)
+        names = np.asarray(group["name"].to_pylist(), dtype=object)
+        lm = sides == "l"
+        rm = ~lm
+        if not lm.any() or not rm.any():
+            return empty
+        # ids per distinct name, per side
+        l_names, l_inv = np.unique(names[lm], return_inverse=True)
+        r_names, r_inv = np.unique(names[rm], return_inverse=True)
+        l_ids = [ids[lm][l_inv == i] for i in range(len(l_names))]
+        r_ids = [ids[rm][r_inv == i] for i in range(len(r_names))]
+        out_l, out_r, out_s = [], [], []
+        for i, ln in enumerate(l_names):
+            for j, rn in enumerate(r_names):
+                sim = jaro_winkler_std(ln, rn)
+                if sim >= threshold:
+                    micro = int(np.floor(sim * 1e6 + 0.5))
+                    li, rj = l_ids[i], r_ids[j]
+                    out_l.append(np.repeat(li, len(rj)))
+                    out_r.append(np.tile(rj, len(li)))
+                    out_s.append(
+                        np.full(len(li) * len(rj), micro, dtype=np.int64)
+                    )
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                "l_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "r_id": pa.array(np.concatenate(out_r), pa.int64()),
+                "sim_micro": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    return both.groupby("block").map_groups(match_block, batch_format="pyarrow")
