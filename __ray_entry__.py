@@ -2617,6 +2617,21 @@ def _q_postings_search(sf_dir: str):
     return search_postings(idx, ["table", "query", "value"], k=20)
 
 
+def _q_context_windows(sf_dir: str):
+    """Chat-training example construction over the transcript corpus
+    (pipelines/conversations.py::context_windows): each non-opening
+    assistant turn paired with its previous 3 turns as context — one
+    conv-keyed exchange + in-group turn order restore, output bounded
+    by assistant turns x k. Oracle: string_agg window with a ROWS
+    BETWEEN 3 PRECEDING AND 1 PRECEDING frame."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import context_windows
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    return context_windows(ds, k=3).sort(["conv_id", "turn_idx"])
+
+
 def _q_fuzzy_join(sf_dir: str):
     """Blocked fuzzy join / record linkage (pipelines/joins.py::
     fuzzy_join): part names vs a planted DIRTY side (chars 3/4 swapped,
@@ -2861,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "ntile_shards": _q_ntile_shards,
         "fuzzy_join": _q_fuzzy_join,
+        "context_windows": _q_context_windows,
     }
 
 
@@ -3291,6 +3307,23 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1)
             SELECT doc_id, total_tf FROM m WHERE nt = 3
             ORDER BY total_tf DESC, doc_id LIMIT 20
+        """,
+        "context_windows": """
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, coalesce(text, '') AS text
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            w AS (
+              SELECT conv_id, turn_idx, role, text,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS rn,
+                     string_agg(role || ': ' || text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+              FROM t)
+            SELECT conv_id, turn_idx, coalesce(context, '') AS context,
+                   text AS target
+            FROM w WHERE role = 'assistant' AND rn > 1
+            ORDER BY conv_id, turn_idx
         """,
         "fuzzy_join": r"""
             WITH dirty AS (

@@ -176,6 +176,7 @@ def run_queries() -> dict:
         "phrase_search",
         "ntile_shards",
         "fuzzy_join",
+        "context_windows",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

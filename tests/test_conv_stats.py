@@ -72,3 +72,53 @@ class TestResponseLatency:
         assert out.loc["c1", "sum_response_us"] == 5_000_000
         assert out.loc["c1", "sum_gap_us"] == 31_000_000  # 5s + 25s + 1s
         assert out.loc["c2", "n_responses"] == 0 and out.loc["c2", "sum_gap_us"] == 0
+
+
+def test_context_windows(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import context_windows
+
+    turns = [
+        # conv a: user, assistant, tool, assistant, assistant
+        {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "q1"},
+        {"conv_id": "a", "turn_idx": 1, "role": "assistant", "text": "a1"},
+        {"conv_id": "a", "turn_idx": 2, "role": "tool", "text": "t1"},
+        {"conv_id": "a", "turn_idx": 3, "role": "assistant", "text": "a2"},
+        {"conv_id": "a", "turn_idx": 4, "role": "assistant", "text": None},
+        # conv b: assistant opener is skipped
+        {"conv_id": "b", "turn_idx": 0, "role": "assistant", "text": "x"},
+        {"conv_id": "b", "turn_idx": 1, "role": "user", "text": "y"},
+    ]
+    ds = ray.data.from_items(turns).repartition(3)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["context"], r["target"])
+        for r in context_windows(ds, k=2).take_all()
+    }
+    assert got == {
+        ("a", 1): ("user: q1", "a1"),
+        ("a", 3): ("assistant: a1\ntool: t1", "a2"),
+        ("a", 4): ("tool: t1\nassistant: a2", ""),
+    }
+
+
+def test_context_windows_k_window_and_cap(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import context_windows
+
+    turns = [
+        {"conv_id": "c", "turn_idx": i, "role": "user" if i % 2 == 0 else "assistant",
+         "text": f"t{i}"}
+        for i in range(8)
+    ]
+    ds = ray.data.from_items(turns)
+    got = {r["turn_idx"]: r["context"] for r in context_windows(ds, k=2).take_all()}
+    # k=2: context is exactly the two preceding turns
+    assert got[5] == "assistant: t3\nuser: t4"
+    # cap truncates the conversation before window construction
+    got_cap = {
+        r["turn_idx"]: r["context"]
+        for r in context_windows(ds, k=2, max_turns_per_group=4).take_all()
+    }
+    assert set(got_cap) == {1, 3}

@@ -307,3 +307,45 @@ def conv_integrity(ds, id_col: str = "conv_id"):
     return (
         ds.groupby(id_col).map_groups(per_conv, batch_format="pyarrow").sort(id_col)
     )
+
+
+def context_windows(ds, k: int = 3, max_turns_per_group: int = 10000):
+    """Chat-training example construction: for every assistant turn
+    that is not the conversation opener, emit the previous ``k`` turns
+    as context and the assistant text as target —
+    Dataset[(conv_id, turn_idx, context, target)]. Context lines are
+    ``role: text`` joined by newlines, in turn order (SQL ROWS BETWEEN
+    k PRECEDING AND 1 PRECEDING frame semantics).
+
+    Shape: the same single conv-keyed exchange as
+    :func:`concat_conversations` (groupby(conv_id) + in-group turn_idx
+    sort — the north rule's ordering restore); per-group work is linear
+    in turns with the same ``max_turns_per_group`` cap. Output rows are
+    bounded by the assistant-turn count, each carrying <= k turns of
+    text — no quadratic blowup for long conversations.
+    """
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("turn_idx")
+        if len(df) > max_turns_per_group:
+            df = df.iloc[:max_turns_per_group]
+        roles = df["role"].tolist()
+        texts = [t or "" for t in df["text"].tolist()]
+        idxs = df["turn_idx"].tolist()
+        fmt = ["%s: %s" % (r, t) for r, t in zip(roles, texts)]
+        out_idx, out_ctx, out_tgt = [], [], []
+        for i, r in enumerate(roles):
+            if r == "assistant" and i > 0:
+                out_idx.append(idxs[i])
+                out_ctx.append("\n".join(fmt[max(0, i - k) : i]))
+                out_tgt.append(texts[i])
+        return pd.DataFrame(
+            {
+                "conv_id": [df["conv_id"].iloc[0]] * len(out_idx),
+                "turn_idx": pd.array(out_idx, dtype="int32"),
+                "context": out_ctx,
+                "target": out_tgt,
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
