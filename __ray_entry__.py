@@ -2617,6 +2617,19 @@ def _q_postings_search(sf_dir: str):
     return search_postings(idx, ["table", "query", "value"], k=20)
 
 
+def _q_hll_bigrams(sf_dir: str):
+    """HyperLogLog distinct-bigram estimate WITH a bit-exact SQL mirror
+    (stages/sketches.py::hll_bigram_distinct): md5-prefix register
+    index + rank, 64-group Max merge (zero corpus shuffle), estimator
+    in exact integer arithmetic (raw branch) / libm ln (linear-counting
+    branch). The single output row carries the estimate AND the exact
+    distinct count, both hash-checked."""
+    from texoo_ray.stages.sketches import hll_bigram_distinct
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return hll_bigram_distinct(ds)
+
+
 def _q_context_windows(sf_dir: str):
     """Chat-training example construction over the transcript corpus
     (pipelines/conversations.py::context_windows): each non-opening
@@ -2877,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_shards": _q_ntile_shards,
         "fuzzy_join": _q_fuzzy_join,
         "context_windows": _q_context_windows,
+        "hll_bigrams": _q_hll_bigrams,
     }
 
 
@@ -3290,8 +3304,62 @@ _PQ_CTES = """
 """
 
 
+def _hll_oracle_sql() -> str:
+    """DuckDB mirror of hll_bigram_distinct (stages/sketches.py): the
+    register index / rank come from the md5 prefix (j = h // 2^58,
+    rho = 59 - bit_length(h % 2^58) via a 58-row powers lookup), the
+    raw-branch estimator is exact HUGEINT arithmetic, the
+    linear-counting branch the same libm ln both engines call."""
+    pw = ",\n              ".join(
+        "(%d, %d)" % (r, 1 << (58 - r)) for r in range(1, 59)
+    )
+    pw2 = ",\n              ".join(
+        "(%d, %d)" % (mj, 1 << (59 - mj)) for mj in range(0, 60)
+    )
+    return r"""
+            WITH words AS MATERIALIZED (
+              SELECT regexp_extract_all(lower(coalesce(text, '')), '\w+') AS w
+              FROM documents),
+            bg AS MATERIALIZED (
+              SELECT DISTINCT w[i] || ' ' || w[i + 1] AS g
+              FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+            h AS (SELECT ('0x' || substr(md5(g), 1, 16))::UBIGINT AS hv
+                  FROM bg),
+            reg AS (SELECT (hv // 288230376151711744)::BIGINT AS j,
+                           (hv % 288230376151711744)::UBIGINT AS w58
+                    FROM h),
+            pw(r, v) AS (VALUES __PW__),
+            rho AS (SELECT j,
+                           coalesce((SELECT min(r) FROM pw
+                                     WHERE w58 >= v::UBIGINT), 59)::BIGINT
+                             AS rho
+                    FROM reg),
+            mx AS (SELECT j, max(rho) AS mj FROM rho GROUP BY j),
+            regs AS (SELECT gs.j, coalesce(mx.mj, 0)::BIGINT AS mj
+                     FROM (SELECT unnest(range(0, 64)) AS j) gs
+                     LEFT JOIN mx ON mx.j = gs.j),
+            pw2(mj, pv) AS (VALUES __PW2__),
+            s AS (SELECT sum(pw2.pv::HUGEINT)::HUGEINT AS snum,
+                         sum(CASE WHEN regs.mj = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS v
+                  FROM regs JOIN pw2 ON pw2.mj = regs.mj),
+            e AS (SELECT (709::HUGEINT * 64 * 64 *
+                          576460752303423488::HUGEINT * 1000) // snum
+                           AS raw_micro,
+                         v FROM s),
+            x AS (SELECT count(*)::BIGINT AS exact_distinct FROM bg)
+            SELECT CASE WHEN raw_micro <= 160000000 AND v > 0
+                        THEN CAST(floor(64 * ln(64.0 / v) * 1000000 + 0.5)
+                                  AS BIGINT)
+                        ELSE raw_micro::BIGINT END AS est_micro,
+                   v AS v_empty, exact_distinct
+            FROM e, x
+        """.replace("__PW__", pw).replace("__PW2__", pw2)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_bigrams": _hll_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(8),
         "bpe_token_count": _bpe_token_count_oracle_sql(8),
         "postings_search": r"""

@@ -177,6 +177,7 @@ def run_queries() -> dict:
         "ntile_shards",
         "fuzzy_join",
         "context_windows",
+        "hll_bigrams",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -151,3 +151,40 @@ def test_phrase_search_requires_positions(index_dir):
 
     with pytest.raises(ValueError):
         phrase_search(index_dir, ["alpha", "beta"])
+
+
+def test_incremental_update_equals_full_rebuild(ray_session, tmp_path):
+    import ray.data
+
+    from texoo_ray.stages.postings import (
+        build_postings,
+        phrase_search,
+        search_postings,
+        update_postings,
+    )
+
+    old = [{"doc_id": i, "text": t} for i, t in DOCS]
+    new = [
+        {"doc_id": 100, "text": "alpha beta gamma beta gamma"},
+        {"doc_id": 101, "text": "delta epsilon alpha"},
+    ]
+    inc = build_postings(
+        ray.data.from_items(old), str(tmp_path / "inc"), n_buckets=8,
+        positions=True,
+    )
+    update_postings(inc, ray.data.from_items(new))
+    full = build_postings(
+        ray.data.from_items(old + new), str(tmp_path / "full"), n_buckets=8,
+        positions=True,
+    )
+    for terms in (["alpha", "beta"], ["delta"], ["alpha", "epsilon"]):
+        a = sorted(map(tuple, (r.values() for r in
+                               search_postings(inc, terms).take_all())))
+        b = sorted(map(tuple, (r.values() for r in
+                               search_postings(full, terms).take_all())))
+        assert a == b, terms
+    pa_ = sorted(map(tuple, (r.values() for r in
+                             phrase_search(inc, ["beta", "gamma"]).take_all())))
+    pb_ = sorted(map(tuple, (r.values() for r in
+                             phrase_search(full, ["beta", "gamma"]).take_all())))
+    assert pa_ == pb_

@@ -131,7 +131,12 @@ def _pair_partial(batch: pa.Table) -> pa.Table:
     return pa.table({"pair": dk.dictionary, "cnt": pa.array(cnt, pa.int64())})
 
 
-def bpe_learn(ds, text_col: str = "text", n_merges: int = 8) -> pa.Table:
+def bpe_learn(
+    ds,
+    text_col: str = "text",
+    n_merges: int = 8,
+    materialize_every: int = 16,
+) -> pa.Table:
     """Learn ``n_merges`` BPE merges over the corpus; returns a driver
     table (merge_idx, lhs, rhs, freq) — n_merges rows (fewer iff the
     vocabulary runs out of adjacent pairs first).
@@ -139,6 +144,14 @@ def bpe_learn(ds, text_col: str = "text", n_merges: int = 8) -> pa.Table:
     Round structure: pair partials (vectorized, word-table map) ->
     pair-vocabulary groupby -> 1-row deterministic pick (max cnt,
     lexicographically smallest pair) -> vectorized literal replace.
+
+    The replace of round r is FUSED into round r+1's counting map (the
+    pending merges apply to each batch before pair counting), so a
+    round costs ONE Ray job, not two — at bench scale the word table is
+    tiny and job-launch overhead dominates. ``materialize_every`` bounds
+    the re-applied chain: after that many pending merges the word table
+    is rewritten once, keeping total replace work O(R * materialize_every
+    * vocab) instead of O(R^2 * vocab) for large merge counts.
     """
     from ray.data.aggregate import Sum
 
@@ -147,12 +160,49 @@ def bpe_learn(ds, text_col: str = "text", n_merges: int = 8) -> pa.Table:
     def to_seq(batch: pa.Table) -> pa.Table:
         return pa.table({"seq": _wrap(batch["word"]), "freq": batch["freq"]})
 
-    wt = wt.map_batches(to_seq, batch_format="pyarrow").materialize()
+    base = wt.map_batches(to_seq, batch_format="pyarrow").materialize()
+
+    def apply_pending(seq, pending):
+        for l, rr in pending:
+            seq = pc.replace_substring(
+                seq, _US + l + _US + _US + rr + _US, _US + l + rr + _US
+            )
+        return seq
+
+    def make_partial(pending):
+        def fn(batch: pa.Table) -> pa.Table:
+            return _pair_partial(
+                pa.table(
+                    {
+                        "seq": apply_pending(batch["seq"], pending),
+                        "freq": batch["freq"],
+                    }
+                )
+            )
+
+        return fn
+
+    def make_apply(pending):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "seq": apply_pending(batch["seq"], pending),
+                    "freq": batch["freq"],
+                }
+            )
+
+        return fn
 
     merges: List[Tuple[int, str, str, int]] = []
+    pending: List[Tuple[str, str]] = []
     for r in range(n_merges):
+        if len(pending) >= materialize_every:
+            base = base.map_batches(
+                make_apply(tuple(pending)), batch_format="pyarrow"
+            ).materialize()
+            pending = []
         best = (
-            wt.map_batches(_pair_partial, batch_format="pyarrow")
+            base.map_batches(make_partial(tuple(pending)), batch_format="pyarrow")
             .groupby("pair")
             .aggregate(Sum("cnt", alias_name="cnt"))
             .sort(["cnt", "pair"], descending=[True, False])
@@ -163,18 +213,7 @@ def bpe_learn(ds, text_col: str = "text", n_merges: int = 8) -> pa.Table:
             break
         lhs, rhs = best[0]["pair"].split(_US)
         merges.append((r + 1, lhs, rhs, int(best[0]["cnt"])))
-        pattern = _US + lhs + _US + _US + rhs + _US
-        repl = _US + lhs + rhs + _US
-
-        def apply(batch: pa.Table, p=pattern, q=repl) -> pa.Table:
-            return pa.table(
-                {
-                    "seq": pc.replace_substring(batch["seq"], p, q),
-                    "freq": batch["freq"],
-                }
-            )
-
-        wt = wt.map_batches(apply, batch_format="pyarrow").materialize()
+        pending.append((lhs, rhs))
 
     if not merges:
         return _MERGE_SCHEMA.empty_table()

@@ -267,3 +267,29 @@ def phrase_search(index_dir: str, phrase: Sequence[str], k: int = 20):
         .sort(["n_occ", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def update_postings(index_dir: str, new_ds, text_col: str = "text") -> str:
+    """Incrementally add NEW documents to an existing postings index:
+    their postings rows append as new parquet files inside the existing
+    ``bucket=i/`` directories (Ray names output files uniquely, so this
+    never rewrites or clobbers prior files). Searches over the updated
+    index equal a fresh build over the union corpus because a (term,
+    doc) row exists exactly once globally — new doc ids must be new.
+
+    This is the index-maintenance half of the CDC story
+    (pipelines/relational.py::upsert_merge): at 100 TB re-building the
+    postings layout per crawl snapshot is a full corpus pass, while the
+    update costs one pass over the DELTA only."""
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    # identical layout parameters; build_postings would also rewrite the
+    # manifest, which is byte-identical here
+    return build_postings(
+        new_ds,
+        index_dir,
+        text_col=text_col,
+        id_col=man["id_col"],
+        n_buckets=int(man["n_buckets"]),
+        positions=bool(man.get("positions")),
+    )

@@ -6,14 +6,17 @@ stages/encoders.py); this module adds the distinct-COUNT side: a KMV
 (k-minimum-values) sketch for estimating the number of distinct words
 in a corpus without a corpus-wide distinct shuffle.
 
-Why KMV and not HLL here: KMV over a deterministic hash is itself
-deterministic AND exactly reproducible in SQL (the k smallest distinct
-md5-prefix values are a plain ``ORDER BY h LIMIT k``), so the sketch —
-an *approximate* algorithm — still gets a bit-exact DuckDB oracle: both
-engines agree on the estimate because they agree on the k-th smallest
-hash. Estimation error vs the true distinct count is the usual
-~1/sqrt(k) (Bar-Yossef et al. 2002, "Counting distinct elements in a
-data stream").
+KMV over a deterministic hash is itself deterministic AND exactly
+reproducible in SQL (the k smallest distinct md5-prefix values are a
+plain ``ORDER BY h LIMIT k``), so the sketch — an *approximate*
+algorithm — still gets a bit-exact DuckDB oracle: both engines agree on
+the estimate because they agree on the k-th smallest hash. Estimation
+error vs the true distinct count is the usual ~1/sqrt(k) (Bar-Yossef
+et al. 2002, "Counting distinct elements in a data stream"). The same
+trick extends to the register-sketch family: ``hll_bigram_distinct``
+below is a HyperLogLog (Flajolet et al. 2007) whose register index and
+rank derive from the md5 prefix, with the estimator evaluated in exact
+integer arithmetic — so even HLL hash-matches a DuckDB mirror.
 
 Scale shape: the sketch state is <= k int64s; blocks accumulate locally
 (vectorized md5 over each batch's DISTINCT words only) and states merge
@@ -309,5 +312,132 @@ def kmv_source_overlap(
             "n_common": pa.array(out["n_common"], pa.int64()),
             "est_union": pa.array(out["est_union"], pa.int64()),
             "est_intersection": pa.array(out["est_intersection"], pa.int64()),
+        }
+    )
+
+
+# --- HyperLogLog with a bit-exact SQL mirror ------------------------------
+
+_HLL_M = 64  # registers (b = 6 index bits)
+_HLL_WBITS = 58  # rank bits; rho in [1, 59]
+# alpha_64 = 0.709 (Flajolet et al. 2007, Fig. 3 constants) as a rational
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000
+
+
+def _hll_update(regs: np.ndarray, items) -> None:
+    """Fold distinct string items into a 64-register HLL state.
+
+    The hash is the md5 16-hex-char prefix as a uint64 — top 6 bits pick
+    the register, rho = position of the highest set bit in the low 58
+    bits counted from the top (59 when they are all zero). md5 keeps the
+    whole sketch SQL-expressible: DuckDB rebuilds the identical
+    registers from ('0x' || substr(md5(x), 1, 16))::UBIGINT.
+    """
+    for it in items:
+        h = int(hashlib.md5(it.encode("utf-8")).hexdigest()[:16], 16)
+        j = h >> _HLL_WBITS
+        w = h & ((1 << _HLL_WBITS) - 1)
+        rho = _HLL_WBITS - w.bit_length() + 1
+        if rho > regs[j]:
+            regs[j] = rho
+
+
+def hll_estimate_micro(regs: np.ndarray) -> tuple[int, int]:
+    """(est_micro, v_empty) from a 64-register state — EXACT integer
+    arithmetic on the raw branch (sum of 2^-M with common denominator
+    2^59, floor division), libm ln on the linear-counting branch (the
+    same ln DuckDB uses; precedent: stages/lm.py log-prob micros)."""
+    import math
+
+    v = int((regs == 0).sum())
+    snum = int(sum(1 << (59 - int(mj)) for mj in regs))
+    raw_micro = (
+        _HLL_ALPHA_NUM * _HLL_M * _HLL_M * (1 << 59) * (10**6 // _HLL_ALPHA_DEN)
+    ) // snum
+    if raw_micro <= 25 * _HLL_M * 10**5 and v > 0:  # raw <= 2.5 m
+        est_micro = int(
+            math.floor(_HLL_M * math.log(_HLL_M / v) * 1e6 + 0.5)
+        )
+    else:
+        est_micro = raw_micro
+    return est_micro, v
+
+
+def hll_bigram_distinct(ds, text_col: str = "text") -> pa.Table:
+    """Distinct-BIGRAM count: HLL estimate + exact check in one result
+    row (est_micro, v_empty, exact_distinct).
+
+    Two passes: (1) per-batch partials fold each batch's DISTINCT
+    adjacent word pairs into <= 64 (register, rho) rows, merged by one
+    64-group ``Max`` aggregate — zero corpus shuffle; (2) the exact
+    count is the plain distinct-bigram groupby for comparison. KMV
+    (above) covers distinct WORDS with an order-statistics mirror; this
+    shows the register-sketch family gets a bit-exact DuckDB oracle
+    too, because the register index and rank derive from the md5 prefix
+    both engines compute.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .text_stats import _doc_word_codes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _doc_word_codes(batch[text_col])
+        words = np.asarray(dic.to_pylist(), dtype=object)
+        if len(codes) > 1:
+            adj = doc_of[1:] == doc_of[:-1]
+            c1 = codes[:-1][adj]
+            c2 = codes[1:][adj]
+            pairs = np.unique(np.stack([c1, c2], axis=1), axis=0)
+            grams = [
+                words[a] + " " + words[b] for a, b in pairs.tolist()
+            ]
+        else:
+            grams = []
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        _hll_update(regs, grams)
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "j": pa.array(nz, pa.int64()),
+                "rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()
+    )
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    for r in merged:
+        regs[int(r["j"])] = int(r["rho"])
+    est_micro, v = hll_estimate_micro(regs)
+
+    # exact distinct bigrams: per-batch distinct pairs -> one groupby
+    def bg_rows(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _doc_word_codes(batch[text_col])
+        words = np.asarray(dic.to_pylist(), dtype=object)
+        if len(codes) > 1:
+            adj = doc_of[1:] == doc_of[:-1]
+            pairs = np.unique(
+                np.stack([codes[:-1][adj], codes[1:][adj]], axis=1), axis=0
+            )
+            grams = [words[a] + " " + words[b] for a, b in pairs.tolist()]
+        else:
+            grams = []
+        return pa.table({"g": pa.array(grams, pa.string())})
+
+    exact = (
+        ds.map_batches(bg_rows, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    return pa.table(
+        {
+            "est_micro": pa.array([est_micro], pa.int64()),
+            "v_empty": pa.array([v], pa.int64()),
+            "exact_distinct": pa.array([int(exact)], pa.int64()),
         }
     )
