@@ -1124,6 +1124,16 @@ def _q_order_rollup(sf_dir: str):
     return order_rollup(ds)
 
 
+def _q_order_cube(sf_dir: str):
+    """GROUP BY CUBE in one pass (DuckDB CUBE oracle): all four grouping
+    sets derived locally from each batch's finest-level partials, one
+    small global groupby (pipelines/relational.py::order_cube)."""
+    from texoo_ray.pipelines.relational import order_cube
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return order_cube(ds)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrubbing (emails/IPv4/phones -> placeholder tokens), fully
     vectorized in Arrow RE2; hash-checked against DuckDB regexp_replace
@@ -2848,6 +2858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "order_rollup": _q_order_rollup,
+        "order_cube": _q_order_cube,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
         "cross_source_overlap": _q_cross_source_overlap,
@@ -5085,6 +5096,16 @@ def oracle_sql() -> dict[str, str]:
                      AS total_cents
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "order_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                     AS total_cents
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
         """,
         "knn_ivf": """

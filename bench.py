@@ -178,6 +178,7 @@ def run_queries() -> dict:
         "fuzzy_join",
         "context_windows",
         "hll_bigrams",
+        "order_cube",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

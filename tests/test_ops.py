@@ -1720,3 +1720,35 @@ def test_order_rollup_levels(ray_session):
     re = fine.groupby("o_orderpriority")["total_cents"].sum()
     for pr, v in re.items():
         assert int(mid[mid["o_orderpriority"] == pr]["total_cents"].iloc[0]) == int(v)
+
+
+def test_order_cube_levels(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from texoo_ray.pipelines.relational import order_cube
+
+    rng = np.random.RandomState(9)
+    n = 300
+    tbl = pa.table(
+        {
+            "o_orderpriority": pa.array(rng.choice(["1-HI", "2-LO"], n), pa.string()),
+            "o_orderstatus": pa.array(rng.choice(["O", "F"], n), pa.string()),
+            "o_totalprice": pa.array(np.round(rng.rand(n) * 1000, 2), pa.float64()),
+        }
+    )
+    out = order_cube(ray.data.from_arrow(tbl).repartition(5)).to_pandas()
+    fine = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] != "ALL")]
+    by_pr = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] == "ALL")]
+    by_st = out[(out["o_orderpriority"] == "ALL") & (out["o_orderstatus"] != "ALL")]
+    total = out[(out["o_orderpriority"] == "ALL") & (out["o_orderstatus"] == "ALL")]
+    # 4 grouping sets, each summing to the same grand totals
+    assert len(total) == 1 and int(total["n_orders"].iloc[0]) == n
+    for lvl in (fine, by_pr, by_st):
+        assert int(lvl["n_orders"].sum()) == n
+        assert int(lvl["total_cents"].sum()) == int(total["total_cents"].iloc[0])
+    # the (ALL, status) slice equals the fine level re-aggregated
+    re = fine.groupby("o_orderstatus")["total_cents"].sum()
+    for st, v in re.items():
+        assert int(by_st[by_st["o_orderstatus"] == st]["total_cents"].iloc[0]) == int(v)

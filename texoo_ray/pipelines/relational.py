@@ -536,3 +536,68 @@ def profile_columns(ds, int_cols: list, str_cols: list):
     return stats.join(nd, "inner", 4, on=("column",)).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def order_cube(orders_ds):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus) in ONE pass —
+    :func:`order_rollup` plus the (ALL, status) slice: every batch
+    groups once at the finest level and derives all four grouping sets
+    from those tiny partials locally, so the shuffle carries <= 4x the
+    finest-level cardinality per block (independent of data size) and
+    one small global groupby finishes every slice together. Output keys
+    use 'ALL' where SQL CUBE emits NULL (the oracle coalesces).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(_cents(batch["o_totalprice"]))
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": cents,
+            }
+        )
+        fine = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        levels = [
+            pa.table(
+                {
+                    "o_orderpriority": fine["o_orderpriority"],
+                    "o_orderstatus": fine["o_orderstatus"],
+                    "n_orders": pc.cast(fine["cents_count"], pa.int64()),
+                    "total_cents": fine["cents_sum"],
+                }
+            )
+        ]
+        for keys in (["o_orderpriority"], ["o_orderstatus"], []):
+            g = fine.group_by(keys).aggregate(
+                [("cents_sum", "sum"), ("cents_count", "sum")]
+            )
+            n = g.num_rows
+            levels.append(
+                pa.table(
+                    {
+                        "o_orderpriority": g["o_orderpriority"]
+                        if "o_orderpriority" in keys
+                        else pa.array(["ALL"] * n),
+                        "o_orderstatus": g["o_orderstatus"]
+                        if "o_orderstatus" in keys
+                        else pa.array(["ALL"] * n),
+                        "n_orders": pc.cast(g["cents_count_sum"], pa.int64()),
+                        "total_cents": g["cents_sum_sum"],
+                    }
+                )
+            )
+        return pa.concat_tables(levels)
+
+    return (
+        orders_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort(["o_orderpriority", "o_orderstatus"])
+    )
