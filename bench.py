@@ -295,7 +295,9 @@ def main_scaling() -> dict:
     """
 
     lo, hi = 8, 32
-    trials_lo = [_spawn("--headline-once", ncpu=lo) for _ in range(2)]
+    # symmetric trial counts: min-of-trials estimates each level's quiet
+    # window; an asymmetric count would give one side a better draw
+    trials_lo = [_spawn("--headline-once", ncpu=lo) for _ in range(3)]
     trials_hi = [_spawn("--headline-once", ncpu=hi) for _ in range(3)]
     r_lo = min(trials_lo, key=lambda r: r["sec"])
     r_hi = min(trials_hi, key=lambda r: r["sec"])
