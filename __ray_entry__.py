@@ -1124,6 +1124,52 @@ def _q_order_rollup(sf_dir: str):
     return order_rollup(ds)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """CDC detection between two snapshots (pipelines/relational.py::
+    snapshot_diff): the planted new snapshot drops every 13th order,
+    doubles every 7th price, and adds re-keyed rows — the diff emits
+    added/removed/changed only (delta-sized output) from ONE tagged
+    union exchange, no join operator. Oracle: FULL OUTER JOIN + CASE."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.relational import snapshot_diff
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": batch["o_orderkey"], "cents": c})
+
+    base = orders.map_batches(cents, batch_format="pyarrow")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        c = np.asarray(batch["cents"], dtype=np.int64)
+        keep = k % 13 != 0
+        ko, co = k[keep], c[keep].copy()
+        co[ko % 7 == 0] *= 2
+        added = k % 11 == 0
+        ka, ca = k[added] + 1000000, c[added]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([ko, ka]), pa.int64()
+                ),
+                "cents": pa.array(np.concatenate([co, ca]), pa.int64()),
+            }
+        )
+
+    new = base.map_batches(plant, batch_format="pyarrow")
+
+    def val(batch: pa.Table):
+        return pc.cast(batch["cents"], pa.string())
+
+    return snapshot_diff(base, new, "o_orderkey", val).sort("o_orderkey")
+
+
 def _q_order_cube(sf_dir: str):
     """GROUP BY CUBE in one pass (DuckDB CUBE oracle): all four grouping
     sets derived locally from each batch's finest-level partials, one
@@ -2859,6 +2905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": _q_doc_len_quantiles,
         "order_rollup": _q_order_rollup,
         "order_cube": _q_order_cube,
+        "snapshot_diff": _q_snapshot_diff,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
         "cross_source_overlap": _q_cross_source_overlap,
@@ -5097,6 +5144,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+              FROM orders),
+            newt AS (
+              SELECT k, CASE WHEN k % 7 = 0 THEN c * 2 ELSE c END AS c
+              FROM base WHERE k % 13 <> 0
+              UNION ALL
+              SELECT k + 1000000, c FROM base WHERE k % 11 = 0),
+            j AS (
+              SELECT coalesce(o.k, n.k) AS o_orderkey,
+                     CASE WHEN o.k IS NULL THEN 'added'
+                          WHEN n.k IS NULL THEN 'removed'
+                          WHEN o.c <> n.c THEN 'changed'
+                          ELSE 'unchanged' END AS change
+              FROM base o FULL OUTER JOIN newt n ON n.k = o.k)
+            SELECT o_orderkey, change FROM j
+            WHERE change <> 'unchanged' ORDER BY o_orderkey
         """,
         "order_cube": """
             SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

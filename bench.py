@@ -179,6 +179,7 @@ def run_queries() -> dict:
         "context_windows",
         "hll_bigrams",
         "order_cube",
+        "snapshot_diff",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -169,3 +169,46 @@ class TestCentsCrossEngine:
             assert ours == sql, (price, disc)
 
         check()
+
+
+def test_snapshot_diff(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from texoo_ray.pipelines.relational import snapshot_diff
+
+    old = ray.data.from_items(
+        [{"k": i, "v": f"val{i}"} for i in range(10)]
+    ).repartition(3)
+    new = ray.data.from_items(
+        # 0..7 kept (5 changed), 8-9 removed, 100 added
+        [{"k": i, "v": ("CHANGED" if i == 5 else f"val{i}")} for i in range(8)]
+        + [{"k": 100, "v": "brand new"}]
+    ).repartition(2)
+
+    def val(batch: pa.Table):
+        return pc.cast(batch["v"], pa.string())
+
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, "k", val).take_all()
+    }
+    assert got == {5: "changed", 8: "removed", 9: "removed", 100: "added"}
+
+
+def test_snapshot_diff_identical_snapshots_empty(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from texoo_ray.pipelines.relational import snapshot_diff
+
+    rows = [{"k": i, "v": str(i * 3)} for i in range(20)]
+    a = ray.data.from_items(rows).repartition(4)
+    b = ray.data.from_items(rows).repartition(1)
+
+    def val(batch: pa.Table):
+        return pc.cast(batch["v"], pa.string())
+
+    assert snapshot_diff(a, b, "k", val).take_all() == []

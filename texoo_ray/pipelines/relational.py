@@ -601,3 +601,66 @@ def order_cube(orders_ds):
         )
         .sort(["o_orderpriority", "o_orderstatus"])
     )
+
+
+def snapshot_diff(old, new, key: str, value_expr):
+    """Change-data-capture detection between two snapshots of a keyed
+    table: Dataset[(key, change)] with ``change`` in
+    ``added | removed | changed`` (unchanged rows are dropped — at
+    snapshot scale they are almost everything, so the output is
+    delta-sized). ``value_expr(batch) -> pa.StringArray`` renders the
+    row content being compared; keys must be unique within each
+    snapshot.
+
+    Shape: one tagged-union hash exchange on the key. Each side's
+    partial emits (key, old_v, new_v) with a presence-prefixed value on
+    its own side and '' on the other, so the classification survives a
+    plain ``Max`` aggregate — no join operator, no map_groups, at most
+    one row per key per side per block. The detection half of the CDC
+    story next to :func:`upsert_merge` (the apply half).
+    """
+    from ray.data.aggregate import Max
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = pc.binary_join_element_wise("1", value_expr(batch), "")
+            n = batch.num_rows
+            blank = pa.array([""] * n, pa.string())
+            return pa.table(
+                {
+                    key: batch[key],
+                    "old_v": v if side == "old" else blank,
+                    "new_v": v if side == "new" else blank,
+                }
+            )
+
+        return fn
+
+    both = old.map_batches(tag("old"), batch_format="pyarrow").union(
+        new.map_batches(tag("new"), batch_format="pyarrow")
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ov = np.asarray(batch["old_v"].to_pylist(), dtype=object)
+        nv = np.asarray(batch["new_v"].to_pylist(), dtype=object)
+        change = np.where(
+            ov == "",
+            "added",
+            np.where(nv == "", "removed",
+                     np.where(ov != nv, "changed", "unchanged")),
+        )
+        keep = change != "unchanged"
+        return pa.table(
+            {
+                key: batch[key].combine_chunks().filter(pa.array(keep)),
+                "change": pa.array(change[keep], pa.string()),
+            }
+        )
+
+    return (
+        both.groupby(key)
+        .aggregate(
+            Max("old_v", alias_name="old_v"), Max("new_v", alias_name="new_v")
+        )
+        .map_batches(classify, batch_format="pyarrow")
+    )
