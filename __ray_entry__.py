@@ -1124,6 +1124,18 @@ def _q_order_rollup(sf_dir: str):
     return order_rollup(ds)
 
 
+def _q_entity_clusters(sf_dir: str):
+    """Entity resolution over part names (pipelines/joins.py::
+    entity_clusters): blocked fuzzy self-match at JW >= 0.9 ->
+    connected components (star contraction). Oracle: recursive-CTE
+    min-label closure over the identical jaro_winkler_similarity
+    edges."""
+    from texoo_ray.pipelines.joins import entity_clusters
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return entity_clusters(part, "p_partkey", "p_name").sort("p_partkey")
+
+
 def _q_snapshot_diff(sf_dir: str):
     """CDC detection between two snapshots (pipelines/relational.py::
     snapshot_diff): the planted new snapshot drops every 13th order,
@@ -2906,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rollup": _q_order_rollup,
         "order_cube": _q_order_cube,
         "snapshot_diff": _q_snapshot_diff,
+        "entity_clusters": _q_entity_clusters,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
         "cross_source_overlap": _q_cross_source_overlap,
@@ -5144,6 +5157,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "entity_clusters": r"""
+            WITH RECURSIVE
+            e AS (
+              SELECT a.p_partkey AS src, b.p_partkey AS dst
+              FROM part a JOIN part b
+                ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+               AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            nodes AS (SELECT DISTINCT src AS id FROM sym),
+            walk(id, lab) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT s.dst, w.lab
+                FROM walk w JOIN sym s ON s.src = w.id
+                WHERE w.lab < s.dst
+            )
+            SELECT id AS p_partkey, min(lab)::BIGINT AS cluster
+            FROM walk GROUP BY id ORDER BY p_partkey
         """,
         "snapshot_diff": """
             WITH base AS (

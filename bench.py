@@ -180,6 +180,7 @@ def run_queries() -> dict:
         "hll_bigrams",
         "order_cube",
         "snapshot_diff",
+        "entity_clusters",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

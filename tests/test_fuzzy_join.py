@@ -78,3 +78,28 @@ def test_distinct_name_fanout(ray_session):
 
 def test_empty_sides(ray_session):
     assert run([(1, "abc")], [(2, "zzz")]) == []
+
+
+def test_entity_clusters_transitive(ray_session):
+    """a~b and b~c but NOT a~c directly: transitivity must still place
+    all three in one cluster; unrelated rows stay singletons."""
+    import ray.data
+
+    from texoo_ray.pipelines.joins import entity_clusters
+
+    rows = [
+        (1, "jonathan smith"),
+        (2, "jonathan smyth"),   # ~1
+        (3, "jonathan smythe"),  # ~2 (and transitively 1)
+        (4, "totally different"),
+        (5, "jonathan smith"),   # exact dup of 1
+    ]
+    ds = ray.data.from_items(
+        [{"id": i, "name": n} for i, n in rows]
+    ).repartition(2)
+    got = {
+        r["id"]: r["cluster"]
+        for r in entity_clusters(ds, "id", "name", threshold=0.95).take_all()
+    }
+    assert got[1] == got[2] == got[3] == got[5] == 1
+    assert got[4] == 4

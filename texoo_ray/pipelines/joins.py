@@ -662,3 +662,44 @@ def fuzzy_join(
         )
 
     return both.groupby("block").map_groups(match_block, batch_format="pyarrow")
+
+
+def entity_clusters(
+    ds,
+    id_col: str,
+    name_col: str,
+    threshold: float = 0.9,
+    block_chars: int = 2,
+):
+    """Entity resolution: transitively cluster rows whose names fuzzy-
+    match (:func:`fuzzy_join` self-join at ``threshold``) — the classic
+    record-linkage pipeline: block -> pairwise match -> connected
+    components (pipelines/graph.py::connected_components, O(log n)
+    star-contraction rounds). Returns Dataset[(id_col, cluster)] with
+    ``cluster`` = the minimum member id; every row appears (self-match
+    guarantees a self-loop edge, so singletons survive).
+
+    Scale: edges are block-bounded (never all-pairs), the closure is the
+    contraction algorithm — no corpus-sized driver state anywhere.
+    """
+    from .graph import connected_components
+
+    pairs = fuzzy_join(
+        ds, ds, id_col, name_col, id_col, name_col,
+        threshold=threshold, block_chars=block_chars,
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["l_id"], "dst": batch["r_id"]})
+
+    # materialize the match-pair edges (edge-set-sized, never the
+    # corpus): the contraction loop consumes the edge dataset once per
+    # round, and a lazy edge pipeline would re-run the fuzzy join each
+    # time (measured 4x slower end-to-end)
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    comp = connected_components(edges)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["id"], "cluster": batch["component"]})
+
+    return comp.map_batches(rename, batch_format="pyarrow")
