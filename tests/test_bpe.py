@@ -140,3 +140,16 @@ def test_bpe_learn_empty_corpus(ray_session):
     ds = ray.data.from_items([{"text": "???"}, {"text": ""}])
     got = bpe_learn(ds, n_merges=3)
     assert got.num_rows == 0
+
+
+def test_driver_and_distributed_loops_identical(ray_session):
+    """The driver-local merge loop (small-vocab fast path) and the
+    distributed loop must produce the identical merge trajectory."""
+    import ray.data
+
+    ds = ray.data.from_items([{"text": t} for t in TEXTS]).repartition(4)
+    local = bpe_learn(ds, n_merges=6).to_pylist()
+    dist = bpe_learn(ds, n_merges=6, driver_vocab_threshold=0).to_pylist()
+    assert local == dist
+    exp, _ = ref_bpe(TEXTS, 6)
+    assert [(m["merge_idx"], m["lhs"], m["rhs"], m["freq"]) for m in local] == exp

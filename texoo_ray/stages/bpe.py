@@ -131,27 +131,67 @@ def _pair_partial(batch: pa.Table) -> pa.Table:
     return pa.table({"pair": dk.dictionary, "cnt": pa.array(cnt, pa.int64())})
 
 
+def _merge_table(merges) -> pa.Table:
+    if not merges:
+        return _MERGE_SCHEMA.empty_table()
+    idxs, ls, rs, fs = zip(*merges)
+    return pa.table(
+        {
+            "merge_idx": pa.array(idxs, pa.int64()),
+            "lhs": pa.array(ls, pa.string()),
+            "rhs": pa.array(rs, pa.string()),
+            "freq": pa.array(fs, pa.int64()),
+        }
+    )
+
+
+def _bpe_learn_local(seq: pa.Array, freq: pa.Array, n_merges: int):
+    """The merge loop on a driver-resident word table — the SAME
+    primitives (:func:`_pair_partial`, literal replace) on one local
+    batch, so the trajectory is identical to the distributed loop."""
+    merges: List[Tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        part = _pair_partial(pa.table({"seq": seq, "freq": freq}))
+        if part.num_rows == 0:
+            break
+        rows = sorted(
+            zip(part["pair"].to_pylist(), part["cnt"].to_pylist()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        pair, cnt = rows[0]
+        lhs, rhs = pair.split(_US)
+        merges.append((r + 1, lhs, rhs, int(cnt)))
+        seq = pc.replace_substring(
+            seq, _US + lhs + _US + _US + rhs + _US, _US + lhs + rhs + _US
+        )
+    return merges
+
+
 def bpe_learn(
     ds,
     text_col: str = "text",
     n_merges: int = 8,
     materialize_every: int = 16,
+    driver_vocab_threshold: int = 200_000,
 ) -> pa.Table:
     """Learn ``n_merges`` BPE merges over the corpus; returns a driver
     table (merge_idx, lhs, rhs, freq) — n_merges rows (fewer iff the
     vocabulary runs out of adjacent pairs first).
 
-    Round structure: pair partials (vectorized, word-table map) ->
-    pair-vocabulary groupby -> 1-row deterministic pick (max cnt,
-    lexicographically smallest pair) -> vectorized literal replace.
+    The corpus-sized work is always the ONE distributed word-frequency
+    pass. The merge loop then runs in one of two places with an
+    identical trajectory (pinned by tests):
 
-    The replace of round r is FUSED into round r+1's counting map (the
-    pending merges apply to each batch before pair counting), so a
-    round costs ONE Ray job, not two — at bench scale the word table is
-    tiny and job-launch overhead dominates. ``materialize_every`` bounds
-    the re-applied chain: after that many pending merges the word table
-    is rewritten once, keeping total replace work O(R * materialize_every
-    * vocab) instead of O(R^2 * vocab) for large merge counts.
+    - vocabulary <= ``driver_vocab_threshold``: collected to the driver
+      and looped locally — what every standard BPE trainer does after
+      the counting pass, and at bench scale it removes n_merges
+      sequential Ray jobs of pure launch overhead;
+    - larger vocabularies: the distributed loop. Round structure: pair
+      partials (vectorized word-table map) -> pair-vocabulary groupby ->
+      1-row deterministic pick -> literal replace, with round r's
+      replace FUSED into round r+1's counting map (one Ray job per
+      round) and ``materialize_every`` bounding the re-applied chain at
+      O(R * materialize_every * vocab) total replace work.
     """
     from ray.data.aggregate import Sum
 
@@ -161,6 +201,17 @@ def bpe_learn(
         return pa.table({"seq": _wrap(batch["word"]), "freq": batch["freq"]})
 
     base = wt.map_batches(to_seq, batch_format="pyarrow").materialize()
+
+    if base.count() <= driver_vocab_threshold:
+        local = pa.Table.from_pylist(base.take_all())
+        if local.num_rows == 0:
+            return _MERGE_SCHEMA.empty_table()
+        merges = _bpe_learn_local(
+            local["seq"].combine_chunks(),
+            local["freq"].combine_chunks(),
+            n_merges,
+        )
+        return _merge_table(merges)
 
     def apply_pending(seq, pending):
         for l, rr in pending:
@@ -215,17 +266,7 @@ def bpe_learn(
         merges.append((r + 1, lhs, rhs, int(best[0]["cnt"])))
         pending.append((lhs, rhs))
 
-    if not merges:
-        return _MERGE_SCHEMA.empty_table()
-    idxs, ls, rs, fs = zip(*merges)
-    return pa.table(
-        {
-            "merge_idx": pa.array(idxs, pa.int64()),
-            "lhs": pa.array(ls, pa.string()),
-            "rhs": pa.array(rs, pa.string()),
-            "freq": pa.array(fs, pa.int64()),
-        }
-    )
+    return _merge_table(merges)
 
 
 def bpe_token_count(
