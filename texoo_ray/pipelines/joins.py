@@ -676,27 +676,67 @@ def entity_clusters(
     record-linkage pipeline: block -> pairwise match -> connected
     components (pipelines/graph.py::connected_components, O(log n)
     star-contraction rounds). Returns Dataset[(id_col, cluster)] with
-    ``cluster`` = the minimum member id; every row appears (self-match
-    guarantees a self-loop edge, so singletons survive).
+    ``cluster`` = the minimum member id; every row appears (each block
+    emits a self-loop for singleton names).
 
-    Scale: edges are block-bounded (never all-pairs), the closure is the
-    contraction algorithm — no corpus-sized driver state anywhere.
+    Connectivity needs far fewer edges than :func:`fuzzy_join`'s pair
+    CONTRACT: a same-name family of n rows is connected by an (n-1)-edge
+    star to its minimum id (an all-pairs clique would be n^2 — measured
+    6M+ edges on a duplicate-heavy corpus), and two matching DISTINCT
+    names need exactly one representative edge. Components are identical
+    to the clique construction; edge volume is O(rows +
+    distinct-name match pairs). The edge list materializes (edge-sized)
+    because the contraction loop consumes it once per round.
     """
+    import ray.data
+
     from .graph import connected_components
 
-    pairs = fuzzy_join(
-        ds, ds, id_col, name_col, id_col, name_col,
-        threshold=threshold, block_chars=block_chars,
+    def tag(batch: pa.Table) -> pa.Table:
+        names = pc.fill_null(batch[name_col].cast(pa.string()), "")
+        return pa.table(
+            {
+                "block": pc.utf8_slice_codeunits(names, 0, block_chars),
+                "rid": pc.cast(batch[id_col], pa.int64()),
+                "name": names,
+            }
+        )
+
+    def edges_block(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["rid"], dtype=np.int64)
+        names = np.asarray(group["name"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(names, return_inverse=True)
+        src, dst = [], []
+        reps = np.empty(len(uniq), dtype=np.int64)
+        for i in range(len(uniq)):
+            member = ids[inv == i]
+            m = int(member.min())
+            reps[i] = m
+            if len(member) > 1:  # star: every member to the minimum
+                others = member[member != m]
+                src.append(np.full(len(others), m, dtype=np.int64))
+                dst.append(others)
+            else:
+                src.append(np.array([m], dtype=np.int64))
+                dst.append(np.array([m], dtype=np.int64))  # self-loop
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                if jaro_winkler_std(uniq[i], uniq[j]) >= threshold:
+                    src.append(np.array([reps[i]], dtype=np.int64))
+                    dst.append(np.array([reps[j]], dtype=np.int64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "dst": pa.array(np.concatenate(dst), pa.int64()),
+            }
+        )
+
+    edges = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(edges_block, batch_format="pyarrow")
+        .materialize()
     )
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch["l_id"], "dst": batch["r_id"]})
-
-    # materialize the match-pair edges (edge-set-sized, never the
-    # corpus): the contraction loop consumes the edge dataset once per
-    # round, and a lazy edge pipeline would re-run the fuzzy join each
-    # time (measured 4x slower end-to-end)
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     comp = connected_components(edges)
 
     def rename(batch: pa.Table) -> pa.Table:
