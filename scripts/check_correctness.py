@@ -91,6 +91,19 @@ def main():
             except AssertionError as e:
                 print(f"[FAIL] {name}: values differ: {str(e)[:400]}")
                 ok = False
+        # The driver's value hash is dtype-sensitive (r2: purchase_attribution
+        # was hash-red on Int64-<NA> vs float64-NaN while value-green here).
+        # Treat any physical-dtype mismatch vs the oracle's fetchdf() frame
+        # as a failure so the hazard class is caught locally.
+        if ok:
+            dt_bad = [
+                (c, str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns
+                if str(got[c].dtype) != str(want[c].dtype)
+            ]
+            if dt_bad:
+                print(f"[DTYPE] {name}: {dt_bad}")
+                ok = False
         if ok:
             print(f"[OK]   {name}: {len(got)} rows match oracle ({wall:.1f}s)")
         else:

@@ -248,31 +248,33 @@ def sessionize(ds, gap_minutes: int = 30):
         ).reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def merge_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("sess_start")
-        # interval stitch: a batch-local session continues the previous one
-        # iff its start is within `gap` of the running session end
-        n_sessions = 0
-        n_events = int(df["n_events"].sum())
-        cur_end = None
-        for start, end in zip(df["sess_start"], df["sess_end"]):
-            if cur_end is None or start - cur_end > gap:
-                n_sessions += 1
-                cur_end = end
-            else:
-                cur_end = max(cur_end, end)
-        return pd.DataFrame(
-            {
-                "user_id": [df["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [n_events],
-            }
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # Block-local interval stitch for EVERY user in the bucket at once
+        # (no per-user dispatch — r3 verdict #2). Sorted by (user, start),
+        # merged-session ends are strictly increasing, so "continues the
+        # running session" is exactly `start - prefix-cummax(end) <= gap`:
+        # a break at interval i happens iff start_i exceeds the cummax of
+        # all earlier ends for that user by more than `gap`.
+        df = group.select(
+            ["user_id", "sess_start", "sess_end", "n_events"]
+        ).to_pandas()
+        df = df.sort_values(["user_id", "sess_start"], kind="mergesort")
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        prev_end = df.groupby("user_id", sort=False)["sess_end"].cummax().shift()
+        new_sess = ~same_user | (df["sess_start"] - prev_end > gap)
+        out = (
+            df.assign(_ns=new_sess)
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("_ns", "sum"), n_events=("n_events", "sum"))
+            .reset_index()
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(merge_user, batch_format="pandas")
+        _user_buckets(ds.map_batches(partial, batch_format="pyarrow"), 64)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
