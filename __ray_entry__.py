@@ -1170,7 +1170,10 @@ def _q_snapshot_diff(sf_dir: str):
         ko, co = k[keep], c[keep].copy()
         co[ko % 7 == 0] *= 2
         added = k % 11 == 0
-        ka, ca = k[added] + 1000000, c[added]
+        # negative key range for planted rows: collision-free at ANY sf
+        # (o_orderkey reaches 6M*sf, so +1000000 collided at sf>=0.17 —
+        # ADVICE r3)
+        ka, ca = -k[added] - 1, c[added]
         return pa.table(
             {
                 "o_orderkey": pa.array(
@@ -2742,7 +2745,9 @@ def _q_fuzzy_join(sf_dir: str):
         ]
         return pa.table(
             {
-                "r_id": pc.add(sub["p_partkey"], 100000),
+                # negative key range: planted ids can never collide with
+                # real p_partkey at any sf (ADVICE r3)
+                "r_id": pc.subtract(-1, sub["p_partkey"]),
                 "r_name": pa.array(names, pa.string()),
             }
         )
@@ -2808,7 +2813,7 @@ def _q_dedup_canonical(sf_dir: str):
     (stages/dedup.py::canonical_dedup_best): lowercase +
     whitespace-collapse defines the group; the survivor is the longest
     RAW variant, ties to lowest id — planted SHOUTING-case variants
-    with trailing whitespace (doc_id % 7, +100000) must win over the
+    with trailing whitespace (doc_id % 7, re-keyed to -doc_id-1) must win over the
     originals. One corpus exchange, <=1 row per canonical key per
     block; the argmax rides the groupby as a Min over a fixed-width
     priority string."""
@@ -2823,7 +2828,8 @@ def _q_dedup_canonical(sf_dir: str):
         sub = batch.filter(pa.array(mask))
         return pa.table(
             {
-                "doc_id": pc.add(sub["doc_id"], 100000),
+                # negative key range: planted ids never collide (ADVICE r3)
+                "doc_id": pc.subtract(-1, sub["doc_id"]),
                 "text": pc.binary_join_element_wise(
                     pc.utf8_upper(pc.fill_null(sub["text"], "")), "  ", ""
                 ),
@@ -3481,7 +3487,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_join": r"""
             WITH dirty AS (
-              SELECT p_partkey + 100000 AS r_id,
+              SELECT -p_partkey - 1 AS r_id,
                      substr(p_name, 1, 2) || substr(p_name, 4, 1) ||
                      substr(p_name, 3, 1) || substr(p_name, 5) AS r_name
               FROM part WHERE p_partkey % 3 = 0)
@@ -3524,7 +3530,7 @@ def oracle_sql() -> dict[str, str]:
             WITH aug AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 100000, upper(text) || '  '
+              SELECT -doc_id - 1, upper(text) || '  '
               FROM documents WHERE doc_id % 7 = 0),
             c AS (SELECT doc_id, len(text)::BIGINT AS L,
                          trim(regexp_replace(lower(coalesce(text, '')),
@@ -5201,7 +5207,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT k, CASE WHEN k % 7 = 0 THEN c * 2 ELSE c END AS c
               FROM base WHERE k % 13 <> 0
               UNION ALL
-              SELECT k + 1000000, c FROM base WHERE k % 11 = 0),
+              SELECT -k - 1, c FROM base WHERE k % 11 = 0),
             j AS (
               SELECT coalesce(o.k, n.k) AS o_orderkey,
                      CASE WHEN o.k IS NULL THEN 'added'

@@ -282,7 +282,11 @@ def token_budget_select(
             }
         )
 
-    scored = ds.map_batches(score_pass, batch_format="pyarrow")
+    # materialize: the narrow (id, score) projection is consumed by the
+    # histogram, by each boundary filter, and by the final pass — left
+    # lazy, every consumer re-executes the whole read+score lineage (the
+    # lazy-reconsumption pitfall in the round-3 dev notes; ADVICE r3).
+    scored = ds.map_batches(score_pass, batch_format="pyarrow").materialize()
 
     def hist(batch: pa.Table) -> pa.Table:
         grp = batch.group_by(["score"]).aggregate([("tokens", "sum")])
@@ -785,7 +789,11 @@ def ntile_shards(
             }
         )
 
-    scored = ds.map_batches(score_pass, batch_format="pyarrow")
+    # materialize: the narrow (id, score) projection is consumed by the
+    # histogram, by each boundary filter, and by the final pass — left
+    # lazy, every consumer re-executes the whole read+score lineage (the
+    # lazy-reconsumption pitfall in the round-3 dev notes; ADVICE r3).
+    scored = ds.map_batches(score_pass, batch_format="pyarrow").materialize()
 
     def hist(batch: pa.Table) -> pa.Table:
         grp = batch.group_by(["score"]).aggregate([("score", "count")])

@@ -623,7 +623,15 @@ def snapshot_diff(old, new, key: str, value_expr):
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            v = pc.binary_join_element_wise("1", value_expr(batch), "")
+            # fill_null BEFORE prefixing: a null from value_expr (e.g. a
+            # plain pc.cast of a nullable column) would otherwise
+            # propagate through the join, be IGNORED by the Max
+            # aggregate, and silently misclassify the key as
+            # added/removed (ADVICE r3). "1\x00" marks a null row
+            # distinctly from "1" + empty string, so null != '' in the
+            # changed/unchanged compare.
+            rendered = pc.fill_null(value_expr(batch), "\x00")
+            v = pc.binary_join_element_wise("1", rendered, "")
             n = batch.num_rows
             blank = pa.array([""] * n, pa.string())
             return pa.table(
