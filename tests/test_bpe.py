@@ -153,3 +153,18 @@ def test_driver_and_distributed_loops_identical(ray_session):
     assert local == dist
     exp, _ = ref_bpe(TEXTS, 6)
     assert [(m["merge_idx"], m["lhs"], m["rhs"], m["freq"]) for m in local] == exp
+
+
+def test_distributed_loop_periodic_rematerialize(ray_session):
+    """The distributed loop's materialize_every re-apply branch (fold
+    pending merges into the word table, reset pending) must not change
+    the merge trajectory: materialize_every=2 over n_merges=6 exercises
+    the periodic re-materialize twice."""
+    import ray.data
+
+    ds = ray.data.from_items([{"text": t} for t in TEXTS]).repartition(4)
+    local = bpe_learn(ds, n_merges=6).to_pylist()
+    dist = bpe_learn(
+        ds, n_merges=6, driver_vocab_threshold=0, materialize_every=2
+    ).to_pylist()
+    assert dist == local
