@@ -1300,6 +1300,21 @@ def _q_quantile_trim(sf_dir: str):
     return quantile_trim(ds, "n_chars", q_low=0.05, q_high=0.95).sort("doc_id")
 
 
+def _q_quantile_trim_float(sf_dir: str):
+    """quantile_trim on an UNBOUNDED float column (events.value, one
+    distinct double per row — the domain the old exact-value histogram
+    could not collect): iterative bucket refinement in order-preserving
+    uint64 key space finds the exact [p5, p95] percentile_disc cutoffs
+    with <= bucket_cap histogram rows per round on the driver
+    (pipelines/curation.py::quantile_trim, r3 verdict #5)."""
+    from texoo_ray.pipelines.curation import quantile_trim
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return quantile_trim(
+        ds, "value", q_low=0.05, q_high=0.95, id_col="event_id"
+    ).sort("event_id")
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Cross-snapshot exact dedup (stages/dedup.py::incremental_dedup):
     docs whose md5 content hash appears in the PRIOR SNAPSHOT (planted:
@@ -2900,10 +2915,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
         "quantile_trim": _q_quantile_trim,
+        "quantile_trim_float": _q_quantile_trim_float,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_bloom": _q_dedup_bloom,
-        "embedding_gram": _q_embedding_gram,
         # --- round-5 rotation: never driver-checked, lowest hash-risk ---
+        "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
         "trending_terms": _q_trending_terms,
         "unicode_normalize": _q_unicode_normalize,
@@ -4158,6 +4174,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM d, cuts
             WHERE n_chars BETWEEN lo AND hi
             ORDER BY doc_id
+        """,
+        "quantile_trim_float": r"""
+            WITH d AS (SELECT event_id, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            cuts AS (SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+                            percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+                     FROM d)
+            SELECT event_id, value FROM d, cuts
+            WHERE value BETWEEN lo AND hi
+            ORDER BY event_id
         """,
         "dedup_bloom": r"""
             WITH cand AS (SELECT md5(coalesce(text, '')) AS content_h, doc_id, source
