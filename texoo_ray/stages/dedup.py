@@ -1625,6 +1625,8 @@ def incremental_dedup_bloom(
     covers ~8e8 keys at fpr ~1%); the filter is the only driver-sized
     state and merges associatively, so the build tree-reduces.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray as _ray
 
     from ..pipelines.joins import anti_join
@@ -1634,68 +1636,101 @@ def incremental_dedup_bloom(
     hash_schema_cols = ["content_h", id_col, *keep_cols]
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hexes, _, _ = _md5_h1h2(batch[text_col])
-        cols = {"content_h": pa.array(hexes, pa.string())}
+        """md5 ONCE per row; h1/h2 carried as uint64 columns so neither
+        the bloom build nor the probe re-hashes (r3 verdict #7 — the old
+        shape md5'd the new side twice and the prior snapshot twice)."""
+        hexes, h1, h2 = _md5_h1h2(batch[text_col])
+        cols = {
+            "content_h": pa.array(hexes, pa.string()),
+            "__h1": pa.array(h1),
+            "__h2": pa.array(h2),
+        }
         for c in (id_col, *keep_cols):
             if c in batch.column_names:
                 cols[c] = batch[c]
         return pa.table(cols)
 
-    # --- build the filter over the prior snapshot (one aggregate pass)
     from ray.data.aggregate import AggregateFn
 
     def acc(state: np.ndarray, block: pa.Table) -> np.ndarray:
-        _, h1, h2 = _md5_h1h2(block[text_col])
+        h1 = np.asarray(block["__h1"], dtype=np.uint64)
+        h2 = np.asarray(block["__h2"], dtype=np.uint64)
         if len(h1):
             byte, mask = _bloom_positions(h1, h2, m_bits, n_hashes)
             np.bitwise_or.at(state, byte.ravel(), mask.ravel())
         return state
 
-    bloom = ref_ds.select_columns([text_col]).aggregate(
-        AggregateFn(
-            init=lambda _: np.zeros(m_bytes, np.uint8),
-            merge=np.bitwise_or,
-            accumulate_block=acc,
-            finalize=lambda s: s,
-            name="bloom",
+    def ref_side():
+        """Hash projection of the prior snapshot, then its (h1, h2)
+        fold into the filter (no md5 in the fold) — both on this
+        thread, overlapped with the new-side hashing below."""
+        hashed = (
+            ref_ds.select_columns([text_col])
+            .map_batches(add_hash, batch_format="pyarrow")
+            .materialize()
         )
-    )["bloom"]
+        bloom = hashed.aggregate(
+            AggregateFn(
+                init=lambda _: np.zeros(m_bytes, np.uint8),
+                merge=np.bitwise_or,
+                accumulate_block=acc,
+                finalize=lambda s: s,
+                name="bloom",
+            )
+        )["bloom"]
+        return hashed, bloom
+
+    # Hash both sides CONCURRENTLY (two driver threads, one streaming
+    # Ray job each — the filter build overlaps the new-side read) into
+    # materialized hash projections (~50 B/row, no text), each consumed
+    # twice below without lineage re-execution. Sequential depth: two
+    # jobs (new-side hash || ref-side hash + filter fold), then the one
+    # probe/anti-join exchange.
+    with ThreadPoolExecutor(2) as pool:
+        fut_new = pool.submit(
+            lambda: ds.map_batches(add_hash, batch_format="pyarrow")
+            .materialize()
+        )
+        fut_ref = pool.submit(ref_side)
+        hashed_new = fut_new.result()
+        hashed_ref, bloom = fut_ref.result()
+
     bloom_ref = _ray.put(bloom)
 
-    class Probe:
+    def make_probe(keep_maybe: bool):
         """keep_maybe=False emits rows the filter PROVES absent (the
-        definite keeps); True emits the candidates needing exact check."""
+        definite keeps); True emits the candidates needing exact check.
+        Probes the precomputed (h1, h2) columns — no re-hash. Plain
+        TASKS, not an actor pool: the filter lives in the object store
+        and ``ray.get`` inside a task is a zero-copy shared-memory read
+        on each node, so there is no per-actor warmup to amortize."""
 
-        def __init__(self, keep_maybe: bool):
-            self.bloom = _ray.get(bloom_ref)
-            self.keep_maybe = keep_maybe
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            hexes, h1, h2 = _md5_h1h2(batch[text_col])
+        def probe(batch: pa.Table) -> pa.Table:
+            bloom = _ray.get(bloom_ref)
+            h1 = np.asarray(batch["__h1"], dtype=np.uint64)
+            h2 = np.asarray(batch["__h2"], dtype=np.uint64)
             if len(h1):
                 byte, mask = _bloom_positions(h1, h2, m_bits, n_hashes)
                 maybe = np.logical_and.reduce(
-                    (self.bloom[byte] & mask) != 0, axis=0
+                    (bloom[byte] & mask) != 0, axis=0
                 )
             else:
                 maybe = np.zeros(0, bool)
-            sel = maybe if self.keep_maybe else ~maybe
-            cols = {"content_h": pa.array(hexes[sel], pa.string())}
-            for c in (id_col, *keep_cols):
-                cols[c] = batch[c].filter(pa.array(sel, pa.bool_()))
-            return pa.table(cols)
+            sel = pa.array(maybe if keep_maybe else ~maybe, pa.bool_())
+            out = batch.filter(sel)
+            return out.select(
+                [c for c in out.column_names if c not in ("__h1", "__h2")]
+            )
 
-    definite = ds.map_batches(
-        Probe, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"keep_maybe": False},
+        return probe
+
+    definite = hashed_new.map_batches(
+        make_probe(False), batch_format="pyarrow"
     )
-    maybes = ds.map_batches(
-        Probe, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"keep_maybe": True},
-    )
+    maybes = hashed_new.map_batches(make_probe(True), batch_format="pyarrow")
     verified = anti_join(
         maybes,
-        ref_ds.map_batches(add_hash, batch_format="pyarrow"),
+        hashed_ref.select_columns(["content_h"]),
         "content_h",
         hash_schema_cols,
     )
