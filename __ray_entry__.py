@@ -150,6 +150,124 @@ def _q_extract_turns(sf_dir: str):
     )
 
 
+def _q_extract_digest(sf_dir: str):
+    """Cross-layout self-consistency digest guarding the flagship
+    extraction with more than rows-only at the driver (r3 verdict #8):
+    the full extraction (markup strip -> langid -> segment/tokenize ->
+    tag -> mention decode -> gazetteer -> sections) runs TWICE under
+    different physical layouts (block structure and batch size); each
+    turn's nested output (lang, sentences, tokens, mentions, sections)
+    serializes to a canonical JSON string hashed with the vectorized FNV
+    (core/strhash.py), digests sum per conversation, and a conversation
+    is emitted ONLY when both layouts agree bit-for-bit in count and
+    digest. The SQL oracle pins (conv_id, n_turns) for EVERY
+    conversation, so any extraction nondeterminism or layout dependence
+    drops rows and turns the driver hash red; the golden fixture
+    (tests/golden/extract_golden.json) remains the semantic anchor."""
+    import json
+
+    import ray.data
+
+    from texoo_ray.core.strhash import utf8_hash64
+    from texoo_ray.pipelines.extract import extract_turns
+
+    nested = ("lang", "text", "sentences", "tokens", "mentions", "sections")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        present = [c for c in nested if c in batch.column_names]
+        data = [batch[c].to_pylist() for c in present]
+        tix = batch["turn_idx"].to_pylist()
+        canon = [
+            json.dumps([t, [col[i] for col in data]], sort_keys=True,
+                       default=str)
+            for i, t in enumerate(tix)
+        ]
+        dig = (
+            utf8_hash64(pa.array(canon, pa.string())) % np.uint64(1 << 32)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "dig": pa.array(dig),
+                "cnt": pa.array(np.ones(len(dig), np.int64)),
+            }
+        )
+        g = t.group_by("conv_id").aggregate([("dig", "sum"), ("cnt", "sum")])
+        return pa.table(
+            {"conv_id": g["conv_id"], "dig": g["dig_sum"], "cnt": g["cnt_sum"]}
+        )
+
+    def signed(sign: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            s = np.int64(sign)
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "d_cnt": pc.multiply(batch["cnt"], s),
+                    "d_dig": pc.multiply(batch["dig"], s),
+                    "tot": batch["cnt"],
+                }
+            )
+
+        return fn
+
+    from ray.data.aggregate import Sum
+
+    turns_path = ensure_turns(sf_dir)
+    # Two concurrent extraction pools: each must be ELASTIC (min 1) so
+    # they share the CPU budget instead of deadlocking two fixed pools
+    # sized for exclusive use (the configure_shuffle starvation mode).
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    pool = (1, max(2, cpus // 3))
+    layouts = [
+        extract_turns(
+            ray.data.read_parquet(turns_path),
+            gazetteer_terms=GAZETTEER_TERMS, batch_size=256,
+            concurrency=pool,
+        ),
+        extract_turns(
+            ray.data.read_parquet(turns_path).repartition(7),
+            gazetteer_terms=GAZETTEER_TERMS, batch_size=97,
+            concurrency=pool,
+        ),
+    ]
+    both = (
+        layouts[0]
+        .map_batches(digest, batch_format="pyarrow")
+        .map_batches(signed(1), batch_format="pyarrow")
+        .union(
+            layouts[1]
+            .map_batches(digest, batch_format="pyarrow")
+            .map_batches(signed(-1), batch_format="pyarrow")
+        )
+    )
+    agg = both.groupby("conv_id").aggregate(
+        Sum("d_cnt", alias_name="d_cnt"),
+        Sum("d_dig", alias_name="d_dig"),
+        Sum("tot", alias_name="tot"),
+    )
+
+    def consistent(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ok = pc.and_(
+            pc.equal(batch["d_cnt"], 0), pc.equal(batch["d_dig"], 0)
+        )
+        kept = batch.filter(ok)
+        n = (np.asarray(kept["tot"], dtype=np.int64) // 2).astype(np.int64)
+        return pa.table({"conv_id": kept["conv_id"], "n_turns": pa.array(n)})
+
+    return agg.map_batches(consistent, batch_format="pyarrow").sort("conv_id")
+
+
 def _q_turn_sections_bemd(sf_dir: str):
     import ray.data
 
@@ -2869,6 +2987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-4 driver window: never driver-checked, oracle-backed ---
         "purchase_attribution": _q_purchase_attribution,
+        "extract_digest": _q_extract_digest,
         "attribution_salted": _q_attribution_salted,
         "clicks_salted": _q_clicks_salted,
         "pagerank2": _q_pagerank2,
@@ -2916,9 +3035,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": _q_token_budget,
         "quantile_trim": _q_quantile_trim,
         "quantile_trim_float": _q_quantile_trim_float,
-        "dedup_incremental": _q_dedup_incremental,
         "dedup_bloom": _q_dedup_bloom,
         # --- round-5 rotation: never driver-checked, lowest hash-risk ---
+        "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
         "trending_terms": _q_trending_terms,
@@ -4012,6 +4131,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(lower(text), '\\b(?:table|shuffle|window)\\b')) > 0
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "extract_digest": """
+            SELECT conv_id, count(*)::BIGINT AS n_turns
+            FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+            GROUP BY conv_id ORDER BY conv_id
         """,
         "conv_stats": """
             SELECT conv_id,
