@@ -267,3 +267,64 @@ class TestTagSoupRobustness:
             html = " ".join(rng.choice(frags) for _ in range(60))
             _, text, _, _ = extract_main_content(html)
             assert "evil()" not in text
+
+
+class TestFastScannerEquivalence:
+    """The compiled-regex scanner (parse_blocks backend="fast", the
+    default) must produce block-for-block identical output to the
+    stdlib html.parser reference path on the fixture corpus and on
+    structured tag-soup cases (r3 verdict #6)."""
+
+    SOUP = [
+        "", "<p>a<p>b</p>", "<div><b>x</div></b>", "plain & <text>",
+        "<P CLASS='x'>Upper</P>", "<br/><hr/><div/>",
+        "<script>if (a<b) { d.write('<div>no</div>'); }</script><p>yes</p>",
+        "<style>p > a { color: red }</style><p>ok</p>",
+        "<!-- <p>comment</p> --><p>real</p>",
+        "<!DOCTYPE html><?php echo '<p>x</p>' ?><p>y</p>",
+        "<p>ampersand &amp; entity &#65; &lt;tag&gt;</p>",
+        '<a href="x>y">quoted gt</a> <p>after</p>',
+        "<title>T &amp; t</title><p>body</p>",
+        "<ul><li>one<li>two</ul>",
+        "< notatag <p>z</p>", "<p>unclosed",
+        "<nav><a href='/'>home</a></nav><p>content words for a block</p>",
+        "<noscript><p>hidden</p></noscript><p>shown</p>",
+        "<svg><circle r='1'/><text>ignore</text></svg><p>kept</p>",
+        "<template><p>tpl</p></template><p>kept2</p>",
+        "</ div><p>sp-end</p>",
+        "<p>a</p><!-- unterminated",
+        "<p>b<script>never ends",
+        "<P class=x y=\"1\" z='2'>attrs</P>",
+        "<iframe src='x'><p>inner</p></iframe><p>outer</p>",
+        "<script/>visible<p>v2</p>",
+        "<script><!-- x //--></script><p>classic comment cloak</p>",
+    ]
+
+    def test_soup_equivalence(self):
+        from texoo_ray.core.html_extract import parse_blocks
+
+        for h in self.SOUP:
+            assert parse_blocks(h, "fast") == parse_blocks(h, "stdlib"), h
+
+    def test_fixture_corpus_equivalence(self):
+        import pyarrow as pa
+
+        from texoo_ray.core.html_extract import parse_blocks
+        from texoo_ray.stages.extract_html import wrap_documents_html
+
+        texts = [
+            "alpha beta gamma " * 9,
+            "one two three & four <five> six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen",
+            "short",
+            "",
+            "unicode naïve café — em–dash " * 6,
+        ]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        for h in wrap_documents_html(batch)["html"].to_pylist():
+            assert parse_blocks(h, "fast") == parse_blocks(h, "stdlib")
