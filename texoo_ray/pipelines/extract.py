@@ -178,8 +178,18 @@ def run_extract_resumable(
     **kwargs,
 ):
     """Checkpointed flagship run: per-partition lineage manifests, atomic
-    rename, completed partitions skipped on rerun (state/lineage.py)."""
+    rename, completed partitions skipped on rerun (state/lineage.py).
+
+    The per-partition extract pool is ELASTIC and sized to its share of
+    the actor budget (default_concurrency() / max_concurrent): with K
+    partitions in flight, K fixed full-size pools would demand K x the
+    CPU budget and deadlock waiting for actors that can never schedule.
+    """
     from ..state.lineage import run_resumable
+
+    if "concurrency" not in kwargs:
+        share = max(1, default_concurrency() // max(1, max_concurrent))
+        kwargs["concurrency"] = (1, share)
 
     def pipeline(ds):
         out = extract_turns(ds, **kwargs)
