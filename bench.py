@@ -285,6 +285,54 @@ def main_bench() -> dict:
     }
 
 
+def _mp_worker(files) -> int:
+    """One control process: the fused extraction over its file share,
+    no Ray anywhere — pyarrow read -> ExtractStage batches of 1024."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from texoo_ray.sources.fixtures import GAZETTEER_TERMS
+    from texoo_ray.stages.extract import ExtractStage
+
+    stage = ExtractStage(gazetteer_terms=GAZETTEER_TERMS, lean=True)
+    rows = 0
+    for f in files:
+        t = pq.read_table(f)
+        for rb in t.to_batches(max_chunksize=1024):
+            out = stage(pa.Table.from_batches([rb]))
+            rows += out.num_rows
+    return rows
+
+
+def _mp_control(turns_dir: str, lo_procs: int, hi_procs: int) -> dict:
+    """Hardware-scaling CONTROL measured in the SAME epoch as the Ray
+    trials (r3 verdict #4): plain ``multiprocessing`` (no Ray at all)
+    running the identical fused extraction at the same worker counts the
+    Ray runs use for their extract pools. Its ratio isolates the VM's
+    all-core frequency / memory-bandwidth / steal ceiling from engine
+    overhead; ``normalized_efficiency = eff / control_ratio`` is the
+    engine-attributable scaling number."""
+    import glob
+    import multiprocessing as mp
+
+    files = sorted(glob.glob(os.path.join(turns_dir, "*.parquet")))
+
+    def run(procs: int) -> dict:
+        groups = [files[i::procs] for i in range(procs)]
+        t0 = time.time()
+        with mp.get_context("fork").Pool(procs) as pool:
+            rows = sum(pool.map(_mp_worker, groups))
+        sec = time.time() - t0
+        return {"procs": procs, "sec": round(sec, 1),
+                "rows_per_sec": round(rows / sec, 1)}
+
+    lo, hi = run(lo_procs), run(hi_procs)
+    ratio = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (
+        hi_procs / lo_procs
+    )
+    return {"lo": lo, "hi": hi, "control_ratio": round(ratio, 3)}
+
+
 def main_scaling() -> dict:
     """Headline job in fresh processes at 8 and 32 CPUs (no query suite);
     corpus generated+cached by the first child, outside its timed region.
@@ -304,6 +352,14 @@ def main_scaling() -> dict:
     r_lo = min(trials_lo, key=lambda r: r["sec"])
     r_hi = min(trials_hi, key=lambda r: r["sec"])
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+    # same-epoch hardware control at the Ray runs' extract-pool sizes
+    from texoo_ray.pipelines.extract import configure_shuffle, restore_shuffle
+
+    conc_lo, prev = configure_shuffle(lo)
+    restore_shuffle(prev)
+    conc_hi, prev = configure_shuffle(hi)
+    restore_shuffle(prev)
+    ctl = _mp_control(bench_corpus_dir(), conc_lo, conc_hi)
     return {
         "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh ray sessions, min of trials)",
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
@@ -315,6 +371,10 @@ def main_scaling() -> dict:
         "turns_per_sec_%d" % lo: r_lo["turns_per_sec"],
         "turns_per_sec_%d" % hi: r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "mp_control": ctl,
+        "normalized_efficiency": round(eff / ctl["control_ratio"], 3)
+        if ctl["control_ratio"] > 0
+        else None,
     }
 
 
