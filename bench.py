@@ -181,6 +181,8 @@ def run_queries() -> dict:
         "order_cube",
         "snapshot_diff",
         "entity_clusters",
+        # round-4 additions
+        "quantile_trim_float",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
