@@ -25,10 +25,19 @@ import sys
 
 
 def _init_ray(num_cpus=None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        # Honor the ambient cluster address (ray job submit sets
+        # RAY_ADDRESS to the cluster); fall back to a local session so
+        # the CLI also works standalone on one machine.
+        kwargs = dict(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
