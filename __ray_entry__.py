@@ -230,12 +230,12 @@ def _q_extract_digest(sf_dir: str):
         extract_turns(
             ray.data.read_parquet(turns_path),
             gazetteer_terms=GAZETTEER_TERMS, batch_size=256,
-            concurrency=pool,
+            concurrency=pool, lean=True,
         ),
         extract_turns(
             ray.data.read_parquet(turns_path).repartition(7),
             gazetteer_terms=GAZETTEER_TERMS, batch_size=97,
-            concurrency=pool,
+            concurrency=pool, lean=True,
         ),
     ]
     both = (
