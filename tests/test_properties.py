@@ -145,3 +145,100 @@ def test_layout_wrap_parse_roundtrip(text):
     out = LayoutParseStage()(wrap_documents_layout(t))
     got = (out["main_text"][0].as_py() or "").replace("\n\n", " ")
     assert got == " ".join(text.split())
+
+
+# ---- round-4 additions ----------------------------------------------------
+
+_float_arrays = st.lists(
+    st.one_of(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        st.none(),
+    ),
+    min_size=0,
+    max_size=60,
+)
+_int_arrays = st.lists(
+    st.one_of(st.integers(min_value=-(2**62), max_value=2**62), st.none()),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_float_arrays)
+def test_order_key_monotone_floats(vals):
+    """quantile_trim's float->uint64 key map preserves numeric order for
+    every finite/infinite float (incl. -0.0 vs 0.0 ties) and masks
+    nulls invalid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from texoo_ray.pipelines.curation import _order_key_fn
+
+    arr = pa.array(vals, pa.float64())
+    keys, valid = _order_key_fn(pa.float64())(arr)
+    vs = [v for v in vals if v is not None]
+    ks = keys[valid].tolist()
+    assert valid.tolist() == [v is not None for v in vals]
+    # key comparison == value comparison for every pair
+    for i in range(len(vs)):
+        for j in range(len(vs)):
+            if vs[i] < vs[j]:
+                assert ks[i] < ks[j]
+            elif vs[i] > vs[j]:
+                assert ks[i] > ks[j]
+            elif vs[i] == vs[j]:
+                # -0.0 == 0.0 maps to adjacent keys; any other equal
+                # values map to the same key
+                assert abs(ks[i] - ks[j]) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(_int_arrays)
+def test_order_key_monotone_ints(vals):
+    import pyarrow as pa
+
+    from texoo_ray.pipelines.curation import _order_key_fn
+
+    arr = pa.array(vals, pa.int64())
+    keys, valid = _order_key_fn(pa.int64())(arr)
+    vs = [v for v in vals if v is not None]
+    ks = keys[valid].tolist()
+    assert sorted(range(len(vs)), key=lambda i: vs[i]) == sorted(
+        range(len(vs)), key=lambda i: ks[i]
+    )
+
+
+_html_fragment = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            whitelist_characters=" .!?&;-",
+            max_codepoint=0x2FF,
+        ),
+        max_size=30,
+    ).map(lambda s: s.replace("<", "")),
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div>", "</div>", "<ul>", "<li>", "</li>",
+            "<h1>", "</h1>", "<nav>", "</nav>", "<a href='/x'>", "</a>",
+            "<span>", "</span>", "<br/>", "<em>", "</em>",
+            "<script>var a = 1 < 2;</script>",
+            "<style>p { }</style>",
+            "<!-- comment -->", "&amp;", "&#65;", "&lt;",
+            "<title>", "</title>", "<P CLASS='u'>",
+        ]
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_html_fragment, min_size=0, max_size=40))
+def test_fast_scanner_equivalence_structured_soup(frags):
+    """On structured markup (well-formed tags, closed comments, entities,
+    script/style with closers) the compiled-regex scanner must equal the
+    stdlib html.parser path block-for-block."""
+    from texoo_ray.core.html_extract import parse_blocks
+
+    html = "".join(frags)
+    assert parse_blocks(html, "fast") == parse_blocks(html, "stdlib")
