@@ -615,6 +615,13 @@ def quantile_trim(
         pa.float64() if pa.types.is_floating(value_type) else pa.int64()
     )
 
+    # Materialize the (id, value) projection ONCE: the min/max pass, every
+    # refinement round, and the final filter all consume it — leaving the
+    # input lazy would re-execute the caller's whole upstream lineage per
+    # round (the dev-notes lazy-reconsumption trap). ~16-24 B/row in the
+    # object store (spills at scale) vs 3-6 full upstream re-reads.
+    ds = ds.select_columns([id_col, value_col]).materialize()
+
     def minmax(batch: pa.Table) -> pa.Table:
         key, valid = keys_of(batch[value_col])
         k = key[valid]

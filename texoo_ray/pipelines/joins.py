@@ -581,7 +581,13 @@ def _hot_block_splits(
     across batches — only ever over-estimates, which only ever splits
     more). Returns {block: S} for blocks where any side exceeds
     ``max_names``, with split factor S = ceil(n / max_names) capped at
-    ``cap`` (replication factor bound). Empty dict = no salting."""
+    ``cap`` (replication factor bound). Empty dict = no salting.
+
+    The caller rebuilds its tagged pipeline after this pass, so the
+    inputs are scanned twice — deliberate: the count pass is a
+    column-pruned streaming projection, while materializing the tagged
+    union would hold a corpus-row-sized table in the object store for
+    the whole exchange. Two cheap scans beat one held copy."""
     if not max_names or max_names <= 0:
         return {}
     from ray.data.aggregate import Sum
