@@ -1433,6 +1433,45 @@ def _q_quantile_trim_float(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (stages/dedup.py::url_dedup) over PLANTED
+    URL variants: each doc gets a deterministic URL whose case, default
+    port (:80/:443), fragment, tracking params and query order vary by
+    doc_id residues, so docs sharing (doc_id%50, %7, %11) must collapse
+    to one canonical URL. The oracle re-implements the canonicalization
+    independently in SQL (regexp split + list_filter + list_sort)."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.dedup import url_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        scheme = np.where(ids % 11 == 0, "HTTPS", "HTTP")
+        port = np.where(
+            ids % 3 == 0, np.where(ids % 11 == 0, ":443", ":80"), ""
+        )
+        query = np.where(
+            ids % 2 == 0, "?utm_source=x&b=2&a=1", "?b=2&a=1"
+        )
+        frag = np.where(ids % 5 == 0, "#sec", "")
+        urls = [
+            "%s://Example-%d.COM%s/a/%d%s%s"
+            % (s, i % 50, po, i % 7, q, f)
+            for s, i, po, q, f in zip(scheme, ids, port, query, frag)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    return url_dedup(ds.map_batches(plant, batch_format="pyarrow")).sort(
+        "doc_id"
+    )
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Cross-snapshot exact dedup (stages/dedup.py::incremental_dedup):
     docs whose md5 content hash appears in the PRIOR SNAPSHOT (planted:
@@ -3037,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_trim_float": _q_quantile_trim_float,
         "dedup_bloom": _q_dedup_bloom,
         # --- round-5 rotation: never driver-checked, lowest hash-risk ---
+        "url_dedup": _q_url_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -4318,6 +4358,43 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = cand.content_h)
             ORDER BY doc_id
+        """,
+        "url_dedup": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 11 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+                || '://Example-' || (doc_id % 50) || '.COM'
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE ':80' END)
+                         ELSE '' END)
+                || '/a/' || (doc_id % 7)
+                || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                         ELSE '?b=2&a=1' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+                lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS host,
+                regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM planted),
+            canon AS (
+              SELECT doc_id,
+                scheme || '://'
+                || (CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+                         WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+                         ELSE host END)
+                || path
+                || (CASE WHEN len(list_filter(string_split(q, '&'),
+                          x -> x <> '' AND NOT regexp_matches(x, '^(utm_|gclid=|fbclid=|ref=|mc_cid=|mc_eid=)'))) > 0
+                    THEN '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+                          x -> x <> '' AND NOT regexp_matches(x, '^(utm_|gclid=|fbclid=|ref=|mc_cid=|mc_eid=)'))), '&')
+                    ELSE '' END) AS canonical_url
+              FROM parts)
+            SELECT canonical_url, min(doc_id) AS doc_id,
+                   count(*)::BIGINT AS dup_count
+            FROM canon GROUP BY canonical_url ORDER BY doc_id
         """,
         "dedup_incremental": r"""
             WITH cand AS (SELECT md5(coalesce(text, '')) AS content_h, doc_id, source

@@ -1938,3 +1938,45 @@ def canonical_dedup_best(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """Canonical-URL exact dedup — the web-curation front door: collapse
+    every variant spelling of one resource (case, default ports,
+    fragments, tracking params, query order — :mod:`..core.url`) and
+    keep the minimum id per canonical URL with the duplicate count.
+
+    Same scale shape as :func:`exact_dedup`: the per-batch partial
+    canonicalizes once per DISTINCT url (dictionary-encoded) and emits
+    ONE row per canonical URL per block, so the shuffle moves
+    (canonical_url, min_id, count) rows — duplicate-heavy crawls
+    compress before the exchange, not after.
+
+    Returns Dataset[(canonical_url, id_col, dup_count)].
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..core.url import normalize_url_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        canon = normalize_url_array(batch[url_col])
+        t = pa.table({"canonical_url": canon, id_col: batch[id_col]})
+        g = t.group_by("canonical_url").aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        return pa.table(
+            {
+                "canonical_url": g["canonical_url"],
+                id_col: g[f"{id_col}_min"],
+                "dup_count": pc.cast(g[f"{id_col}_count"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(
+            Min(id_col, alias_name=id_col),
+            Sum("dup_count", alias_name="dup_count"),
+        )
+    )
