@@ -183,6 +183,7 @@ def run_queries() -> dict:
         "entity_clusters",
         # round-4 additions
         "quantile_trim_float",
+        "url_dedup",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
