@@ -1309,6 +1309,79 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(base, new, "o_orderkey", val).sort("o_orderkey")
 
 
+def _q_pivot_orders(sf_dir: str):
+    """Single-pass PIVOT (pipelines/relational.py::pivot_wide): order
+    revenue cents by year x priority, long -> wide. The priority domain
+    is discovered in one cheap distinct pass; each batch scatters its
+    (year, priority) partials into the wide layout locally so the one
+    groupby(year) exchange moves a handful of wide rows per block.
+    Oracle: sum(CASE WHEN ...) per priority with the same column
+    names."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.relational import pivot_wide
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": cents,
+            }
+        )
+
+    return pivot_wide(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_year",
+        "o_orderpriority",
+        "cents",
+    )
+
+
+def _q_price_tiers(sf_dir: str):
+    """Broadcast static-range classification join (pipelines/joins.py::
+    range_lookup): each order's total-price cents LEFT-joined against a
+    constant tier table on BETWEEN — one searchsorted per batch, zero
+    shuffle, rows above the last tier get null. Oracle: LEFT JOIN
+    VALUES ON cents BETWEEN lo AND hi."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.joins import range_lookup
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": batch["o_orderkey"], "cents": c})
+
+    tiers = [
+        (0, 10_000_000, "low"),
+        (10_000_001, 25_000_000, "mid"),
+        (25_000_001, 40_000_000, "high"),
+    ]
+    return (
+        range_lookup(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            "cents",
+            tiers,
+            out_col="tier",
+        )
+        .select_columns(["o_orderkey", "tier"])
+        .sort("o_orderkey")
+    )
+
+
 def _q_order_cube(sf_dir: str):
     """GROUP BY CUBE in one pass (DuckDB CUBE oracle): all four grouping
     sets derived locally from each batch's finest-level partials, one
@@ -1470,6 +1543,93 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds.map_batches(plant, batch_format="pyarrow")).sort(
         "doc_id"
     )
+
+
+def _plant_host_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic URL planting shared by the host-level curation
+    queries: scheme / www-subdomain / host family / default-port
+    presence all vary by doc_id residues, so canonical hosts collapse
+    case and port but keep the www. prefix (a subdomain is a distinct
+    host; only the blocklist's suffix rule crosses it). The www residue
+    (%7) is coprime with the host family (%40), so every family exists
+    in BOTH bare and www form — the suffix rule has real rows to hit."""
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    urls = [
+        "%s://%sExample-%d.COM%s/p/%d"
+        % (
+            "HTTPS" if i % 11 == 0 else "HTTP",
+            "www." if i % 7 < 3 else "",
+            i % 40,
+            (":443" if i % 11 == 0 else ":80") if i % 3 == 0 else "",
+            i,
+        )
+        for i in ids
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+    )
+
+
+_HOST_PLANT_SQL = """
+            planted AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 11 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+                || '://'
+                || (CASE WHEN doc_id % 7 < 3 THEN 'www.' ELSE '' END)
+                || 'Example-' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+                || (CASE WHEN doc_id % 3 = 0
+                    THEN (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE ':80' END)
+                    ELSE '' END)
+                || '/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            hosts AS (
+              SELECT doc_id,
+                (CASE
+                   WHEN lower(regexp_extract(url, '^([^:]+)://', 1)) = 'http'
+                   THEN regexp_replace(
+                     lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+                     ':80$', '')
+                   WHEN lower(regexp_extract(url, '^([^:]+)://', 1)) = 'https'
+                   THEN regexp_replace(
+                     lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+                     ':443$', '')
+                   ELSE lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1))
+                 END) AS host
+              FROM planted)
+"""
+
+
+def _q_host_cap(sf_dir: str):
+    """Per-host document cap (pipelines/curation.py::host_cap) — the
+    FineWeb-style crawl-balancing gate: keep the 5 smallest doc_ids per
+    canonical host over PLANTED URL variants (case/port collapse into
+    one host; www. stays a distinct host). Shape: per-batch partial
+    top-k caps any hot host at k rows per block before the one
+    host-keyed exchange. Oracle: an independent SQL host canonicalizer
+    + row_number() cap."""
+    from texoo_ray.pipelines.curation import host_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return host_cap(
+        ds.map_batches(_plant_host_urls, batch_format="pyarrow"), k=5
+    ).sort("doc_id")
+
+
+def _q_domain_block(sf_dir: str):
+    """Domain blocklist filter (pipelines/curation.py::domain_block):
+    drop documents whose canonical host IS a blocked domain or is a
+    SUBDOMAIN of one (dot-boundary suffix rule — blocking
+    example-3.com drops www.example-3.com, while blocking
+    www.example-8.com leaves bare example-8.com alive). Row-local,
+    zero shuffle, blocklist broadcast in the task closure. Oracle:
+    NOT EXISTS over the same exact/suffix predicates."""
+    from texoo_ray.pipelines.curation import domain_block
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return domain_block(
+        ds.map_batches(_plant_host_urls, batch_format="pyarrow"),
+        blocked=["example-3.com", "example-17.com", "www.example-8.com"],
+    ).sort("doc_id")
 
 
 def _q_dedup_incremental(sf_dir: str):
@@ -3077,6 +3237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_bloom": _q_dedup_bloom,
         # --- round-5 rotation: never driver-checked, lowest hash-risk ---
         "url_dedup": _q_url_dedup,
+        "host_cap": _q_host_cap,
+        "domain_block": _q_domain_block,
+        "pivot_orders": _q_pivot_orders,
+        "price_tiers": _q_price_tiers,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -4396,6 +4560,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS dup_count
             FROM canon GROUP BY canonical_url ORDER BY doc_id
         """,
+        "host_cap": """
+            WITH {host_plant},
+            ranked AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                       AS rn
+              FROM hosts)
+            SELECT doc_id, host FROM ranked WHERE rn <= 5 ORDER BY doc_id
+        """.format(host_plant=_HOST_PLANT_SQL),
+        "domain_block": """
+            WITH {host_plant},
+            blocked(d) AS (VALUES ('example-3.com'), ('example-17.com'),
+                                  ('www.example-8.com'))
+            SELECT doc_id, host FROM hosts h
+            WHERE NOT EXISTS (
+              SELECT 1 FROM blocked b
+              WHERE h.host = b.d OR h.host LIKE '%.' || b.d)
+            ORDER BY doc_id
+        """.format(host_plant=_HOST_PLANT_SQL),
         "dedup_incremental": r"""
             WITH cand AS (SELECT md5(coalesce(text, '')) AS content_h, doc_id, source
                           FROM documents),
@@ -5454,6 +5637,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "pivot_orders": """
+            WITH t AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                     o_orderpriority,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders)
+            SELECT o_year,
+              coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN cents END), 0)::BIGINT AS v_1_urgent,
+              coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                           THEN cents END), 0)::BIGINT AS v_2_high,
+              coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                           THEN cents END), 0)::BIGINT AS v_3_medium,
+              coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                           THEN cents END), 0)::BIGINT AS v_4_not_specified,
+              coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+                           THEN cents END), 0)::BIGINT AS v_5_low,
+              count(*)::BIGINT AS n_rows
+            FROM t GROUP BY o_year ORDER BY o_year
+        """,
+        "price_tiers": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+            t(lo, hi, tier) AS (VALUES
+              (0, 10000000, 'low'),
+              (10000001, 25000000, 'mid'),
+              (25000001, 40000000, 'high'))
+            SELECT o.o_orderkey, t.tier
+            FROM o LEFT JOIN t ON o.cents BETWEEN t.lo AND t.hi
+            ORDER BY o.o_orderkey
         """,
         "knn_ivf": """
             WITH q AS (

@@ -184,6 +184,10 @@ def run_queries() -> dict:
         # round-4 additions
         "quantile_trim_float",
         "url_dedup",
+        "host_cap",
+        "domain_block",
+        "pivot_orders",
+        "price_tiers",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

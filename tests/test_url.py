@@ -72,3 +72,87 @@ def test_url_dedup_collapses_variants(ray_session):
     assert out["doc_id"].tolist() == [1, 4]
     assert out["dup_count"].tolist() == [3, 1]
     assert out["canonical_url"][0] == "http://site.com/p?a=1&b=2"
+
+
+class TestHostOf:
+    def test_host_rules(self):
+        from texoo_ray.core.url import host_of
+
+        assert host_of("HTTP://WWW.EXample.COM:80/A/b") == "www.example.com"
+        assert host_of("https://x.com:443/p") == "x.com"
+        assert host_of("http://x.com:8080/p") == "x.com:8080"
+        assert host_of("not a url") == ""
+        assert host_of(None) == ""
+
+    def test_host_array_nulls_dups(self):
+        from texoo_ray.core.url import host_array
+
+        arr = pa.chunked_array(
+            [pa.array(["HTTP://A.com:80/x", None, "http://A.COM/y"], pa.string())]
+        )
+        assert host_array(arr).to_pylist() == ["a.com", "", "a.com"]
+
+
+def test_host_cap_keeps_k_smallest_ids(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.curation import host_cap
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 9)), pa.int64()),
+            "url": pa.array(
+                [
+                    "http://a.com/1",
+                    "HTTP://A.COM:80/2",
+                    "http://a.com/3",
+                    "http://b.com/4",
+                    "http://a.com/5",
+                    "http://b.com/6",
+                    "http://a.com/6b",
+                    "http://www.a.com/7",  # distinct host from a.com
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        host_cap(ray.data.from_arrow(tbl).repartition(3), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # a.com has ids 1,2,3,5,7 -> keep 1,2,3; b.com keeps 4,6; www.a.com keeps 8
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 6, 8]
+    assert out.loc[out["doc_id"] == 8, "host"].item() == "www.a.com"
+
+
+def test_domain_block_suffix_vs_exact(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.curation import domain_block
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "url": pa.array(
+                [
+                    "http://bad.com/x",        # exact block
+                    "http://ads.bad.com/x",    # suffix block
+                    "http://notbad.com/x",     # NOT blocked (no dot boundary)
+                    "http://www.good.com/x",   # exact block of the www host only
+                    "http://good.com/x",       # survives
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        domain_block(
+            ray.data.from_arrow(tbl).repartition(2),
+            blocked=["bad.com", "www.good.com"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [3, 5]

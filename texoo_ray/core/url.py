@@ -60,6 +60,38 @@ def normalize_url(url: str) -> str:
     return out
 
 
+def host_of(url: str) -> str:
+    """Host of one URL under the same canonical rules as
+    :func:`normalize_url` (lowercased, default port stripped); ""
+    for inputs that don't parse as absolute URLs. The first grouping
+    key of domain-level curation (per-host caps, blocklists)."""
+    m = _SPLIT_RE.match(url or "")
+    if m is None:
+        return ""
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower()
+    default = _DEFAULT_PORT.get(scheme)
+    if default and host.endswith(default):
+        host = host[: -len(default)]
+    return host
+
+
+def host_array(urls) -> pa.Array:
+    """Vectorized-per-distinct :func:`host_of` over an Arrow string
+    column (dictionary-encode first — crawl URL columns are
+    duplicate-heavy in the host)."""
+    import pyarrow.compute as pc
+
+    urls = pc.fill_null(urls, "")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    enc = urls.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    dic: List[str] = enc.dictionary.to_pylist()
+    hosts = np.array([host_of(u) for u in dic], dtype=object)
+    return pa.array(hosts[codes], pa.string())
+
+
 def normalize_url_array(urls) -> pa.Array:
     """Vectorized-per-distinct canonicalization of an Arrow string
     column: dictionary-encode first so each distinct URL is normalized

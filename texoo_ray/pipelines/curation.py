@@ -978,3 +978,69 @@ def ntile_shards(
         return batch.append_column("shard", pa.array(shard, pa.int64()))
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def host_cap(ds, k: int, url_col: str = "url", id_col: str = "doc_id"):
+    """Per-host document cap — the crawl-balancing gate that stops a
+    handful of giant hosts from dominating a training mix (the FineWeb /
+    CommonCrawl curation idiom; the reference's per-directory file caps,
+    `DirectoryDatasetReader.java:86-96`, are the filesystem analogue):
+    keep at most ``k`` documents per canonical host, deterministically
+    the ``k`` smallest ``id_col`` values.
+
+    Scale shape: one stateless map extracts the host
+    (:func:`..core.url.host_of`, vectorized per batch-distinct URL),
+    then :func:`..stages.retrieval.grouped_topk` does a per-BATCH
+    partial top-k before the single host-keyed exchange — a hot host
+    ships at most k rows per source block, so skew is capped by design.
+
+    Returns Dataset[(id_col, host)].
+    """
+    from ..core.url import host_array
+    from ..stages.retrieval import grouped_topk
+
+    def hostify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col], "host": host_array(batch[url_col])}
+        )
+
+    return grouped_topk(
+        ds.map_batches(hostify, batch_format="pyarrow"),
+        group_col="host",
+        k=k,
+        id_col=id_col,
+        order_by=[(id_col, "ascending")],
+    )
+
+
+def domain_block(ds, blocked, url_col: str = "url", id_col: str = "doc_id"):
+    """Domain blocklist filter: drop documents whose canonical host IS a
+    blocked domain or is a SUBDOMAIN of one (suffix match on a dot
+    boundary — ``ads.example.com`` is blocked by ``example.com`` but
+    ``notexample.com`` is not). Row-local, zero shuffle: the blocklist
+    is a broadcast constant captured in the task closure, and the
+    membership test runs once per batch-DISTINCT host.
+
+    Returns the surviving rows as Dataset[(id_col, host)].
+    """
+    from ..core.url import host_array
+
+    blocked = sorted({d.lower() for d in blocked})
+    exact = set(blocked)
+    suffixes = tuple("." + d for d in blocked)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hosts = host_array(batch[url_col])
+        enc = hosts.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary.to_pylist()
+        ok_dic = np.array(
+            [not (h in exact or h.endswith(suffixes)) for h in dic],
+            dtype=bool,
+        )
+        mask = pa.array(ok_dic[codes], pa.bool_())
+        return pa.table(
+            {id_col: batch[id_col], "host": hosts}
+        ).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
