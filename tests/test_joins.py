@@ -358,3 +358,38 @@ def test_asof_join_salted_equals_unsalted_on_hot_key(ray_session):
         for salt in (300, 1_000, 5_000):
             got = run(salt, strict)
             pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_lookup_boundaries_and_misses(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.joins import range_lookup
+
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(8)), pa.int64()),
+            "v": pa.array([-5, 0, 10, 11, 15, 20, 21, 100], pa.int64()),
+        }
+    )
+    out = (
+        range_lookup(
+            ray.data.from_arrow(tbl).repartition(2),
+            "v",
+            [(0, 10, "a"), (15, 20, "b")],
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    # closed intervals: 0 and 10 in 'a'; 11 in the gap; 21/100 above; -5 below
+    assert out["label"].tolist() == [None, "a", "a", None, "b", "b", None, None]
+
+
+def test_range_lookup_rejects_overlap():
+    import pytest
+
+    from texoo_ray.pipelines.joins import range_lookup
+
+    with pytest.raises(ValueError):
+        range_lookup(None, "v", [(0, 10, "a"), (10, 20, "b")])
+    with pytest.raises(ValueError):
+        range_lookup(None, "v", [])

@@ -212,3 +212,64 @@ def test_snapshot_diff_identical_snapshots_empty(ray_session):
         return pc.cast(batch["v"], pa.string())
 
     assert snapshot_diff(a, b, "k", val).take_all() == []
+
+
+def test_pivot_wide_matches_hand_computed(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.relational import pivot_wide
+
+    tbl = pa.table(
+        {
+            "y": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "p": pa.array(["A", "B", "A", "B", "B", "C"], pa.string()),
+            "v": pa.array([10, 20, 5, 7, 3, 1], pa.int64()),
+        }
+    )
+    out = pivot_wide(
+        ray.data.from_arrow(tbl).repartition(3), "y", "p", "v"
+    ).to_pandas()
+    assert list(out.columns) == ["y", "v_a", "v_b", "v_c", "n_rows"]
+    assert out["y"].tolist() == [1, 2]
+    assert out["v_a"].tolist() == [15, 0]
+    assert out["v_b"].tolist() == [20, 10]
+    assert out["v_c"].tolist() == [0, 1]
+    assert out["n_rows"].tolist() == [3, 3]
+
+
+def test_pivot_wide_explicit_values_ignores_others(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.relational import pivot_wide
+
+    tbl = pa.table(
+        {
+            "y": pa.array([1, 1], pa.int64()),
+            "p": pa.array(["A", "Z"], pa.string()),
+            "v": pa.array([10, 99], pa.int64()),
+        }
+    )
+    out = pivot_wide(
+        ray.data.from_arrow(tbl), "y", "p", "v", col_values=["A", "B"]
+    ).to_pandas()
+    assert out["v_a"].tolist() == [10]
+    assert out["v_b"].tolist() == [0]
+    assert out["n_rows"].tolist() == [1]  # the Z row is outside the domain
+
+
+def test_pivot_wide_name_collision_raises(ray_session):
+    import pytest
+    import ray.data
+
+    from texoo_ray.pipelines.relational import pivot_wide
+
+    tbl = pa.table(
+        {
+            "y": pa.array([1], pa.int64()),
+            "p": pa.array(["a b"], pa.string()),
+            "v": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError):
+        pivot_wide(ray.data.from_arrow(tbl), "y", "p", "v",
+                   col_values=["a b", "a-b"])

@@ -888,3 +888,42 @@ def entity_clusters(
         return pa.table({id_col: batch["id"], "cluster": batch["component"]})
 
     return comp.map_batches(rename, batch_format="pyarrow")
+
+
+def range_lookup(ds, value_col: str, ranges, out_col: str = "label"):
+    """Broadcast static-range classification join — the IP-geolocation /
+    price-tier idiom: label each row by the closed interval
+    ``[lo, hi]`` its int64 ``value_col`` falls in (``LEFT JOIN t ON v
+    BETWEEN t.lo AND t.hi``); rows outside every interval get null.
+
+    ``ranges`` is a DRIVER-SIZED list of ``(lo, hi, label)`` with
+    non-overlapping intervals (validated). Row-local and zero shuffle:
+    the sorted bounds ride the task closure once and each batch is one
+    ``np.searchsorted`` + one bounds check — never a join exchange,
+    which is the whole point of a broadcast range join at 100 TB (the
+    big side streams, the range table is a constant).
+
+    Returns the input columns plus ``out_col`` (string, nullable).
+    """
+    rs = sorted((int(lo), int(hi), str(label)) for lo, hi, label in ranges)
+    for (lo, hi, _), (lo2, _, _) in zip(rs, rs[1:]):
+        if lo2 <= hi:
+            raise ValueError("range_lookup intervals overlap")
+    if any(lo > hi for lo, hi, _ in rs):
+        raise ValueError("range_lookup interval with lo > hi")
+    if not rs:
+        raise ValueError("range_lookup needs at least one interval")
+    los = np.array([r[0] for r in rs], dtype=np.int64)
+    his = np.array([r[1] for r in rs], dtype=np.int64)
+    labels = pa.array([r[2] for r in rs], pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        idx = np.searchsorted(los, v, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        ok = (idx >= 0) & (v <= his[safe])
+        indices = pa.array(safe.astype(np.int32), pa.int32(), mask=~ok)
+        lab = pa.DictionaryArray.from_arrays(indices, labels).dictionary_decode()
+        return batch.append_column(out_col, lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -672,3 +672,91 @@ def snapshot_diff(old, new, key: str, value_expr):
         )
         .map_batches(classify, batch_format="pyarrow")
     )
+
+
+def distinct_values(ds, col: str):
+    """Sorted distinct values of one column, collected to the driver —
+    for DRIVER-SIZED domains only (pivot column sets, enum checks).
+    One pass: each batch contributes its batch-distinct values, a
+    domain-sized groupby dedups them globally."""
+    def part(batch: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(batch[col])})
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(col)
+        .count()
+        .take_all()
+    )
+    return sorted(r[col] for r in rows)
+
+
+def pivot_wide(ds, row_col: str, col_col: str, value_col: str,
+               col_values=None, prefix: str = "v_"):
+    """Single-pass PIVOT (long -> wide): one output row per distinct
+    ``row_col`` with a summed int64 column per ``col_values`` entry
+    (named ``prefix + sanitized(value)``) plus an ``n_rows`` count —
+    ``sum(CASE WHEN col=v THEN value END)`` for every v at once.
+
+    Scale shape: each batch groups (row, col) locally and scatters its
+    partials into the wide layout, so the single ``groupby(row_col)``
+    exchange moves one wide row per distinct row key per block — never
+    the input. The pivot column domain must be DRIVER-SIZED (that is
+    what makes a pivot a pivot); pass ``col_values`` explicitly or let
+    :func:`distinct_values` discover it in one cheap extra pass.
+    Values outside ``col_values`` are ignored (the SQL CASE analogue).
+
+    Returns Dataset[(row_col, prefix_*, ..., n_rows)] sorted by row_col.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    if col_values is None:
+        col_values = distinct_values(ds, col_col)
+    col_values = list(col_values)
+    names = [
+        prefix + _re.sub(r"[^a-z0-9]+", "_", str(v).lower()).strip("_")
+        for v in col_values
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError("pivot column names collide after sanitizing")
+    col_index = {v: i for i, v in enumerate(col_values)}
+    n_cols = len(col_values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "r": batch[row_col],
+                "c": batch[col_col],
+                "v": pc.cast(batch[value_col], pa.int64()),
+            }
+        )
+        g = t.group_by(["r", "c"]).aggregate([("v", "sum"), ("v", "count")])
+        renc = g["r"].combine_chunks().dictionary_encode()
+        rcodes = np.asarray(renc.indices, dtype=np.int64)
+        ccodes = np.array(
+            [col_index.get(c, -1) for c in g["c"].to_pylist()], dtype=np.int64
+        )
+        keep = ccodes >= 0
+        n_rows_out = len(renc.dictionary)
+        wide = np.zeros((n_rows_out, n_cols), dtype=np.int64)
+        counts = np.zeros(n_rows_out, dtype=np.int64)
+        vsum = np.asarray(g["v_sum"], dtype=np.int64)
+        vcnt = np.asarray(g["v_count"], dtype=np.int64)
+        np.add.at(wide, (rcodes[keep], ccodes[keep]), vsum[keep])
+        np.add.at(counts, rcodes[keep], vcnt[keep])
+        cols = {row_col: renc.dictionary}
+        for i, name in enumerate(names):
+            cols[name] = pa.array(wide[:, i], pa.int64())
+        cols["n_rows"] = pa.array(counts, pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(name, alias_name=name) for name in names]
+    aggs.append(Sum("n_rows", alias_name="n_rows"))
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(row_col)
+        .aggregate(*aggs)
+        .sort(row_col)
+    )
