@@ -1952,6 +1952,19 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing (stages/lm.py::
+    lm_perplexity_buckets, Wenzek et al. 2019 §3.3): corpus bigram-LM
+    mean log-prob per doc (floor-divided integer micro-nats), exact
+    per-language percentile_disc(0.25/0.75) cutoffs, row-local bucket
+    assignment. Oracle: the lm_score CTE extended with the identical
+    floor-division and WITHIN GROUP percentile algebra."""
+    from texoo_ray.stages.lm import lm_perplexity_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return lm_perplexity_buckets(ds).sort("doc_id")
+
+
 def _q_value_moments(sf_dir: str):
     """Exact per-type second moments over event values
     (pipelines/analytics.py::grouped_moments): cents-quantized n / sum /
@@ -3241,6 +3254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_block": _q_domain_block,
         "pivot_orders": _q_pivot_orders,
         "price_tiers": _q_price_tiers,
+        "ccnet_buckets": _q_ccnet_buckets,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5657,6 +5671,57 @@ def oracle_sql() -> dict[str, str]:
                            THEN cents END), 0)::BIGINT AS v_5_low,
               count(*)::BIGINT AS n_rows
             FROM t GROUP BY o_year ORDER BY o_year
+        """,
+        "ccnet_buckets": """
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents
+            ), pos AS (
+              SELECT unnest(arr) AS u FROM tok
+            ), uni AS (
+              SELECT u, count(*)::BIGINT AS cu FROM pos GROUP BY u
+            ), v AS (
+              SELECT count(*)::BIGINT AS v FROM uni
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i+1])) AS bgk
+              FROM tok
+            ), cb AS (
+              SELECT bgk, count(*)::BIGINT AS cuv FROM bg GROUP BY bgk
+            ), scored AS (
+              SELECT bg.doc_id,
+                     CAST(floor(ln((cb.cuv + 1)::DOUBLE / (uni.cu + v.v))
+                                * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM bg
+              JOIN cb USING (bgk)
+              JOIN uni ON uni.u = split_part(bg.bgk, ' ', 1)
+              CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n, sum(micro)::BIGINT AS s
+              FROM scored GROUP BY doc_id
+            ), av AS MATERIALIZED (
+              -- floor division, exact in integers (DuckDB // truncates,
+              -- numpy floor_divide floors — this mod form floors in both)
+              SELECT t.doc_id, t.lang,
+                     CAST((a.s - (((a.s % a.n) + a.n) % a.n)) / a.n AS BIGINT)
+                       AS avg_logprob_micro
+              FROM tok t JOIN agg a USING (doc_id)
+            ), cut AS (
+              SELECT lang,
+                percentile_disc(0.25) WITHIN GROUP
+                  (ORDER BY avg_logprob_micro) AS c_low,
+                percentile_disc(0.75) WITHIN GROUP
+                  (ORDER BY avg_logprob_micro) AS c_high
+              FROM av GROUP BY lang
+            )
+            SELECT av.doc_id, av.lang, av.avg_logprob_micro,
+              CASE WHEN av.avg_logprob_micro <= cut.c_low THEN 'tail'
+                   WHEN av.avg_logprob_micro <= cut.c_high THEN 'middle'
+                   ELSE 'head' END AS bucket
+            FROM av JOIN cut USING (lang)
+            ORDER BY av.doc_id
         """,
         "price_tiers": """
             WITH o AS (

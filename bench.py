@@ -188,6 +188,7 @@ def run_queries() -> dict:
         "domain_block",
         "pivot_orders",
         "price_tiers",
+        "ccnet_buckets",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

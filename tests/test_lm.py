@@ -246,3 +246,86 @@ class TestDsirLogratio:
         want = self._brute(rows)
         for _, r in out.iterrows():
             assert r["dsir_micro"] == want[r["doc_id"]][1]
+
+
+class TestPerplexityBuckets:
+    """lm_perplexity_buckets vs a pure-Python recompute of the whole
+    pipeline (bigram Laplace LM -> floor-div mean micro-nats ->
+    per-lang percentile_disc cutoffs -> bucket)."""
+
+    @staticmethod
+    def _brute(rows, q_low=0.25, q_high=0.75):
+        import math
+        import re
+
+        tok = {
+            i: re.findall(r"[a-z0-9]+", t.lower()) for i, _, t in rows
+        }
+        uni, bi = {}, {}
+        for ws in tok.values():
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        V = len(uni)
+        avg = {}
+        for i, _, _ in rows:
+            ws = tok[i]
+            if len(ws) < 2:
+                continue
+            s = 0
+            for a, b in zip(ws, ws[1:]):
+                p = (bi[(a, b)] + 1) / (uni[a] + V)
+                s += math.floor(math.log(p) * 1e6 + 0.5)
+            avg[i] = s // (len(ws) - 1)  # python floor div == np
+        langs = {i: l for i, l, _ in rows}
+        cuts = {}
+        for lang in set(langs.values()):
+            vals = sorted(v for i, v in avg.items() if langs[i] == lang)
+            n = len(vals)
+            lo = vals[math.ceil(q_low * n) - 1]
+            hi = vals[math.ceil(q_high * n) - 1]
+            cuts[lang] = (lo, hi)
+        out = {}
+        for i, v in avg.items():
+            lo, hi = cuts[langs[i]]
+            out[i] = (v, "tail" if v <= lo else ("middle" if v <= hi else "head"))
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.lm import lm_perplexity_buckets
+
+        rows = [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the cat sat on the mat again and again"),
+            (3, "en", "zx qv plonk erratic entropy stew"),
+            (4, "en", "the dog sat on the log"),
+            (5, "en", "cat mat cat mat cat mat"),
+            (6, "de", "der hund und der hund"),
+            (7, "de", "katze maus katze maus"),
+            (8, "de", "der maus und die katze hund"),
+            (9, "de", "ein wort"),
+            (10, "en", "solo"),  # 1 token -> no bigrams -> dropped
+            (11, "en", ""),      # empty -> dropped
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        out = (
+            lm_perplexity_buckets(ray.data.from_arrow(tbl).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(rows)
+        assert out["doc_id"].tolist() == sorted(want)
+        for _, r in out.iterrows():
+            v, b = want[r["doc_id"]]
+            assert r["avg_logprob_micro"] == v, r["doc_id"]
+            assert r["bucket"] == b, r["doc_id"]

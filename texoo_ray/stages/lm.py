@@ -634,3 +634,115 @@ def bm25_topk(
 
     partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.sort(["bm25_micro", id_col], descending=[True, False]).limit(k)
+
+
+def lm_perplexity_buckets(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    q_low: float = 0.25,
+    q_high: float = 0.75,
+    num_partitions: Optional[int] = None,
+):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2019 §3.3: score each document with a corpus LM, split every
+    language into head / middle / tail by perplexity percentile; the
+    head feeds the training mix). Here the LM is this engine's own
+    corpus bigram model (:func:`ngram_logprob`) and the per-document
+    score is the FLOOR-divided mean log-prob in integer micro-nats —
+    higher mean log-prob = lower perplexity = ``head``.
+
+    Buckets: ``tail`` if avg <= percentile_disc(q_low),
+    ``head`` if avg > percentile_disc(q_high), else ``middle`` —
+    cutoffs computed PER LANGUAGE. Documents with no bigrams are
+    dropped (no score exists).
+
+    Scale shape: one LM scoring pass (big-big word join inside
+    ngram_logprob), one doc-sized hash join to attach the language,
+    ONE materialization of the doc-sized (id, lang, avg) table that
+    both the cutoff pass and the assign pass consume (a lazy
+    intermediate would re-run the scoring per consumer — the
+    round-3 lesson), a |langs| x |distinct avg| histogram exchange
+    for the cutoffs, and a row-local broadcast assignment. For
+    corpora where the avg-score histogram itself is too wide, the
+    key-space refinement of pipelines/curation.py::quantile_trim is
+    the drop-in replacement for the cutoff pass.
+
+    Returns Dataset[(id_col, lang_col, avg_logprob_micro, bucket)].
+    """
+    from ..pipelines.analytics import grouped_quantiles
+    from .dedup import _compact, _join_partitions
+
+    scored = ngram_logprob(
+        ds, id_col=id_col, text_col=text_col, num_partitions=num_partitions
+    )
+
+    def to_avg(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_bigrams"], dtype=np.int64)
+        s = np.asarray(batch["sum_logprob_micro"], dtype=np.int64)
+        keep = n > 0
+        avg = np.floor_divide(s[keep], n[keep])
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(batch[id_col], dtype=np.int64)[keep], pa.int64()
+                ),
+                "avg_logprob_micro": pa.array(avg, pa.int64()),
+            }
+        )
+
+    # ngram_logprob ends in a hash aggregate whose EMPTY partitions emit
+    # schema-less blocks; those poison the next join's key resolution
+    # (dedup.py::_compact docstring) — compact the doc-sized result
+    # before joining. map_batches can't repair them (empty blocks
+    # bypass the UDF).
+    avgs = _compact(scored.map_batches(to_avg, batch_format="pyarrow"))
+    if avgs is None:  # no document has >= 2 tokens
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    lang_col: pa.array([], pa.string()),
+                    "avg_logprob_micro": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        )
+    joined = avgs.join(
+        ds.select_columns([id_col, lang_col]),
+        "inner",
+        _join_partitions(cap=num_partitions or 16),
+        on=(id_col,),
+    ).materialize()
+
+    cuts = grouped_quantiles(
+        joined, lang_col, "avg_logprob_micro", qs=(q_low, q_high)
+    )
+    cut_map = {}
+    for lang, sub in cuts.groupby(lang_col, sort=False):
+        by_q = dict(zip(sub["q"], sub["avg_logprob_micro"]))
+        cut_map[lang] = (int(by_q[q_low]), int(by_q[q_high]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        enc = batch[lang_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary.to_pylist()
+        avg = np.asarray(batch["avg_logprob_micro"], dtype=np.int64)
+        lo = np.array([cut_map[l][0] for l in dic], dtype=np.int64)[codes]
+        hi = np.array([cut_map[l][1] for l in dic], dtype=np.int64)[codes]
+        bucket = np.where(
+            avg <= lo, "tail", np.where(avg <= hi, "middle", "head")
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                lang_col: batch[lang_col],
+                "avg_logprob_micro": batch["avg_logprob_micro"],
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(assign, batch_format="pyarrow")
