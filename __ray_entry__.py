@@ -1952,6 +1952,54 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_overlap_pairs(sf_dir: str):
+    """Per-user interval-overlap join (pipelines/joins.py::
+    interval_overlap_join): synthetic sessions (even event_ids,
+    90s-450s long) x promotions (odd event_ids, 60s-420s) from the
+    events table; a pair matches when the closed intervals overlap AND
+    the user matches. Slab-replicated (1h slabs) + one (key, slab)
+    bucket exchange; pairs dedup by the max(lo)-owner slab. Oracle:
+    plain inequality join."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.joins import interval_overlap_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def side(parity: int, mod: int, unit_us: int):
+        def mk(batch: pa.Table) -> pa.Table:
+            eid = np.asarray(batch["event_id"], dtype=np.int64)
+            keep = (eid % 2) == parity
+            ts = np.asarray(
+                batch["ts"].combine_chunks().cast(pa.int64()), dtype=np.int64
+            )[keep]
+            eid = eid[keep]
+            dur = (eid % mod + 1) * unit_us
+            return pa.table(
+                {
+                    "event_id": pa.array(eid, pa.int64()),
+                    "user_id": pa.array(
+                        np.asarray(batch["user_id"], dtype=np.int64)[keep],
+                        pa.int64(),
+                    ),
+                    "lo": pa.array(ts, pa.int64()),
+                    "hi": pa.array(ts + dur, pa.int64()),
+                }
+            )
+
+        return mk
+
+    left = ev.map_batches(side(0, 5, 90_000_000), batch_format="pyarrow")
+    right = ev.map_batches(side(1, 7, 60_000_000), batch_format="pyarrow")
+    return interval_overlap_join(
+        left,
+        right,
+        id_col="event_id",
+        key_col="user_id",
+        slab_us=3_600_000_000,
+    ).sort(["left_id", "right_id"])
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing (stages/lm.py::
     lm_perplexity_buckets, Wenzek et al. 2019 §3.3): corpus bigram-LM
@@ -3255,6 +3303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders": _q_pivot_orders,
         "price_tiers": _q_price_tiers,
         "ccnet_buckets": _q_ccnet_buckets,
+        "overlap_pairs": _q_overlap_pairs,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5671,6 +5720,22 @@ def oracle_sql() -> dict[str, str]:
                            THEN cents END), 0)::BIGINT AS v_5_low,
               count(*)::BIGINT AS n_rows
             FROM t GROUP BY o_year ORDER BY o_year
+        """,
+        "overlap_pairs": """
+            WITH l AS (
+              SELECT event_id AS left_id, user_id,
+                     epoch_us(ts) AS lo,
+                     epoch_us(ts) + (event_id % 5 + 1) * 90000000 AS hi
+              FROM events WHERE event_id % 2 = 0),
+            r AS (
+              SELECT event_id AS right_id, user_id,
+                     epoch_us(ts) AS lo,
+                     epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS hi
+              FROM events WHERE event_id % 2 = 1)
+            SELECT l.left_id, r.right_id
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND l.lo <= r.hi AND r.lo <= l.hi
+            ORDER BY l.left_id, r.right_id
         """,
         "ccnet_buckets": """
             WITH tok AS MATERIALIZED (

@@ -189,6 +189,7 @@ def run_queries() -> dict:
         "pivot_orders",
         "price_tiers",
         "ccnet_buckets",
+        "overlap_pairs",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

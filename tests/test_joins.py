@@ -393,3 +393,80 @@ def test_range_lookup_rejects_overlap():
         range_lookup(None, "v", [(0, 10, "a"), (10, 20, "b")])
     with pytest.raises(ValueError):
         range_lookup(None, "v", [])
+
+
+class TestIntervalOverlapJoin:
+    @staticmethod
+    def _brute(lrows, rrows, keyed=True):
+        out = set()
+        for lid, lk, llo, lhi in lrows:
+            for rid, rk, rlo, rhi in rrows:
+                if keyed and lk != rk:
+                    continue
+                if llo <= rhi and rlo <= lhi:
+                    out.add((lid, rid))
+        return out
+
+    @staticmethod
+    def _ds(rows):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "lo": pa.array([r[2] for r in rows], pa.int64()),
+                    "hi": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(3)
+
+    def _run(self, lrows, rrows, slab, keyed=True):
+        from texoo_ray.pipelines.joins import interval_overlap_join
+
+        out = interval_overlap_join(
+            self._ds(lrows),
+            self._ds(rrows),
+            id_col="event_id",
+            key_col="user_id" if keyed else None,
+            slab_us=slab,
+            n_buckets=8,
+        ).take_all()
+        return {(r["left_id"], r["right_id"]) for r in out}
+
+    def test_dense_random_matches_brute_force_all_slabs(self, ray_session):
+        import random
+
+        rng = random.Random(7)
+
+        def mk(base):
+            rows = []
+            for i in range(40):
+                lo = rng.randrange(0, 500)
+                rows.append(
+                    (base + i, rng.randrange(3), lo, lo + rng.randrange(0, 120))
+                )
+            return rows
+
+        lrows, rrows = mk(0), mk(100)
+        want = self._brute(lrows, rrows)
+        # slabs smaller than, comparable to, and larger than intervals:
+        # replication + the owner-slab dedup must agree across all
+        for slab in (7, 64, 1000):
+            assert self._run(lrows, rrows, slab) == want, slab
+
+    def test_touching_closed_boundaries_and_keyless(self, ray_session):
+        lrows = [(1, 0, 100, 200)]
+        rrows = [(2, 1, 200, 300), (3, 1, 201, 300), (4, 1, 0, 99)]
+        # keyed: users differ -> no pairs
+        assert self._run(lrows, rrows, 50) == set()
+        # keyless: touching at 200 overlaps (closed), 201 and 99 don't
+        assert self._run(lrows, rrows, 50, keyed=False) == {(1, 2)}
+
+    def test_hi_below_lo_raises(self, ray_session):
+        import pytest
+        import ray.exceptions
+
+        with pytest.raises(Exception):
+            self._run([(1, 0, 10, 5)], [(2, 0, 0, 1)], 10)

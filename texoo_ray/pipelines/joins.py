@@ -927,3 +927,151 @@ def range_lookup(ds, value_col: str, ranges, out_col: str = "label"):
         return batch.append_column(out_col, lab)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def interval_overlap_join(
+    left,
+    right,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    id_col: str = "id",
+    key_col: Optional[str] = None,
+    slab_us: int = 3_600_000_000,
+    n_buckets: int = 64,
+):
+    """Distributed interval-overlap join: every (left, right) pair of
+    CLOSED intervals ``[lo, hi]`` with ``l.lo <= r.hi AND r.lo <= l.hi``
+    (optionally also matching on ``key_col`` — the "which sessions
+    overlap which promotions per user" shape). Inputs carry int64
+    bounds (microseconds for time intervals); returns
+    Dataset[(left_id, right_id)].
+
+    Scale shape: time is cut into fixed ``slab_us`` slabs and each
+    interval is REPLICATED into every slab it touches, so one
+    (key, slab)-bucket hash exchange co-locates all possible partners;
+    inside a bucket one structured-array ``searchsorted`` per side
+    (the graph.py:579 idiom — no per-segment Python loop) finds, for
+    every left interval, the contiguous run of rights in its
+    (key, slab) segment with ``r.lo <= l.hi``, and a vectorized
+    ``r.hi >= l.lo`` check finishes the overlap test. A pair that
+    overlaps in several slabs is emitted ONLY in the slab containing
+    ``max(l.lo, r.lo)`` — exactly-once without a distinct pass.
+
+    Partitioning assumptions (document per the brief): ``slab_us``
+    should be of the order of a typical interval so replication stays
+    O(1) per row; intervals spanning many slabs fan out linearly, and
+    a (key, slab) cell's in-bucket work is |L_cell| x |R_cell| in the
+    worst case — pick keys/slabs so cells stay worker-sized (the same
+    contract as fuzzy_join's blocks, joins.py:576).
+    """
+    import ray.data
+
+    if slab_us <= 0:
+        raise ValueError("slab_us must be positive")
+
+    def replicate(side: int):
+        def rep(batch: pa.Table) -> pa.Table:
+            lo = _ts_int64(batch[lo_col])
+            hi = _ts_int64(batch[hi_col])
+            if np.any(hi < lo):
+                raise ValueError("interval with hi < lo")
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            key = (
+                np.asarray(batch[key_col], dtype=np.int64)
+                if key_col
+                else np.zeros(len(ids), dtype=np.int64)
+            )
+            s_lo = np.floor_divide(lo, slab_us)
+            n_slabs = (np.floor_divide(hi, slab_us) - s_lo + 1).astype(
+                np.int64
+            )
+            total = int(n_slabs.sum())
+            row = np.repeat(np.arange(len(ids)), n_slabs)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(n_slabs) - n_slabs, n_slabs
+            )
+            slab = s_lo[row] + offs
+            b = (
+                (key[row] * np.int64(2654435761) + slab)
+                * np.int64(2654435761)
+            ) % np.int64(n_buckets)
+            return pa.table(
+                {
+                    "bucket": pa.array(np.abs(b), pa.int64()),
+                    "key": pa.array(key[row], pa.int64()),
+                    "slab": pa.array(slab, pa.int64()),
+                    "lo": pa.array(lo[row], pa.int64()),
+                    "hi": pa.array(hi[row], pa.int64()),
+                    "iid": pa.array(ids[row], pa.int64()),
+                    "side": pa.array(
+                        np.full(total, side, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return rep
+
+    tagged = left.map_batches(replicate(0), batch_format="pyarrow").union(
+        right.map_batches(replicate(1), batch_format="pyarrow")
+    )
+
+    _DT = [("k", "<i8"), ("s", "<i8"), ("v", "<i8")]
+    _EMPTY = pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def scan(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int64)
+        key = np.asarray(group["key"], dtype=np.int64)
+        slab = np.asarray(group["slab"], dtype=np.int64)
+        lo = np.asarray(group["lo"], dtype=np.int64)
+        hi = np.asarray(group["hi"], dtype=np.int64)
+        iid = np.asarray(group["iid"], dtype=np.int64)
+        L = side == 0
+        R = ~L
+        if not L.any() or not R.any():
+            return _EMPTY
+        lk, ls, llo, lhi, lid = key[L], slab[L], lo[L], hi[L], iid[L]
+        rk, rs, rlo, rhi, rid = key[R], slab[R], lo[R], hi[R], iid[R]
+        order = np.lexsort((rlo, rs, rk))
+        rk, rs, rlo, rhi, rid = (
+            rk[order], rs[order], rlo[order], rhi[order], rid[order]
+        )
+        rv = np.empty((len(rk), 3), dtype=np.int64)
+        rv[:, 0], rv[:, 1], rv[:, 2] = rk, rs, rlo
+        rv = rv.view(_DT).ravel()
+        qe = np.empty((len(lk), 3), dtype=np.int64)
+        qe[:, 0], qe[:, 1], qe[:, 2] = lk, ls, lhi
+        ends = np.searchsorted(rv, qe.view(_DT).ravel(), side="right")
+        qs = np.empty((len(lk), 3), dtype=np.int64)
+        qs[:, 0], qs[:, 1] = lk, ls
+        qs[:, 2] = np.iinfo(np.int64).min
+        starts = np.searchsorted(rv, qs.view(_DT).ravel(), side="left")
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return _EMPTY
+        li = np.repeat(np.arange(len(lk)), counts)
+        ri = (
+            np.arange(total)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(starts, counts)
+        )
+        keep = rhi[ri] >= llo[li]
+        # exactly-once: only the slab that contains max(l.lo, r.lo) emits
+        keep &= ls[li] == np.floor_divide(
+            np.maximum(llo[li], rlo[ri]), slab_us
+        )
+        if not keep.any():
+            return _EMPTY
+        return pa.table(
+            {
+                "left_id": pa.array(lid[li[keep]], pa.int64()),
+                "right_id": pa.array(rid[ri[keep]], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(scan, batch_format="pyarrow")
