@@ -1952,6 +1952,55 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _q_image_dedup(sf_dir: str):
+    """Perceptual image near-dup clustering (stages/multimodal.py::
+    image_dhash_dedup): REAL PPM decode -> 64-bit dHash -> the banded
+    hamming<=3 candidate/verify/closure shared with simhash_dedup.
+    PLANTED ground truth makes it SQL-oracle-checkable: 25 family
+    codewords (pairwise hamming >= 11, all four 16-bit bands pairwise
+    distinct — asserted in tests/test_multimodal_dedup.py) are rendered
+    into images whose dHash is EXACTLY the codeword
+    (image_from_dhash); each variant flips (doc_id//25)%4 <= 3 bits, so
+    every family must cluster to its min doc_id and no two families can
+    merge. Oracle: min(doc_id) OVER the planted family."""
+    from texoo_ray.core.codecs import encode_ppm
+    from texoo_ray.stages.multimodal import image_dhash_dedup, image_from_dhash
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            f = int(i) % 25
+            k = (int(i) // 25) % 4
+            w = int.from_bytes(
+                hashlib.md5(b"imgfam-0-%d" % f).digest()[:8], "big"
+            )
+            flips, j = [], 0
+            digest = hashlib.md5(b"flips-%d" % int(i)).digest()
+            while len(flips) < k:
+                p = digest[j] % 64
+                if p not in flips:
+                    flips.append(p)
+                j += 1
+            for p in flips:
+                w ^= 1 << p
+            payloads.append(encode_ppm(image_from_dhash(w)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return image_dhash_dedup(
+        ds.map_batches(plant, batch_format="pyarrow", batch_size=128)
+    ).sort("media_id")
+
+
 def _q_overlap_pairs(sf_dir: str):
     """Per-user interval-overlap join (pipelines/joins.py::
     interval_overlap_join): synthetic sessions (even event_ids,
@@ -3304,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_tiers": _q_price_tiers,
         "ccnet_buckets": _q_ccnet_buckets,
         "overlap_pairs": _q_overlap_pairs,
+        "image_dedup": _q_image_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5720,6 +5770,12 @@ def oracle_sql() -> dict[str, str]:
                            THEN cents END), 0)::BIGINT AS v_5_low,
               count(*)::BIGINT AS n_rows
             FROM t GROUP BY o_year ORDER BY o_year
+        """,
+        "image_dedup": """
+            SELECT doc_id AS media_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 25)
+                     AS cluster_id
+            FROM documents ORDER BY media_id
         """,
         "overlap_pairs": """
             WITH l AS (

@@ -190,6 +190,7 @@ def run_queries() -> dict:
         "price_tiers",
         "ccnet_buckets",
         "overlap_pairs",
+        "image_dedup",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

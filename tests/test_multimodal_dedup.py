@@ -1,0 +1,99 @@
+"""Perceptual image dedup: dhash64 / image_from_dhash / image_dhash_dedup.
+
+Also pins the PLANTED-ORACLE preconditions of the image_dedup contract
+query: the 25 family codewords (md5 "imgfam-0-{f}") must stay pairwise
+hamming >= 11 with all four 16-bit bands pairwise distinct — that is
+what guarantees families cluster exactly and never merge."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from texoo_ray.core.codecs import decode_ppm, encode_bmp, encode_ppm
+from texoo_ray.stages.multimodal import (
+    dhash64,
+    image_dhash_dedup,
+    image_from_dhash,
+)
+
+
+def _codewords():
+    return [
+        int.from_bytes(hashlib.md5(b"imgfam-0-%d" % f).digest()[:8], "big")
+        for f in range(25)
+    ]
+
+
+class TestDhash:
+    def test_image_from_dhash_roundtrip_exact(self):
+        for t in (0, 1, 2**63, 0xDEADBEEFCAFEF00D, (1 << 64) - 1):
+            img = image_from_dhash(t)
+            assert dhash64(decode_ppm(encode_ppm(img))) == t
+
+    def test_contract_codewords_separated(self):
+        ws = _codewords()
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                assert bin(ws[i] ^ ws[j]).count("1") >= 11
+                for b in range(4):
+                    assert (ws[i] >> (16 * b)) & 0xFFFF != (
+                        ws[j] >> (16 * b)
+                    ) & 0xFFFF
+
+    def test_dhash_insensitive_to_2x_upscale(self):
+        t = 0xDEADBEEFCAFEF00D
+        img = image_from_dhash(t)
+        big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        assert dhash64(big) == t
+
+
+class TestImageDhashDedup:
+    def _run(self, rows):
+        import ray.data
+
+        tbl = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        out = image_dhash_dedup(
+            ray.data.from_arrow(tbl).repartition(2)
+        ).to_pandas()
+        return dict(zip(out["media_id"], out["cluster_id"]))
+
+    def test_near_dups_cluster_far_do_not(self, ray_session):
+        w = _codewords()[0]
+        w3 = w ^ 0b111  # hamming 3 -> same cluster
+        w4 = w ^ 0b1111  # hamming 4 -> NOT clustered
+        other = _codewords()[1]
+        rows = [
+            (1, encode_ppm(image_from_dhash(w))),
+            (2, encode_ppm(image_from_dhash(w3))),
+            (3, encode_ppm(image_from_dhash(w4))),
+            (4, encode_ppm(image_from_dhash(other))),
+            (5, encode_bmp(image_from_dhash(w))),  # BMP decodes too
+        ]
+        got = self._run(rows)
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 1}
+
+    def test_undecodable_skipped_or_raises(self, ray_session):
+        rows = [
+            (1, encode_ppm(image_from_dhash(_codewords()[0]))),
+            (2, b"\x89PNG not really decodable"),
+        ]
+        assert self._run(rows) == {1: 1}
+        import ray.data
+
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([b"garbage"], pa.binary()),
+            }
+        )
+        with pytest.raises(Exception):
+            image_dhash_dedup(
+                ray.data.from_arrow(tbl), on_unknown="error"
+            ).to_pandas()

@@ -1364,6 +1364,22 @@ def simhash_dedup(
 
     sigs = ds.map_batches(sig_stage, batch_format="pyarrow")
     all_ids = ds.select_columns([id_col])
+    return hamming_cluster_64(sigs, all_ids, id_col, max_hamming, max_iters)
+
+
+def hamming_cluster_64(
+    sigs,
+    all_ids,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_iters: int = 8,
+):
+    """Cluster rows whose 64-bit signatures are within ``max_hamming``
+    (<= 3 for the pigeonhole guarantee): the banded candidate + full
+    popcount verify + min-label closure shared by :func:`simhash_dedup`
+    and the image dHash dedup (stages/multimodal.py). ``sigs`` is
+    Dataset[(id_col, sig int64)]; ``all_ids`` the id universe. Returns
+    Dataset[(id_col, cluster_id)]."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)

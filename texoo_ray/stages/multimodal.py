@@ -208,3 +208,111 @@ def synthetic_media_table(n: int, seed: int = 42, real_payloads: bool = False) -
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of an RGB image (the classic perceptual
+    fingerprint): integer BT.601 luma, nearest-resize to 9x8, one bit
+    per horizontal neighbor comparison (row-major, MSB first). All
+    integer arithmetic — bit-reproducible across workers."""
+    small = resize_nearest(img, 9, 8).astype(np.int64)
+    lum = (
+        299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
+    ) // 1000
+    bits = (lum[:, 1:] > lum[:, :-1]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class ImageDHashStage:
+    """Actor-pool stage: decode image payloads (PPM/BMP) and emit their
+    64-bit dHash as int64 (two's complement). Non-image rows and
+    undecodable payloads are skipped (``on_unknown="skip"``) or raise
+    (``"error"``) — a perceptual hash of bytes we can't decode would be
+    noise, not a feature.
+
+    requires: ``media_id``, ``payload`` — emits (media_id, sig)."""
+
+    def __init__(self, on_unknown: str = "skip"):
+        if on_unknown not in ("skip", "error"):
+            raise ValueError("on_unknown must be 'skip' or 'error'")
+        self.on_unknown = on_unknown
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            kind = sniff_media(payload or b"")
+            try:
+                if kind == "ppm":
+                    img = decode_ppm(payload)
+                elif kind == "bmp":
+                    img = decode_bmp(payload)
+                else:
+                    raise UnsupportedMediaError(kind)
+            except (UnsupportedMediaError, ValueError):
+                if self.on_unknown == "error":
+                    raise
+                continue
+            ids.append(mid)
+            sigs.append(np.uint64(dhash64(img)).astype(np.int64))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(np.array(sigs, dtype=np.int64), pa.int64()),
+            }
+        )
+
+
+def image_dhash_dedup(
+    ds,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    batch_size: int = 32,
+    concurrency=2,
+    on_unknown: str = "skip",
+):
+    """Perceptual image near-dup clustering: dHash every decodable
+    image (actor pool, small batches — binary rows are wide), then the
+    same banded 16-bit-quarter candidate + full-popcount verify +
+    min-label closure as :func:`..stages.dedup.simhash_dedup`
+    (``hamming_cluster_64``). Returns Dataset[(id_col, cluster_id)]
+    over the DECODABLE image rows only.
+
+    Scale shape: the signature pass reduces each image to 8 bytes, so
+    everything after the decode is the text-simhash pipeline — the
+    shuffle moves (id, sig) rows, never pixels."""
+    from .dedup import hamming_cluster_64
+
+    sigs = ds.map_batches(
+        ImageDHashStage,
+        fn_constructor_kwargs=dict(on_unknown=on_unknown),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if id_col != "media_id":
+        sigs = sigs.rename_columns({"media_id": id_col})
+    sigs = sigs.materialize()
+    return hamming_cluster_64(
+        sigs, sigs.select_columns([id_col]), id_col, max_hamming
+    )
+
+
+def image_from_dhash(target: int, base: int = 120, step: int = 8) -> np.ndarray:
+    """9x8 gray RGB image whose :func:`dhash64` is EXACTLY ``target``:
+    each row is a luminance ladder stepping +-``step`` according to the
+    target's bits (row-major, MSB first — the dhash64 bit order). The
+    planted-ground-truth generator that makes perceptual dedup
+    SQL-oracle-checkable: flip k bits of the target and the planted
+    image is a hamming-k near-duplicate by construction."""
+    bits = np.unpackbits(
+        np.frombuffer(int(target).to_bytes(8, "big"), np.uint8)
+    ).reshape(8, 8)
+    g = np.empty((8, 9), np.int64)
+    g[:, 0] = base
+    for c in range(8):
+        g[:, c + 1] = g[:, c] + np.where(bits[:, c] == 1, step, -step)
+    if g.min() < 0 or g.max() > 255:
+        raise ValueError("base/step overflow uint8")
+    return np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
