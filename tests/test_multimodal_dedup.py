@@ -97,3 +97,81 @@ class TestImageDhashDedup:
             image_dhash_dedup(
                 ray.data.from_arrow(tbl), on_unknown="error"
             ).to_pandas()
+
+
+def _audio_codewords():
+    return [
+        int.from_bytes(hashlib.md5(b"audfam-0-%d" % f).digest()[:8], "big")
+        for f in range(25)
+    ]
+
+
+class TestAudioFingerprint:
+    def test_roundtrip_exact(self):
+        from texoo_ray.core.codecs import decode_wav, encode_wav
+        from texoo_ray.stages.multimodal import (
+            audio_fingerprint64,
+            audio_from_fingerprint64,
+        )
+
+        for t in (0, 1, 2**63, 0xDEADBEEFCAFEF00D, (1 << 64) - 1):
+            s = audio_from_fingerprint64(t)
+            assert audio_fingerprint64(decode_wav(encode_wav(s, 8000))[0]) == t
+
+    def test_contract_codewords_separated(self):
+        ws = _audio_codewords()
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                assert bin(ws[i] ^ ws[j]).count("1") >= 11
+                for b in range(4):
+                    assert (ws[i] >> (16 * b)) & 0xFFFF != (
+                        ws[j] >> (16 * b)
+                    ) & 0xFFFF
+
+    def test_stereo_mixdown_and_too_short(self):
+        import numpy as np
+
+        from texoo_ray.core.codecs import UnsupportedMediaError
+        from texoo_ray.stages.multimodal import (
+            audio_fingerprint64,
+            audio_from_fingerprint64,
+        )
+
+        t = 0xDEADBEEFCAFEF00D
+        mono = audio_from_fingerprint64(t)
+        stereo = np.stack([mono, mono], axis=1)
+        assert audio_fingerprint64(stereo) == t
+        with pytest.raises(UnsupportedMediaError):
+            audio_fingerprint64(np.zeros(64, np.int16))
+
+
+class TestAudioDedup:
+    def test_near_dups_cluster(self, ray_session):
+        import ray.data
+
+        from texoo_ray.core.codecs import encode_wav
+        from texoo_ray.stages.multimodal import (
+            audio_fingerprint_dedup,
+            audio_from_fingerprint64,
+        )
+
+        w = _audio_codewords()[0]
+        other = _audio_codewords()[1]
+        rows = [
+            (1, encode_wav(audio_from_fingerprint64(w), 8000)),
+            (2, encode_wav(audio_from_fingerprint64(w ^ 0b101), 8000)),
+            (3, encode_wav(audio_from_fingerprint64(w ^ 0b11110), 8000)),
+            (4, encode_wav(audio_from_fingerprint64(other), 8000)),
+            (5, b"not a wav"),  # skipped
+        ]
+        tbl = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        out = audio_fingerprint_dedup(
+            ray.data.from_arrow(tbl).repartition(2)
+        ).to_pandas()
+        got = dict(zip(out["media_id"], out["cluster_id"]))
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4}

@@ -316,3 +316,105 @@ def image_from_dhash(target: int, base: int = 120, step: int = 8) -> np.ndarray:
     if g.min() < 0 or g.max() > 255:
         raise ValueError("base/step overflow uint8")
     return np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit time-domain audio fingerprint — the dHash idea over
+    segment energies: mix to mono (integer mean), cut the first
+    65*(n//65) samples into 65 equal segments, sum |amplitude| per
+    segment, one bit per consecutive-segment comparison (MSB first).
+    Pure integer arithmetic — bit-reproducible. Needs >= 65 samples
+    (raises UnsupportedMediaError below that)."""
+    if samples.ndim == 2:
+        samples = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+    s = np.abs(samples.astype(np.int64))
+    seg = len(s) // 65
+    if seg < 1:
+        raise UnsupportedMediaError("audio too short to fingerprint")
+    e = s[: seg * 65].reshape(65, seg).sum(axis=1)
+    bits = (e[1:] > e[:-1]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def audio_from_fingerprint64(
+    target: int, seg_len: int = 16, base: int = 16000, step: int = 250
+) -> np.ndarray:
+    """int16 mono samples whose :func:`audio_fingerprint64` is EXACTLY
+    ``target``: 65 constant-amplitude segments whose energies ladder
+    +-``step`` per target bit — the audio analogue of
+    :func:`image_from_dhash`, making perceptual audio dedup
+    oracle-checkable via planted codewords."""
+    bits = np.unpackbits(
+        np.frombuffer(int(target).to_bytes(8, "big"), np.uint8)
+    ).astype(np.int64)
+    amp = np.empty(65, np.int64)
+    amp[0] = base
+    amp[1:] = base + np.cumsum(np.where(bits == 1, step, -step))
+    if amp.min() < 0 or amp.max() > 32767:
+        raise ValueError("base/step overflow int16")
+    return np.repeat(amp, seg_len).astype(np.int16)
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: decode WAV payloads and emit their 64-bit
+    fingerprint as int64. Non-audio / undecodable rows skip or raise
+    (same policy contract as ImageDHashStage)."""
+
+    def __init__(self, on_unknown: str = "skip"):
+        if on_unknown not in ("skip", "error"):
+            raise ValueError("on_unknown must be 'skip' or 'error'")
+        self.on_unknown = on_unknown
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                if sniff_media(payload or b"") != "wav":
+                    raise UnsupportedMediaError("not wav")
+                samples, _ = decode_wav(payload)
+                sig = audio_fingerprint64(samples)
+            except (UnsupportedMediaError, ValueError):
+                if self.on_unknown == "error":
+                    raise
+                continue
+            ids.append(mid)
+            sigs.append(np.uint64(sig).astype(np.int64))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(np.array(sigs, dtype=np.int64), pa.int64()),
+            }
+        )
+
+
+def audio_fingerprint_dedup(
+    ds,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    batch_size: int = 32,
+    concurrency=2,
+    on_unknown: str = "skip",
+):
+    """Perceptual audio near-dup clustering: fingerprint every decodable
+    WAV (actor pool), then the banded hamming<=3 candidate/verify/
+    closure (stages/dedup.py::hamming_cluster_64). Returns
+    Dataset[(id_col, cluster_id)] over the decodable audio rows. Same
+    scale shape as image_dhash_dedup: 8 bytes per row after the decode
+    pass; the shuffle never moves samples."""
+    from .dedup import hamming_cluster_64
+
+    sigs = ds.map_batches(
+        AudioFingerprintStage,
+        fn_constructor_kwargs=dict(on_unknown=on_unknown),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if id_col != "media_id":
+        sigs = sigs.rename_columns({"media_id": id_col})
+    sigs = sigs.materialize()
+    return hamming_cluster_64(
+        sigs, sigs.select_columns([id_col]), id_col, max_hamming
+    )
