@@ -1952,6 +1952,112 @@ def _q_lm_score(sf_dir: str):
     return ngram_logprob(ds)
 
 
+def _planted_codeword(prefix: bytes, doc_id: int) -> int:
+    """Shared planting for the perceptual-dedup contract queries: the
+    64-bit family codeword (md5 '<prefix>-0-<family>', families =
+    doc_id % 25 — pairwise hamming >= 11 with all four 16-bit bands
+    distinct, pinned in tests/test_multimodal_dedup.py) with
+    (doc_id // 25) % 4 <= 3 deterministic bit flips. Base variants
+    (ids 0..24) are unflipped, so every bucket's min-id rep is a base
+    and families must cluster to their min doc_id exactly."""
+    import hashlib
+
+    f = int(doc_id) % 25
+    k = (int(doc_id) // 25) % 4
+    w = int.from_bytes(
+        hashlib.md5(prefix + b"-0-%d" % f).digest()[:8], "big"
+    )
+    flips, j = [], 0
+    digest = hashlib.md5(b"flips-%d" % int(doc_id)).digest()
+    while len(flips) < k:
+        p = digest[j] % 64
+        if p not in flips:
+            flips.append(p)
+        j += 1
+    for p in flips:
+        w ^= 1 << p
+    return w
+
+
+def _q_zorder_prune(sf_dir: str):
+    """Z-order layout + multi-column pruned read (state/zorder.py):
+    documents get two planted range columns (a = doc_id % 64,
+    b = doc_id*7919 % 61), are written Morton-ordered into 16 files
+    with a footer-stats manifest, and the query reads ONLY the files
+    whose min/max envelope intersects (a in [8,24], b in [10,40]) —
+    data skipping at the storage layer (the Delta/Iceberg ZORDER
+    idiom; pruning ratio pinned in tests/test_zorder.py). Oracle:
+    plain WHERE on the same modular expressions."""
+    import ray.data
+
+    from texoo_ray.state.zorder import read_zorder, write_zorder
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/texoo_zorder", "%s-v1" % tag)
+    if not os.path.exists(os.path.join(out, "_ZORDER.json")):
+        # the manifest is written LAST: a dir without one is a dead
+        # partial write — wipe it or write_parquet would append dupes
+        if os.path.isdir(out):
+            import shutil
+
+            shutil.rmtree(out)
+        ds = _read(sf_dir, "documents", ["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "a": pa.array(ids % 64, pa.int64()),
+                    "b": pa.array((ids * 7919) % 61, pa.int64()),
+                }
+            )
+
+        write_zorder(
+            ds.map_batches(plant, batch_format="pyarrow"),
+            out,
+            "a",
+            "b",
+            n_files=16,
+        )
+    return read_zorder(out, a_range=(8, 24), b_range=(10, 40)).sort("doc_id")
+
+
+def _q_audio_dedup(sf_dir: str):
+    """Perceptual audio near-dup clustering (stages/multimodal.py::
+    audio_fingerprint_dedup): REAL WAV decode -> 64-bit segment-energy
+    fingerprint -> the banded hamming<=3 closure. Planted ground truth
+    exactly as image_dedup (audio_from_fingerprint64 inverts the
+    fingerprint), so the full sample path is hash-checkable."""
+    from texoo_ray.core.codecs import encode_wav
+    from texoo_ray.stages.multimodal import (
+        audio_fingerprint_dedup,
+        audio_from_fingerprint64,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = [
+            encode_wav(
+                audio_from_fingerprint64(_planted_codeword(b"audfam", i)),
+                8000,
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return audio_fingerprint_dedup(
+        ds.map_batches(plant, batch_format="pyarrow", batch_size=128)
+    ).sort("media_id")
+
+
 def _q_image_dedup(sf_dir: str):
     """Perceptual image near-dup clustering (stages/multimodal.py::
     image_dhash_dedup): REAL PPM decode -> 64-bit dHash -> the banded
@@ -1969,26 +2075,11 @@ def _q_image_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def plant(batch: pa.Table) -> pa.Table:
-        import hashlib
-
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        payloads = []
-        for i in ids:
-            f = int(i) % 25
-            k = (int(i) // 25) % 4
-            w = int.from_bytes(
-                hashlib.md5(b"imgfam-0-%d" % f).digest()[:8], "big"
-            )
-            flips, j = [], 0
-            digest = hashlib.md5(b"flips-%d" % int(i)).digest()
-            while len(flips) < k:
-                p = digest[j] % 64
-                if p not in flips:
-                    flips.append(p)
-                j += 1
-            for p in flips:
-                w ^= 1 << p
-            payloads.append(encode_ppm(image_from_dhash(w)))
+        payloads = [
+            encode_ppm(image_from_dhash(_planted_codeword(b"imgfam", i)))
+            for i in ids
+        ]
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -3354,6 +3445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "overlap_pairs": _q_overlap_pairs,
         "image_dedup": _q_image_dedup,
+        "audio_dedup": _q_audio_dedup,
+        "zorder_prune": _q_zorder_prune,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5776,6 +5869,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY doc_id % 25)
                      AS cluster_id
             FROM documents ORDER BY media_id
+        """,
+        "audio_dedup": """
+            SELECT doc_id AS media_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 25)
+                     AS cluster_id
+            FROM documents ORDER BY media_id
+        """,
+        "zorder_prune": """
+            SELECT doc_id, doc_id % 64 AS a, (doc_id * 7919) % 61 AS b
+            FROM documents
+            WHERE doc_id % 64 BETWEEN 8 AND 24
+              AND (doc_id * 7919) % 61 BETWEEN 10 AND 40
+            ORDER BY doc_id
         """,
         "overlap_pairs": """
             WITH l AS (

@@ -191,6 +191,8 @@ def run_queries() -> dict:
         "ccnet_buckets",
         "overlap_pairs",
         "image_dedup",
+        "audio_dedup",
+        "zorder_prune",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

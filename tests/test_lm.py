@@ -329,3 +329,70 @@ class TestPerplexityBuckets:
             v, b = want[r["doc_id"]]
             assert r["avg_logprob_micro"] == v, r["doc_id"]
             assert r["bucket"] == b, r["doc_id"]
+
+
+class TestNgramLogprobPaths:
+    """The broadcast-model fast path and the big-big join path must be
+    row-identical (the dsir broadcast_vocab_max precedent)."""
+
+    def test_broadcast_equals_join_path(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.lm import ngram_logprob
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, ""),
+            (4, "solo"),
+            (5, "cat mat cat mat cat"),
+            (6, "zx qv plonk zx qv"),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        fast = (
+            ngram_logprob(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        join = (
+            ngram_logprob(ds, broadcast_model_max=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert fast["doc_id"].tolist() == join["doc_id"].tolist()
+        assert fast["n_bigrams"].tolist() == join["n_bigrams"].tolist()
+        assert (
+            fast["sum_logprob_micro"].tolist()
+            == join["sum_logprob_micro"].tolist()
+        )
+
+    def test_over_threshold_falls_back(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.lm import ngram_logprob
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b c", "b c d"], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        # model = 4 words + 4 bigrams = 8 rows > 2 -> falls back to join
+        out = (
+            ngram_logprob(ds, broadcast_model_max=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        want = ngram_logprob(ds).to_pandas().sort_values("doc_id")
+        assert out["sum_logprob_micro"].tolist() == want[
+            "sum_logprob_micro"
+        ].tolist()

@@ -52,11 +52,177 @@ def _word_codes(batch: pa.Table, text_col: str):
     return _doc_word_codes(batch[text_col], nonword=_ALNUM_NONWORD)
 
 
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+_K2 = [("a", "<u8"), ("b", "<u8")]
+
+
+def _bigram_fp(h0: np.ndarray, h1: np.ndarray, ua: np.ndarray, ub: np.ndarray):
+    """128-bit fingerprint of a word PAIR from the two per-word FNV
+    streams (core/strhash.py) — must be identical in the counting and
+    scoring passes."""
+    err = np.seterr(over="ignore")
+    try:
+        k0 = (h0[ua] * _MIX_A) ^ h0[ub]
+        k1 = (h1[ua] * _MIX_B) ^ h1[ub]
+    finally:
+        np.seterr(**err)
+    return k0, k1
+
+
+def _fp_sorted(k0: np.ndarray, k1: np.ndarray, vals: np.ndarray):
+    """(sorted structured fingerprint view, values in that order)."""
+    m = np.empty((len(k0), 2), np.uint64)
+    m[:, 0], m[:, 1] = k0, k1
+    mv = m.view(_K2).ravel()
+    order = np.argsort(mv)
+    return mv[order], vals[order]
+
+
+def _fp_lookup(sorted_fp: np.ndarray, vals: np.ndarray, k0, k1) -> np.ndarray:
+    """Exact lookup of fingerprints built by :func:`_fp_sorted` (every
+    query must exist — the model was counted from the same corpus)."""
+    q = np.empty((len(k0), 2), np.uint64)
+    q[:, 0], q[:, 1] = k0, k1
+    qv = q.view(_K2).ravel()
+    pos = np.searchsorted(sorted_fp, qv)
+    pos = np.clip(pos, 0, len(sorted_fp) - 1)
+    if len(qv) and not (sorted_fp[pos] == qv).all():
+        raise AssertionError("bigram-LM fingerprint missing from model")
+    return vals[pos]
+
+
+def _ngram_logprob_broadcast(ds, id_col, text_col, model_max: int):
+    """The small-model plan of :func:`ngram_logprob`: one tagged
+    counting aggregate (words AND bigrams in the same pass — N tiny
+    sequential aggregates are launch-bound, dev-notes round 3), model
+    collected once to sorted fingerprint arrays, scored in one
+    broadcast map. Returns None when the model exceeds ``model_max``
+    (caller falls back to the join plan)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
+    from .dedup import _compact
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        nd = len(dic)
+        h0 = utf8_hash64(dic, 0)
+        h1 = utf8_hash64(dic, 1)
+        kinds = [np.zeros(nd, np.int64)]
+        k0s, k1s = [h0], [h1]
+        ns = [np.bincount(codes, minlength=nd).astype(np.int64)]
+        if len(codes) >= 2:
+            valid = doc_of[:-1] == doc_of[1:]
+            a, b = codes[:-1][valid], codes[1:][valid]
+            if len(a):
+                V = np.int64(nd)
+                u, mult = np.unique(a * V + b, return_counts=True)
+                bk0, bk1 = _bigram_fp(h0, h1, u // V, u % V)
+                kinds.append(np.ones(len(u), np.int64))
+                k0s.append(bk0)
+                k1s.append(bk1)
+                ns.append(mult.astype(np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds), pa.int64()),
+                "k0": pa.array(
+                    np.concatenate(k0s).view(np.int64), pa.int64()
+                ),
+                "k1": pa.array(
+                    np.concatenate(k1s).view(np.int64), pa.int64()
+                ),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    counts = _compact(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["kind", "k0", "k1"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if counts is None:  # corpus has no tokens at all
+        def zeros_only(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_bigrams": pa.array([0] * n, pa.int64()),
+                    "sum_logprob_micro": pa.array([0] * n, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(zeros_only, batch_format="pyarrow")
+    if counts.count() > model_max:
+        return None
+
+    t = counts.to_pandas()
+    kind = t["kind"].to_numpy()
+    k0 = t["k0"].to_numpy().view(np.uint64)
+    k1 = t["k1"].to_numpy().view(np.uint64)
+    n = t["n"].to_numpy().astype(np.int64)
+    w = kind == 0
+    wfp, cu_vals = _fp_sorted(k0[w], k1[w], n[w])
+    bfp, cuv_vals = _fp_sorted(k0[~w], k1[~w], n[~w])
+    V = int(w.sum())
+    ref = ray.put((wfp, cu_vals, bfp, cuv_vals, V))
+
+    def score(batch: pa.Table) -> pa.Table:
+        wfp, cu_vals, bfp, cuv_vals, V = ray.get(ref)
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        n_rows = batch.num_rows
+        out_n = np.zeros(n_rows, np.int64)
+        out_s = np.zeros(n_rows, np.int64)
+        if len(codes) >= 2 and len(dic):
+            valid = doc_of[:-1] == doc_of[1:]
+            a, b = codes[:-1][valid], codes[1:][valid]
+            d = doc_of[:-1][valid]
+            if len(a):
+                h0 = utf8_hash64(dic, 0)
+                h1 = utf8_hash64(dic, 1)
+                Vb = np.int64(len(dic))
+                u, mult = np.unique(
+                    (d * Vb + a) * Vb + b, return_counts=True
+                )
+                dd = u // (Vb * Vb)
+                rest = u % (Vb * Vb)
+                ua, ub = rest // Vb, rest % Vb
+                cu = _fp_lookup(wfp, cu_vals, h0[ua], h1[ua])
+                bk0, bk1 = _bigram_fp(h0, h1, ua, ub)
+                cuv = _fp_lookup(bfp, cuv_vals, bk0, bk1)
+                pairs = np.stack([cuv, cu], axis=1)
+                uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                logs = np.array(
+                    [
+                        math.log(float(x + 1) / (float(y) + V))
+                        for x, y in uniq
+                    ],
+                    dtype=np.float64,
+                )
+                micro = (
+                    np.floor(logs[inv] * 1e6 + 0.5).astype(np.int64)
+                    * mult.astype(np.int64)
+                )
+                np.add.at(out_s, dd, micro)
+                np.add.at(out_n, dd, mult.astype(np.int64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(out_n, pa.int64()),
+                "sum_logprob_micro": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def ngram_logprob(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: Optional[int] = None,
+    broadcast_model_max: int = 2_000_000,
 ):
     """Per-document bigram LM score: Dataset[(id_col, n_bigrams,
     sum_logprob_micro)], one row per input document (documents with < 2
@@ -65,10 +231,28 @@ def ngram_logprob(
     p(v|u) = (c(uv) + 1) / (c(u) + V) with corpus-wide counts and
     vocabulary size V (Laplace smoothing); the score is the sum over the
     document's token bigrams of floor(ln(p)*1e6 + 0.5).
+
+    Two plans, same algebra (path-equivalence pinned in tests/test_lm.py):
+    when the model (distinct words + distinct bigrams) fits under
+    ``broadcast_model_max`` rows, ONE tagged counting aggregate builds
+    it, the driver ships it as sorted 128-bit-fingerprint numpy arrays
+    (``ray.put``, zero-copy reads — the dsir_logratio fast path), and
+    one scoring map finishes: 2 Ray jobs, no joins (the join path was
+    launch-bound at query scale: ~6 sequential jobs, measured 13.6 s vs
+    ~3 s at sf0.1). Above the threshold — a 100 TB vocabulary fits no
+    broadcast — the honest big-big join path below runs instead; pass
+    ``broadcast_model_max=0`` to force it.
     """
     from ray.data.aggregate import Sum
 
     from .dedup import _compact, _join_partitions
+
+    if broadcast_model_max:
+        out = _ngram_logprob_broadcast(
+            ds, id_col, text_col, broadcast_model_max
+        )
+        if out is not None:
+            return out
 
     P = _join_partitions(cap=num_partitions or 16)
 
