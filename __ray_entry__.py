@@ -2140,6 +2140,20 @@ def _q_overlap_pairs(sf_dir: str):
     ).sort(["left_id", "right_id"])
 
 
+def _q_kn_score(sf_dir: str):
+    """Interpolated Kneser-Ney bigram scoring (stages/lm.py::
+    kn_logprob, Kneser & Ney 1995): corpus-trained discounted bigram
+    probabilities with continuation-count backoff, per-document
+    micro-nat sums. The float expression evaluates in the same parse
+    tree as the oracle (one libm log per distinct count tuple), so
+    sums are bit-equal. Oracle: tokenize + GROUP BY counts +
+    continuation distincts + the identical greatest/ln/floor algebra."""
+    from texoo_ray.stages.lm import kn_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return kn_logprob(ds)
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing (stages/lm.py::
     lm_perplexity_buckets, Wenzek et al. 2019 §3.3): corpus bigram-LM
@@ -3447,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup": _q_image_dedup,
         "audio_dedup": _q_audio_dedup,
         "zorder_prune": _q_zorder_prune,
+        "kn_score": _q_kn_score,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5875,6 +5890,55 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY doc_id % 25)
                      AS cluster_id
             FROM documents ORDER BY media_id
+        """,
+        "kn_score": """
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents
+            ), pos AS (
+              SELECT unnest(arr) AS u FROM tok
+            ), uni AS (
+              SELECT u, count(*)::BIGINT AS cu FROM pos GROUP BY u
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i])) AS u,
+                     unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i+1])) AS v
+              FROM tok
+            ), cb AS (
+              SELECT u, v, count(*)::BIGINT AS cuv FROM bg GROUP BY u, v
+            ), n1u AS (
+              SELECT u, count(*)::BIGINT AS n1u FROM cb GROUP BY u
+            ), n1v AS (
+              SELECT v, count(*)::BIGINT AS n1v FROM cb GROUP BY v
+            ), n1a AS (
+              SELECT count(*)::BIGINT AS n FROM cb
+            ), scored AS (
+              SELECT bg.doc_id,
+                CAST(floor(ln(
+                  (greatest(cb.cuv::DOUBLE - 0.75, 0.0)
+                   + (0.75 * n1u.n1u::DOUBLE)
+                     * (n1v.n1v::DOUBLE / n1a.n::DOUBLE))
+                  / uni.cu::DOUBLE
+                ) * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM bg
+              JOIN cb USING (u, v)
+              JOIN uni USING (u)
+              JOIN n1u USING (u)
+              JOIN n1v USING (v)
+              CROSS JOIN n1a
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(micro)::BIGINT AS sum_kn_micro
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(a.sum_kn_micro, 0)::BIGINT AS sum_kn_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "zorder_prune": """
             SELECT doc_id, doc_id % 64 AS a, (doc_id * 7919) % 61 AS b

@@ -193,6 +193,7 @@ def run_queries() -> dict:
         "image_dedup",
         "audio_dedup",
         "zorder_prune",
+        "kn_score",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -396,3 +396,82 @@ class TestNgramLogprobPaths:
         assert out["sum_logprob_micro"].tolist() == want[
             "sum_logprob_micro"
         ].tolist()
+
+
+class TestKneserNey:
+    @staticmethod
+    def _brute(rows, d=0.75):
+        import math
+        import re
+
+        tok = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in rows}
+        uni, bi = {}, {}
+        for ws in tok.values():
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        n1u, n1v = {}, {}
+        for (a, b) in bi:
+            n1u[a] = n1u.get(a, 0) + 1
+            n1v[b] = n1v.get(b, 0) + 1
+        n1all = len(bi)
+        out = {}
+        for i, _ in rows:
+            ws = tok[i]
+            s = 0
+            for a, b in zip(ws, ws[1:]):
+                p = (
+                    max(float(bi[(a, b)]) - d, 0.0)
+                    + (d * float(n1u[a])) * (float(n1v[b]) / float(n1all))
+                ) / float(uni[a])
+                s += math.floor(math.log(p) * 1e6 + 0.5)
+            out[i] = (max(len(ws) - 1, 0), s)
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.lm import kn_logprob
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the cat"),
+            (3, "dog dog dog dog"),
+            (4, "one two"),
+            (5, ""),
+            (6, "solo"),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        out = (
+            kn_logprob(ray.data.from_arrow(tbl).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(rows)
+        assert out["doc_id"].tolist() == [1, 2, 3, 4, 5, 6]
+        for _, r in out.iterrows():
+            nb, s = want[r["doc_id"]]
+            assert r["n_bigrams"] == nb, r["doc_id"]
+            assert r["sum_kn_micro"] == s, r["doc_id"]
+
+    def test_model_too_big_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from texoo_ray.stages.lm import kn_logprob
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["a b c d e"], pa.string()),
+            }
+        )
+        with pytest.raises(Exception):
+            kn_logprob(ray.data.from_arrow(tbl), model_max=2).to_pandas()

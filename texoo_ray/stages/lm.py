@@ -930,3 +930,192 @@ def lm_perplexity_buckets(
         )
 
     return joined.map_batches(assign, batch_format="pyarrow")
+
+
+def kn_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    model_max: int = 4_000_000,
+):
+    """Per-document INTERPOLATED KNESER-NEY bigram score (Kneser & Ney
+    1995; the standard n-gram smoothing): Dataset[(id_col, n_bigrams,
+    sum_kn_micro)], one row per document, documents with < 2 tokens
+    scoring (0, 0).
+
+        p(v|u) = (max(c(uv) - d, 0) + d * N1+(u.) * Pcont(v)) / c(u)
+        Pcont(v) = N1+(.v) / N1+(..)
+
+    with d = ``discount``; the score sums floor(ln(p)*1e6 + 0.5) over
+    the document's bigrams. The float expression is evaluated in the
+    SAME parse-tree order as the SQL oracle (one libm log per distinct
+    count tuple), so scores are bit-equal across engines.
+
+    Plan: broadcast-model only — ONE tagged counting aggregate carries
+    per-bigram (pair-fp, u-fp, v-fp, count); the driver derives c(u),
+    N1+(u.), N1+(.v), N1+(..) from the vocab-sized model with numpy
+    uniques and ships sorted fingerprint arrays (``ray.put``); one
+    scoring map finishes. Raises when the model exceeds ``model_max`` —
+    at 100 TB vocabulary, shrink the model first with the standard
+    count cutoff (hapax bigrams sit at the discount floor), then
+    broadcast; a shuffled-join KN plan would need four joins per
+    bigram and is not worth its launch depth below that point.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..core.strhash import utf8_hash64
+    from .dedup import _compact
+
+    d = float(discount)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        nd = len(dic)
+        h0 = utf8_hash64(dic, 0)
+        h1 = utf8_hash64(dic, 1)
+        z = np.zeros(nd, np.int64)
+        kinds = [z]
+        k0s, k1s = [h0.view(np.int64)], [h1.view(np.int64)]
+        uk0s, uk1s, vk0s, vk1s = [z], [z], [z], [z]
+        ns = [np.bincount(codes, minlength=nd).astype(np.int64)]
+        if len(codes) >= 2:
+            valid = doc_of[:-1] == doc_of[1:]
+            a, b = codes[:-1][valid], codes[1:][valid]
+            if len(a):
+                V = np.int64(nd)
+                u, mult = np.unique(a * V + b, return_counts=True)
+                ua, ub = u // V, u % V
+                bk0, bk1 = _bigram_fp(h0, h1, ua, ub)
+                kinds.append(np.ones(len(u), np.int64))
+                k0s.append(bk0.view(np.int64))
+                k1s.append(bk1.view(np.int64))
+                uk0s.append(h0[ua].view(np.int64))
+                uk1s.append(h1[ua].view(np.int64))
+                vk0s.append(h0[ub].view(np.int64))
+                vk1s.append(h1[ub].view(np.int64))
+                ns.append(mult.astype(np.int64))
+        cols = {
+            "kind": np.concatenate(kinds),
+            "k0": np.concatenate(k0s),
+            "k1": np.concatenate(k1s),
+            "uk0": np.concatenate(uk0s),
+            "uk1": np.concatenate(uk1s),
+            "vk0": np.concatenate(vk0s),
+            "vk1": np.concatenate(vk1s),
+            "n": np.concatenate(ns),
+        }
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+    counts = _compact(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["kind", "k0", "k1"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            # u/v fps are functions of the bigram key: Min = the value
+            Min("uk0", alias_name="uk0"),
+            Min("uk1", alias_name="uk1"),
+            Min("vk0", alias_name="vk0"),
+            Min("vk1", alias_name="vk1"),
+        )
+    )
+    if counts is None:
+        def zeros_only(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_bigrams": pa.array([0] * n, pa.int64()),
+                    "sum_kn_micro": pa.array([0] * n, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(zeros_only, batch_format="pyarrow")
+    if counts.count() > model_max:
+        raise ValueError(
+            "KN model exceeds model_max=%d; apply a count cutoff first"
+            % model_max
+        )
+
+    t = counts.to_pandas()
+    kind = t["kind"].to_numpy()
+    k0 = t["k0"].to_numpy().view(np.uint64)
+    k1 = t["k1"].to_numpy().view(np.uint64)
+    n = t["n"].to_numpy().astype(np.int64)
+    w = kind == 0
+    # per-word table: cu aligned to the sorted word fingerprints
+    wfp, cu_vals = _fp_sorted(k0[w], k1[w], n[w])
+    # bigram table + continuation counts from the model itself
+    bfp, cuv_vals = _fp_sorted(k0[~w], k1[~w], n[~w])
+    uk = np.empty((int((~w).sum()), 2), np.uint64)
+    uk[:, 0] = t["uk0"].to_numpy().view(np.uint64)[~w]
+    uk[:, 1] = t["uk1"].to_numpy().view(np.uint64)[~w]
+    vk = np.empty((len(uk), 2), np.uint64)
+    vk[:, 0] = t["vk0"].to_numpy().view(np.uint64)[~w]
+    vk[:, 1] = t["vk1"].to_numpy().view(np.uint64)[~w]
+    n1all = len(uk)
+    # N1+(u.) / N1+(.v): distinct-bigram row counts per u / per v word,
+    # scattered onto the sorted word-fp axis (0 where never in position)
+    n1u_vals = np.zeros(len(wfp), np.int64)
+    n1v_vals = np.zeros(len(wfp), np.int64)
+    for mat, out in ((uk, n1u_vals), (vk, n1v_vals)):
+        mv = mat.view(_K2).ravel()
+        uniq, cnt = np.unique(mv, return_counts=True)
+        pos = np.searchsorted(wfp, uniq)
+        if len(uniq) and not (wfp[pos] == uniq).all():
+            raise AssertionError("KN continuation word missing from vocab")
+        out[pos] = cnt
+    ref = ray.put((wfp, cu_vals, n1u_vals, n1v_vals, bfp, cuv_vals, n1all))
+
+    def score(batch: pa.Table) -> pa.Table:
+        wfp, cu_vals, n1u_vals, n1v_vals, bfp, cuv_vals, n1all = ray.get(ref)
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        n_rows = batch.num_rows
+        out_n = np.zeros(n_rows, np.int64)
+        out_s = np.zeros(n_rows, np.int64)
+        if len(codes) >= 2 and len(dic):
+            valid = doc_of[:-1] == doc_of[1:]
+            a, b = codes[:-1][valid], codes[1:][valid]
+            dd0 = doc_of[:-1][valid]
+            if len(a):
+                h0 = utf8_hash64(dic, 0)
+                h1 = utf8_hash64(dic, 1)
+                Vb = np.int64(len(dic))
+                u, mult = np.unique(
+                    (dd0 * Vb + a) * Vb + b, return_counts=True
+                )
+                dd = u // (Vb * Vb)
+                rest = u % (Vb * Vb)
+                ua, ub = rest // Vb, rest % Vb
+                cu = _fp_lookup(wfp, cu_vals, h0[ua], h1[ua])
+                n1u = _fp_lookup(wfp, n1u_vals, h0[ua], h1[ua])
+                n1v = _fp_lookup(wfp, n1v_vals, h0[ub], h1[ub])
+                bk0, bk1 = _bigram_fp(h0, h1, ua, ub)
+                cuv = _fp_lookup(bfp, cuv_vals, bk0, bk1)
+                tuples = np.stack([cuv, cu, n1u, n1v], axis=1)
+                uniq, inv = np.unique(tuples, axis=0, return_inverse=True)
+                # SAME parse tree as the SQL oracle, one libm log per
+                # distinct count tuple
+                logs = np.empty(len(uniq), np.float64)
+                for i, (x, y, p_, q_) in enumerate(uniq):
+                    pv = (
+                        max(float(x) - d, 0.0)
+                        + (d * float(p_)) * (float(q_) / float(n1all))
+                    ) / float(y)
+                    logs[i] = math.log(pv)
+                micro = (
+                    np.floor(logs[inv] * 1e6 + 0.5).astype(np.int64)
+                    * mult.astype(np.int64)
+                )
+                np.add.at(out_s, dd, micro)
+                np.add.at(out_n, dd, mult.astype(np.int64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(out_n, pa.int64()),
+                "sum_kn_micro": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
