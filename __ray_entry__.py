@@ -1979,6 +1979,39 @@ def _planted_codeword(prefix: bytes, doc_id: int) -> int:
     return w
 
 
+def _q_video_dedup(sf_dir: str):
+    """Perceptual video near-dup clustering (stages/multimodal.py::
+    video_fingerprint_dedup): frame-sampled PPMV decode -> per-frame
+    dHash -> bitwise-majority 64-bit fingerprint -> the banded
+    hamming<=3 closure. Planted steady shots (every frame is the
+    codeword image, 3..6 frames per video) make the majority equal the
+    codeword exactly — same oracle family as image/audio_dedup."""
+    from texoo_ray.core.codecs import encode_ppmv
+    from texoo_ray.stages.multimodal import (
+        image_from_dhash,
+        video_fingerprint_dedup,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        payloads = []
+        for i in ids:
+            frame = image_from_dhash(_planted_codeword(b"vidfam", i))
+            payloads.append(encode_ppmv([frame] * (3 + int(i) % 4)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return video_fingerprint_dedup(
+        ds.map_batches(plant, batch_format="pyarrow", batch_size=128)
+    ).sort("media_id")
+
+
 def _q_zorder_prune(sf_dir: str):
     """Z-order layout + multi-column pruned read (state/zorder.py):
     documents get two planted range columns (a = doc_id % 64,
@@ -3462,6 +3495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dedup": _q_audio_dedup,
         "zorder_prune": _q_zorder_prune,
         "kn_score": _q_kn_score,
+        "video_dedup": _q_video_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5939,6 +5973,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.sum_kn_micro, 0)::BIGINT AS sum_kn_micro
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "video_dedup": """
+            SELECT doc_id AS media_id,
+                   min(doc_id) OVER (PARTITION BY doc_id % 25)
+                     AS cluster_id
+            FROM documents ORDER BY media_id
         """,
         "zorder_prune": """
             SELECT doc_id, doc_id % 64 AS a, (doc_id * 7919) % 61 AS b

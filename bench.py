@@ -194,6 +194,7 @@ def run_queries() -> dict:
         "audio_dedup",
         "zorder_prune",
         "kn_score",
+        "video_dedup",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -175,3 +175,63 @@ class TestAudioDedup:
         ).to_pandas()
         got = dict(zip(out["media_id"], out["cluster_id"]))
         assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+class TestVideoFingerprint:
+    def test_steady_shot_equals_frame_dhash(self):
+        from texoo_ray.core.codecs import encode_ppmv
+        from texoo_ray.stages.multimodal import (
+            image_from_dhash,
+            video_fingerprint64,
+        )
+
+        t = 0xDEADBEEFCAFEF00D
+        payload = encode_ppmv([image_from_dhash(t)] * 5)
+        assert video_fingerprint64(payload) == t
+        # frame sampling must not change a steady shot
+        assert video_fingerprint64(payload, every=3) == t
+
+    def test_majority_across_cuts(self):
+        from texoo_ray.core.codecs import encode_ppmv
+        from texoo_ray.stages.multimodal import (
+            image_from_dhash,
+            video_fingerprint64,
+        )
+
+        t = _codewords()[0]
+        tf = t ^ 0b1  # one frame disagrees in one bit
+        payload = encode_ppmv(
+            [image_from_dhash(t), image_from_dhash(t), image_from_dhash(tf)]
+        )
+        assert video_fingerprint64(payload, every=1) == t
+
+    def test_video_dedup_clusters(self, ray_session):
+        import ray.data
+
+        from texoo_ray.core.codecs import encode_ppmv
+        from texoo_ray.stages.multimodal import (
+            image_from_dhash,
+            video_fingerprint_dedup,
+        )
+
+        w = _codewords()[0]
+        rows = [
+            (1, encode_ppmv([image_from_dhash(w)] * 3)),
+            (2, encode_ppmv([image_from_dhash(w ^ 0b11)] * 4)),
+            (3, encode_ppmv([image_from_dhash(_codewords()[1])] * 3)),
+            (4, b"not a video"),
+        ]
+        tbl = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        out = video_fingerprint_dedup(
+            ray.data.from_arrow(tbl).repartition(2)
+        ).to_pandas()
+        assert dict(zip(out["media_id"], out["cluster_id"])) == {
+            1: 1,
+            2: 1,
+            3: 3,
+        }

@@ -22,6 +22,7 @@ keep blocks bounded rather than splitting payloads.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from typing import List, Optional
 
 import numpy as np
@@ -408,6 +409,90 @@ def audio_fingerprint_dedup(
     sigs = ds.map_batches(
         AudioFingerprintStage,
         fn_constructor_kwargs=dict(on_unknown=on_unknown),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if id_col != "media_id":
+        sigs = sigs.rename_columns({"media_id": id_col})
+    sigs = sigs.materialize()
+    return hamming_cluster_64(
+        sigs, sigs.select_columns([id_col]), id_col, max_hamming
+    )
+
+
+def video_fingerprint64(payload: bytes, every: int = 2, limit: int = 32) -> int:
+    """64-bit video fingerprint: frame-sampled decode (every ``every``-th
+    frame, at most ``limit`` — the whole point of the PPMV index is
+    skipping undecoded frames), :func:`dhash64` per sampled frame,
+    BITWISE MAJORITY across frames (ties count as set — deterministic).
+    A steady shot collapses to its frame dHash; cuts average out.
+    Integer-exact and sample-stable for the planted-oracle contract."""
+    frames = decode_ppmv_frames(payload, every=every, limit=limit)
+    if not frames:
+        raise UnsupportedMediaError("video has no frames")
+    sigs = [dhash64(f) for f in frames]
+    # fixed big-endian bit layout across platforms
+    be = np.frombuffer(
+        b"".join(s.to_bytes(8, "big") for s in sigs), np.uint8
+    ).reshape(len(sigs), 8)
+    bits = np.unpackbits(be, axis=1)
+    maj = (2 * bits.sum(axis=0)) >= len(sigs)
+    return int.from_bytes(np.packbits(maj).tobytes(), "big")
+
+
+class VideoFingerprintStage:
+    """Actor-pool stage: PPMV payloads -> 64-bit majority dHash as
+    int64 (same policy contract as the image/audio stages)."""
+
+    def __init__(self, on_unknown: str = "skip", every: int = 2):
+        if on_unknown not in ("skip", "error"):
+            raise ValueError("on_unknown must be 'skip' or 'error'")
+        self.on_unknown = on_unknown
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                if sniff_media(payload or b"") != "ppmv":
+                    raise UnsupportedMediaError("not ppmv")
+                sig = video_fingerprint64(payload, every=self.every)
+            except (UnsupportedMediaError, ValueError, _struct.error):
+                if self.on_unknown == "error":
+                    raise
+                continue
+            ids.append(mid)
+            sigs.append(np.uint64(sig).astype(np.int64))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(np.array(sigs, dtype=np.int64), pa.int64()),
+            }
+        )
+
+
+def video_fingerprint_dedup(
+    ds,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    batch_size: int = 32,
+    concurrency=2,
+    on_unknown: str = "skip",
+    every: int = 2,
+):
+    """Perceptual video near-dup clustering: majority frame-dHash per
+    decodable PPMV (actor pool, frame-sampled decode), then the banded
+    hamming<=3 closure (stages/dedup.py::hamming_cluster_64). Returns
+    Dataset[(id_col, cluster_id)]; the shuffle moves 8 bytes per video,
+    never frames."""
+    from .dedup import hamming_cluster_64
+
+    sigs = ds.map_batches(
+        VideoFingerprintStage,
+        fn_constructor_kwargs=dict(on_unknown=on_unknown, every=every),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
