@@ -1979,6 +1979,78 @@ def _planted_codeword(prefix: bytes, doc_id: int) -> int:
     return w
 
 
+def _q_scd2_join(sf_dir: str):
+    """SCD-2 point-in-time join — each fact row joined to the dimension
+    VERSION valid at its event time: the as-of join operator
+    (pipelines/joins.py::asof_join, strict=False) over a planted
+    customer-segment version history (v1 at epoch 0, v2 staggered by
+    custkey residue in 1996, v3 for even custkeys in 1999). The
+    canonical warehouse temporal-join shape, oracled by a native
+    DuckDB ASOF JOIN."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.joins import asof_join
+
+    T2, T3, D90 = 820454400000000, 915148800000000, 7776000000000
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def fact(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch["o_custkey"],
+                "ts": pc.cast(batch["o_orderdate"], pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+            }
+        )
+
+    def dim(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c_custkey"], dtype=np.int64)
+        even = c[c % 2 == 0]
+        keys = np.concatenate([c, c, even])
+        ts = np.concatenate(
+            [
+                np.zeros(len(c), np.int64),
+                T2 + (c % 4) * D90,
+                np.full(len(even), T3, np.int64),
+            ]
+        )
+        segs = (
+            ["s%d-v1" % (x % 5) for x in c]
+            + ["s%d-v2" % (x % 5) for x in c]
+            + ["s%d-v3" % (x % 5) for x in even]
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "segment": pa.array(segs, pa.string()),
+            }
+        )
+
+    joined = asof_join(
+        orders.map_batches(fact, batch_format="pyarrow"),
+        cust.map_batches(dim, batch_format="pyarrow"),
+        key="custkey",
+        ts_col="ts",
+        left_cols=["o_orderkey"],
+        right_cols=["segment"],
+        strict=False,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "segment": batch["segment_r"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort(
+        "o_orderkey"
+    )
+
+
 def _q_video_dedup(sf_dir: str):
     """Perceptual video near-dup clustering (stages/multimodal.py::
     video_fingerprint_dedup): frame-sampled PPMV decode -> per-frame
@@ -3496,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_prune": _q_zorder_prune,
         "kn_score": _q_kn_score,
         "video_dedup": _q_video_dedup,
+        "scd2_join": _q_scd2_join,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -5973,6 +6046,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.sum_kn_micro, 0)::BIGINT AS sum_kn_micro
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "scd2_join": """
+            WITH dim AS (
+              SELECT c_custkey AS custkey, 0::BIGINT AS ts,
+                     's' || CAST(c_custkey % 5 AS VARCHAR) || '-v1'
+                       AS segment
+              FROM customer
+              UNION ALL
+              SELECT c_custkey,
+                     820454400000000::BIGINT
+                       + (c_custkey % 4) * 7776000000000::BIGINT,
+                     's' || CAST(c_custkey % 5 AS VARCHAR) || '-v2'
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, 915148800000000::BIGINT,
+                     's' || CAST(c_custkey % 5 AS VARCHAR) || '-v3'
+              FROM customer WHERE c_custkey % 2 = 0
+            ), f AS (
+              SELECT o_orderkey, o_custkey AS custkey,
+                     epoch_us(o_orderdate) AS ts
+              FROM orders
+            )
+            SELECT f.o_orderkey, d.segment
+            FROM f ASOF JOIN dim d
+              ON f.custkey = d.custkey AND f.ts >= d.ts
+            ORDER BY f.o_orderkey
         """,
         "video_dedup": """
             SELECT doc_id AS media_id,

@@ -195,6 +195,7 @@ def run_queries() -> dict:
         "zorder_prune",
         "kn_score",
         "video_dedup",
+        "scd2_join",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
