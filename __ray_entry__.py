@@ -3514,7 +3514,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_count": _q_bpe_token_count,
-        "pq_codes": _q_pq_codes,
         "pq_search": _q_pq_search,
         "knn_ivf_pq": _q_knn_ivf_pq,
         "postings_search": _q_postings_search,
@@ -3525,10 +3524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "hll_bigrams": _q_hll_bigrams,
         "order_cube": _q_order_cube,
-        "order_rollup": _q_order_rollup,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
-        "weighted_sample": _q_weighted_sample,
         "dedup_canonical": _q_dedup_canonical,
         "context_windows": _q_context_windows,
         "dsir_score": _q_dsir_score,
@@ -3536,7 +3533,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": _q_profile_table,
         "c4_clean": _q_c4_clean,
         "late_events": _q_late_events,
-        "rolling_value_sum": _q_rolling_value_sum,
         "pii_redact": _q_pii_redact,
         "doc_repetition": _q_doc_repetition,
         "cross_source_overlap": _q_cross_source_overlap,
@@ -3544,7 +3540,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "source_mixture": _q_source_mixture,
         "label_centroids": _q_label_centroids,
-        "kmeans_assign": _q_kmeans_assign,
         "kmeans_iter2": _q_kmeans_iter2,
         "event_funnel": _q_event_funnel,
         "event_transitions": _q_event_transitions,
@@ -3552,22 +3547,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "props_stats": _q_props_stats,
         "token_budget": _q_token_budget,
-        "quantile_trim": _q_quantile_trim,
         "quantile_trim_float": _q_quantile_trim_float,
+        "image_dedup": _q_image_dedup,
+        "audio_dedup": _q_audio_dedup,
+        "video_dedup": _q_video_dedup,
+        "kn_score": _q_kn_score,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "zorder_prune": _q_zorder_prune,
         "dedup_bloom": _q_dedup_bloom,
+        # --- displaced from the window: algebra covered by an in-window sibling ---
+        "pq_codes": _q_pq_codes,
+        "order_rollup": _q_order_rollup,
+        "weighted_sample": _q_weighted_sample,
+        "rolling_value_sum": _q_rolling_value_sum,
+        "kmeans_assign": _q_kmeans_assign,
+        "quantile_trim": _q_quantile_trim,
         # --- round-5 rotation: never driver-checked, lowest hash-risk ---
         "url_dedup": _q_url_dedup,
         "host_cap": _q_host_cap,
         "domain_block": _q_domain_block,
         "pivot_orders": _q_pivot_orders,
         "price_tiers": _q_price_tiers,
-        "ccnet_buckets": _q_ccnet_buckets,
         "overlap_pairs": _q_overlap_pairs,
-        "image_dedup": _q_image_dedup,
-        "audio_dedup": _q_audio_dedup,
-        "zorder_prune": _q_zorder_prune,
-        "kn_score": _q_kn_score,
-        "video_dedup": _q_video_dedup,
         "scd2_join": _q_scd2_join,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
