@@ -1382,6 +1382,80 @@ def _q_price_tiers(sf_dir: str):
     )
 
 
+def _q_unpivot_orders(sf_dir: str):
+    """UNPIVOT (pipelines/relational.py::unpivot_long) — the inverse of
+    pivot_orders: the year x priority wide table melts back to one
+    (o_year, name, value) row per cell, absent combinations surviving
+    as the pivot's zero fill. Row-local melt, zero shuffle. Oracle:
+    long GROUP BY against the year x priority cross join with the same
+    sanitized names."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.relational import pivot_wide, unpivot_long
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": cents,
+            }
+        )
+
+    prios = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    wide = pivot_wide(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_year",
+        "o_orderpriority",
+        "cents",
+        col_values=prios,
+    )
+    names = [
+        "v_1_urgent", "v_2_high", "v_3_medium",
+        "v_4_not_specified", "v_5_low",
+    ]
+    return unpivot_long(wide, ["o_year"], names).sort(["o_year", "name"])
+
+
+def _q_order_ranks(sf_dir: str):
+    """Exact global rank() without a global sort (pipelines/
+    relational.py::global_rank): one cents-histogram aggregate, driver
+    exclusive cumsum, broadcast searchsorted assignment — ties share
+    the SQL rank. Oracle: rank() OVER (ORDER BY cents)."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.relational import global_rank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": batch["o_orderkey"], "cents": c})
+
+    return (
+        global_rank(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            "cents",
+            "o_orderkey",
+        )
+        .select_columns(["o_orderkey", "rnk"])
+        .sort("o_orderkey")
+    )
+
+
 def _q_order_cube(sf_dir: str):
     """GROUP BY CUBE in one pass (DuckDB CUBE oracle): all four grouping
     sets derived locally from each batch's finest-level partials, one
@@ -3570,6 +3644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_tiers": _q_price_tiers,
         "overlap_pairs": _q_overlap_pairs,
         "scd2_join": _q_scd2_join,
+        "unpivot_orders": _q_unpivot_orders,
+        "order_ranks": _q_order_ranks,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_gram": _q_embedding_gram,
         "upsert_merge": _q_upsert_merge,
@@ -6047,6 +6123,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.sum_kn_micro, 0)::BIGINT AS sum_kn_micro
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "unpivot_orders": """
+            WITH t AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                     'v_' || replace(replace(lower(o_orderpriority),
+                                             '-', '_'), ' ', '_') AS name,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+            ), agg AS (
+              SELECT o_year, name, sum(cents)::BIGINT AS value
+              FROM t GROUP BY o_year, name
+            )
+            SELECT y.o_year, p.name, coalesce(a.value, 0)::BIGINT AS value
+            FROM (SELECT DISTINCT o_year FROM t) y
+            CROSS JOIN (SELECT DISTINCT name FROM t) p
+            LEFT JOIN agg a USING (o_year, name)
+            ORDER BY y.o_year, p.name
+        """,
+        "order_ranks": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders)
+            SELECT o_orderkey,
+                   CAST(rank() OVER (ORDER BY cents) AS BIGINT) AS rnk
+            FROM o ORDER BY o_orderkey
         """,
         "scd2_join": """
             WITH dim AS (

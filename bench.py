@@ -196,6 +196,8 @@ def run_queries() -> dict:
         "kn_score",
         "video_dedup",
         "scd2_join",
+        "unpivot_orders",
+        "order_ranks",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

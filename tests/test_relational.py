@@ -273,3 +273,49 @@ def test_pivot_wide_name_collision_raises(ray_session):
     with pytest.raises(ValueError):
         pivot_wide(ray.data.from_arrow(tbl), "y", "p", "v",
                    col_values=["a b", "a-b"])
+
+
+def test_unpivot_long_melts_with_zero_fill(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.relational import unpivot_long
+
+    tbl = pa.table(
+        {
+            "y": pa.array([1, 2], pa.int64()),
+            "v_a": pa.array([10, 0], pa.int64()),
+            "v_b": pa.array([0, 7], pa.int64()),
+        }
+    )
+    out = (
+        unpivot_long(ray.data.from_arrow(tbl).repartition(2), ["y"],
+                     ["v_a", "v_b"])
+        .to_pandas()
+        .sort_values(["y", "name"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["y"], out["name"], out["value"])) == [
+        (1, "v_a", 10), (1, "v_b", 0), (2, "v_a", 0), (2, "v_b", 7),
+    ]
+
+
+def test_global_rank_matches_sql_rank_semantics(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.relational import global_rank
+
+    vals = [5, -3, 5, 0, 7, -3, -3]
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(len(vals))), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    out = (
+        global_rank(ray.data.from_arrow(tbl).repartition(3), "v", "k")
+        .to_pandas()
+        .sort_values("k")
+    )
+    # rank() = 1 + count strictly smaller; ties share
+    want = [1 + sum(1 for x in vals if x < v) for v in vals]
+    assert out["rnk"].tolist() == want

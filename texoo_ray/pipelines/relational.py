@@ -760,3 +760,72 @@ def pivot_wide(ds, row_col: str, col_col: str, value_col: str,
         .aggregate(*aggs)
         .sort(row_col)
     )
+
+
+def unpivot_long(ds, key_cols: list, value_cols: list,
+                 name_col: str = "name", value_col: str = "value"):
+    """UNPIVOT (wide -> long): one output row per (input row x value
+    column), carrying ``key_cols`` plus (name, value). Row-local and
+    zero shuffle — the inverse of :func:`pivot_wide`; values must share
+    one castable type (int64 here, matching the pivot)."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for k in key_cols:
+            arr = batch[k].combine_chunks()
+            cols[k] = pa.concat_arrays([arr] * len(value_cols))
+        names = []
+        for v in value_cols:
+            names.extend([v] * n)
+        cols[name_col] = pa.array(names, pa.string())
+        cols[value_col] = pa.concat_arrays(
+            [pc.cast(batch[v].combine_chunks(), pa.int64()) for v in value_cols]
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def global_rank(ds, value_col: str, id_col: str, out_col: str = "rnk"):
+    """Exact global ``rank() OVER (ORDER BY value)`` WITHOUT a global
+    sort: one value-histogram aggregate (|distinct values| rows — the
+    same budget as the exact-quantile operators; for unbounded domains
+    the quantile_trim key-space refinement is the drop-in), a driver
+    exclusive cumsum, then a row-local broadcast searchsorted assign.
+    Ties share a rank (SQL rank() semantics: 1 + count of strictly
+    smaller rows). Returns the input columns plus ``out_col``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .to_pandas()
+    )
+    vals = rows["v"].to_numpy().astype(np.int64)
+    cnt = rows["n"].to_numpy().astype(np.int64)
+    below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ref = ray.put((vals, below))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals, below = ray.get(ref)
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        pos = np.searchsorted(vals, v)
+        return batch.append_column(
+            out_col, pa.array(below[pos] + 1, pa.int64())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
