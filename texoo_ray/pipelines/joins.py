@@ -243,8 +243,94 @@ def asof_join(
             cols["R_" + c] = group["R_" + c].take(take_r)
         return pa.table(cols)
 
-    asof_group_keys = key if salt_us is None else [key, "__b"]
-    out = unioned.groupby(asof_group_keys).map_groups(merge, batch_format="pyarrow")
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        """Bucket-level merge: ALL keys of one hash bucket in one call —
+        the composite (key[, salt-bucket], ts) structured-searchsorted
+        replaces the per-key dispatch (15k Python calls for a 15k-key
+        dimension measured 10.2 s; one call per bucket is the
+        conversation-family fix applied to the as-of join)."""
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        lmask = side == 0
+        nl = int(lmask.sum())
+        if nl == 0:
+            return pa.table(
+                {name: pa.array([], typ) for name, typ in out_fields}
+            )
+        k = np.asarray(group[key].combine_chunks(), dtype=np.int64)
+        b = (
+            np.asarray(group["__b"].combine_chunks(), dtype=np.int64)
+            if salt_us is not None
+            else np.zeros(len(k), dtype=np.int64)
+        )
+        ts = _ts_int64(group["__ts"])
+        lidx = np.flatnonzero(lmask)
+        ridx = np.flatnonzero(~lmask)
+        if ridx.size == 0:
+            match = np.full(nl, -1, dtype=np.int64)
+        else:
+            dt = [("k", "<i8"), ("b", "<i8"), ("t", "<i8")]
+            order = np.lexsort(
+                (np.arange(ridx.size), ts[ridx], b[ridx], k[ridx])
+            )
+            rs = np.empty((ridx.size, 3), dtype=np.int64)
+            rs[:, 0] = k[ridx][order]
+            rs[:, 1] = b[ridx][order]
+            rs[:, 2] = ts[ridx][order]
+            rv = rs.view(dt).ravel()
+            qs = np.empty((nl, 3), dtype=np.int64)
+            qs[:, 0] = k[lidx]
+            qs[:, 1] = b[lidx]
+            qs[:, 2] = ts[lidx]
+            pos = (
+                np.searchsorted(
+                    rv, qs.view(dt).ravel(),
+                    side="left" if strict else "right",
+                )
+                - 1
+            )
+            safe = np.maximum(pos, 0)
+            ok = (
+                (pos >= 0)
+                & (rs[safe, 0] == k[lidx])
+                & (rs[safe, 1] == b[lidx])
+            )
+            match = np.where(ok, ridx[order[safe]], -1)
+        matched = match >= 0
+        take_l = pa.array(lidx)
+        take_r = pa.array(np.where(matched, match, 0), mask=~matched)
+        cols = {key: group[key].take(take_l)}
+        for c in left_payload:
+            cols["L_" + c] = group["L_" + c].take(take_l)
+        for c in right_payload:
+            cols["R_" + c] = group["R_" + c].take(take_r)
+        return pa.table(cols)
+
+    key_type = left_schema.base_schema.field(key).type
+    if pa.types.is_integer(key_type):
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[key].combine_chunks(), dtype=np.int64)
+            h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            if salt_us is not None:
+                bb = np.asarray(
+                    batch["__b"].combine_chunks(), dtype=np.int64
+                ).astype(np.uint64)
+                h = (h ^ bb) * np.uint64(0x9E3779B97F4A7C15)
+            return batch.append_column(
+                "__bkt",
+                pa.array(((h >> np.uint64(33)) % 64).view(np.int64)),
+            )
+
+        out = (
+            unioned.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(merge_bucket, batch_format="pyarrow")
+        )
+    else:
+        # non-integer keys keep the per-key dispatch (correct, slower)
+        asof_group_keys = key if salt_us is None else [key, "__b"]
+        out = unioned.groupby(asof_group_keys).map_groups(
+            merge, batch_format="pyarrow"
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         names = []
