@@ -483,8 +483,84 @@ def range_agg_join(
             cols["sum_cents_in_window"] = pa.array(prefix[hi] - prefix[lo])
         return pa.table(cols)
 
-    group_keys = key if salt_us is None else [key, "__b"]
-    out = unioned.groupby(group_keys).map_groups(merge, batch_format="pyarrow")
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        """Bucket-level window merge: all keys of one hash bucket in one
+        call via composite (key[, salt-bucket], ts) searchsorted — the
+        [lo, hi) probe interval provably stays inside its (key, bucket)
+        segment of the composite order, so counts and prefix-sum
+        differences are per-key exact with zero per-key dispatch."""
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        lmask = side == 0
+        nl = int(lmask.sum())
+        if nl == 0:
+            cols = {name: pa.array([], typ) for name, typ in out_fields}
+            cols["n_in_window"] = pa.array([], pa.int64())
+            if right_value_col is not None:
+                cols["sum_cents_in_window"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        k = np.asarray(group[key].combine_chunks(), dtype=np.int64)
+        b = (
+            np.asarray(group["__b"].combine_chunks(), dtype=np.int64)
+            if salt_us is not None
+            else np.zeros(len(k), dtype=np.int64)
+        )
+        ts = _ts_int64(group["__ts"])
+        lidx = np.flatnonzero(lmask)
+        ridx = np.flatnonzero(~lmask)
+        dt = [("k", "<i8"), ("b", "<i8"), ("t", "<i8")]
+        order = np.lexsort((ts[ridx], b[ridx], k[ridx]))
+        rs = np.empty((ridx.size, 3), dtype=np.int64)
+        rs[:, 0] = k[ridx][order]
+        rs[:, 1] = b[ridx][order]
+        rs[:, 2] = ts[ridx][order]
+        rv = rs.view(dt).ravel()
+        qlo = np.empty((nl, 3), dtype=np.int64)
+        qlo[:, 0] = k[lidx]
+        qlo[:, 1] = b[lidx]
+        qlo[:, 2] = ts[lidx] - window_us
+        qhi = qlo.copy()
+        qhi[:, 2] = ts[lidx]
+        lo = np.searchsorted(rv, qlo.view(dt).ravel(), side="left")
+        hi = np.searchsorted(rv, qhi.view(dt).ravel(), side="left")
+        take_l = pa.array(lidx)
+        cols = {key: group[key].take(take_l)}
+        for c in left_payload:
+            cols["L_" + c] = group["L_" + c].take(take_l)
+        cols["n_in_window"] = pa.array((hi - lo).astype(np.int64))
+        if right_value_col is not None:
+            cents = np.asarray(
+                group["__cents"].combine_chunks().fill_null(0),
+                dtype=np.int64,
+            )[ridx][order]
+            prefix = np.concatenate(([0], np.cumsum(cents)))
+            cols["sum_cents_in_window"] = pa.array(prefix[hi] - prefix[lo])
+        return pa.table(cols)
+
+    key_type = left_schema.base_schema.field(key).type
+    if pa.types.is_integer(key_type):
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            kk = np.asarray(batch[key].combine_chunks(), dtype=np.int64)
+            h = kk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            if salt_us is not None:
+                bb = np.asarray(
+                    batch["__b"].combine_chunks(), dtype=np.int64
+                ).astype(np.uint64)
+                h = (h ^ bb) * np.uint64(0x9E3779B97F4A7C15)
+            return batch.append_column(
+                "__bkt",
+                pa.array(((h >> np.uint64(33)) % 64).view(np.int64)),
+            )
+
+        out = (
+            unioned.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(merge_bucket, batch_format="pyarrow")
+        )
+    else:
+        group_keys = key if salt_us is None else [key, "__b"]
+        out = unioned.groupby(group_keys).map_groups(
+            merge, batch_format="pyarrow"
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(
