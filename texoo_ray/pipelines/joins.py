@@ -190,19 +190,83 @@ def asof_join(
             pa.array(left_bs[valid], pa.int64()),
         )
 
+    def carry_bucket(group: pa.Table) -> pa.Table:
+        """Bucket-level carry: all keys of one hash bucket in one call.
+        Candidates sort by (key, time-bucket, ts, input); the prefix
+        best for a left (k, bL) is exactly the LAST composite entry
+        before (k, bL, -inf) — one structured searchsorted replaces the
+        per-key dispatch (the same fix as merge_bucket below)."""
+        side = np.asarray(group[_SIDE].combine_chunks(), dtype=np.int8)
+        b = np.asarray(group["__b"].combine_chunks(), dtype=np.int64)
+        k = np.asarray(group[key].combine_chunks(), dtype=np.int64)
+        cand = side == 1
+        empty = group.slice(0, 0).drop_columns(["__cbkt"])
+        if not cand.any() or cand.all():
+            return empty
+        pairs = np.unique(np.stack([k[~cand], b[~cand]], axis=1), axis=0)
+        cidx = np.flatnonzero(cand)
+        cts = _ts_int64(group["__ts"])[cand]
+        order = np.lexsort((np.arange(cidx.size), cts, b[cand], k[cand]))
+        dt = [("k", "<i8"), ("b", "<i8"), ("t", "<i8")]
+        rs = np.empty((cidx.size, 3), dtype=np.int64)
+        rs[:, 0] = k[cand][order]
+        rs[:, 1] = b[cand][order]
+        rs[:, 2] = cts[order]
+        rv = rs.view(dt).ravel()
+        qs = np.empty((len(pairs), 3), dtype=np.int64)
+        qs[:, 0] = pairs[:, 0]
+        qs[:, 1] = pairs[:, 1]
+        qs[:, 2] = np.iinfo(np.int64).min
+        pos = np.searchsorted(rv, qs.view(dt).ravel(), side="left") - 1
+        safe = np.maximum(pos, 0)
+        ok = (pos >= 0) & (rs[safe, 0] == pairs[:, 0])
+        if not ok.any():
+            return empty
+        out = group.take(pa.array(cidx[order[safe[ok]]], pa.int64()))
+        out = out.set_column(
+            out.schema.get_field_index("__b"),
+            "__b",
+            pa.array(pairs[ok, 1], pa.int64()),
+        )
+        return out.drop_columns(["__cbkt"])
+
     tagged_l = left_ds.map_batches(tag(0), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(tag(1), batch_format="pyarrow")
-    unioned = tagged_l.union(tagged_r)
+    _ktype = left_schema.base_schema.field(key).type
     if salt_us is not None:
-        tiny = right_ds.map_batches(tag(1), batch_format="pyarrow").map_batches(
+        # the salted path consumes each tagged side TWICE (main merge +
+        # its tiny side table); lazy datasets would re-execute the whole
+        # input lineage per consumer (the round-3 lesson) — materialize
+        # once. Salted joins run per resumable partition, so this is
+        # partition-sized, not corpus-sized.
+        tagged_l = tagged_l.materialize()
+        tagged_r = tagged_r.materialize()
+        tiny = tagged_r.map_batches(
             right_best_partial, batch_format="pyarrow"
         ).union(
-            left_ds.map_batches(tag(0), batch_format="pyarrow").map_batches(
-                left_presence_partial, batch_format="pyarrow"
-            )
+            tagged_l.map_batches(left_presence_partial, batch_format="pyarrow")
         )
-        carries = tiny.groupby(key).map_groups(carry, batch_format="pyarrow")
-        unioned = unioned.union(carries)
+        if pa.types.is_integer(_ktype):
+            def add_cbkt(batch: pa.Table) -> pa.Table:
+                kk = np.asarray(batch[key].combine_chunks(), dtype=np.int64)
+                h = kk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                return batch.append_column(
+                    "__cbkt",
+                    pa.array(((h >> np.uint64(33)) % 64).view(np.int64)),
+                )
+
+            carries = (
+                tiny.map_batches(add_cbkt, batch_format="pyarrow")
+                .groupby("__cbkt")
+                .map_groups(carry_bucket, batch_format="pyarrow")
+            )
+        else:
+            carries = tiny.groupby(key).map_groups(
+                carry, batch_format="pyarrow"
+            )
+        unioned = tagged_l.union(tagged_r).union(carries)
+    else:
+        unioned = tagged_l.union(tagged_r)
 
     out_fields = (
         [(key, left_schema.base_schema.field(key).type)]
