@@ -3433,6 +3433,18 @@ def _q_hll_bigrams(sf_dir: str):
     return hll_bigram_distinct(ds)
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min Sketch point-frequency estimates probed at the exact
+    top-20 words (stages/sketches.py::cms_word_counts): md5-prefix row
+    hashes, 4x512 counter grid merged by a 2048-group Sum (zero corpus
+    shuffle), min-over-rows probe. Approximate structure, bit-exact
+    DuckDB mirror — cms_count >= exact_count by construction."""
+    from texoo_ray.stages.sketches import cms_word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return cms_word_counts(ds)
+
+
 def _q_context_windows(sf_dir: str):
     """Chat-training example construction over the transcript corpus
     (pipelines/conversations.py::context_windows): each non-opening
@@ -3597,6 +3609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_shards": _q_ntile_shards,
         "snapshot_diff": _q_snapshot_diff,
         "hll_bigrams": _q_hll_bigrams,
+        "cms_counts": _q_cms_counts,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -4196,6 +4209,31 @@ def _hll_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_bigrams": _hll_oracle_sql(),
+        "cms_counts": r"""
+            WITH words AS MATERIALIZED (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS w
+              FROM documents),
+            wc AS MATERIALIZED (
+              SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w),
+            rows_ AS (SELECT unnest(range(0, 4)) AS i),
+            cells AS (
+              SELECT i,
+                     (('0x' || substr(md5(i::VARCHAR || ':' || w), 1, 16))
+                        ::UBIGINT % 512)::BIGINT AS b,
+                     sum(c)::BIGINT AS bc
+              FROM wc CROSS JOIN rows_ GROUP BY 1, 2),
+            probes AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20)
+            SELECT p.w AS word, p.c AS exact_count,
+                   min(cells.bc)::BIGINT AS cms_count
+            FROM probes p
+            CROSS JOIN rows_ t
+            JOIN cells ON cells.i = t.i
+              AND cells.b = (('0x' || substr(md5(t.i::VARCHAR || ':' || p.w),
+                                             1, 16))::UBIGINT % 512)::BIGINT
+            GROUP BY 1, 2
+            ORDER BY exact_count DESC, word
+        """,
         "bpe_merges": _bpe_merges_oracle_sql(8),
         "bpe_token_count": _bpe_token_count_oracle_sql(8),
         "postings_search": r"""

@@ -198,6 +198,7 @@ def run_queries() -> dict:
         "scd2_join",
         "unpivot_orders",
         "order_ranks",
+        "cms_counts",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -90,3 +90,41 @@ def test_hll_layout_invariance(ray_session):
         ray.data.from_items([{"text": t} for t in texts]).repartition(9)
     ).to_pylist()[0]
     assert a == b
+
+
+# --- Count-Min Sketch ------------------------------------------------------
+
+
+def test_cms_buckets_match_md5_reference():
+    from texoo_ray.stages.sketches import _CMS_W, _cms_buckets
+
+    words = ["alpha", "beta", "gamma"]
+    b = _cms_buckets(words)
+    for i in range(4):
+        for j, w in enumerate(words):
+            h = int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:16], 16)
+            assert b[i, j] == h % _CMS_W
+
+
+def test_cms_overestimates_and_merges_exactly(ray_session):
+    """cms_count >= exact_count for every probe, equality when the
+    corpus is collision-free; block partials merge counter-wise so the
+    sketch is independent of how rows split into blocks."""
+    import ray.data
+
+    from texoo_ray.stages.sketches import cms_word_counts
+
+    rows = [{"text": "cat dog"} for _ in range(7)] + [
+        {"text": "dog bird"} for _ in range(3)
+    ]
+    one = cms_word_counts(
+        ray.data.from_items(rows, override_num_blocks=1), top_n=3
+    ).to_pydict()
+    many = cms_word_counts(
+        ray.data.from_items(rows, override_num_blocks=5), top_n=3
+    ).to_pydict()
+    assert one == many
+    assert one["word"] == ["dog", "cat", "bird"]
+    assert one["exact_count"] == [10, 7, 3]
+    for e, c in zip(one["exact_count"], one["cms_count"]):
+        assert c >= e

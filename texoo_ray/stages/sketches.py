@@ -441,3 +441,124 @@ def hll_bigram_distinct(ds, text_col: str = "text") -> pa.Table:
             "exact_distinct": pa.array([int(exact)], pa.int64()),
         }
     )
+
+
+# --- Count-Min Sketch with a bit-exact SQL mirror -------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # counters per row
+
+
+def _cms_buckets(words: list) -> np.ndarray:
+    """(d, n_words) bucket indices — row ``i``'s hash of word ``w`` is
+    the md5 16-hex-char prefix of ``"{i}:{w}"`` as a uint64, mod the
+    row width. Seeding the row index INTO the hashed string (rather
+    than into a multiplier) keeps every row SQL-expressible:
+    ``('0x' || substr(md5(i::VARCHAR || ':' || w), 1, 16))::UBIGINT
+    % 512`` rebuilds the identical bucket in DuckDB."""
+    out = np.empty((_CMS_D, len(words)), dtype=np.int64)
+    for i in range(_CMS_D):
+        pre = "%d:" % i
+        for j, w in enumerate(words):
+            h = int(
+                hashlib.md5((pre + w).encode("utf-8")).hexdigest()[:16], 16
+            )
+            out[i, j] = h % _CMS_W
+    return out
+
+
+def cms_word_counts(ds, text_col: str = "text", top_n: int = 20) -> pa.Table:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) word-frequency
+    estimates, probed at the corpus's exact top-``top_n`` words —
+    Table[(word, exact_count, cms_count)] ordered by (exact_count desc,
+    word asc).
+
+    Completes the sketch family next to KMV (order statistics), HLL
+    (registers) and Misra-Gries (heavy hitters, stages/sketches.py:123):
+    CMS answers POINT-FREQUENCY queries from d*w = 4*512 mergeable
+    counters, overestimating by at most the collision mass in the
+    lightest of d rows (``cms_count >= exact_count`` always — pinned by
+    test and visible in the result table).
+
+    Shape (zero corpus shuffle, the KMV/HLL discipline):
+    1. per-batch partial: ``np.bincount`` over the batch's dictionary
+       codes gives per-distinct-word counts; md5 runs once per
+       batch-DISTINCT word; counts scatter into a local (4, 512) array
+       via ``np.add.at``; the block emits <= 2048 nonzero
+       (row, bucket, count) cells;
+    2. one 2048-group ``Sum`` merges all blocks — the sketch is
+       counter-wise additive, so block partials merge exactly;
+    3. the probe list (exact top-N words) comes from the plain
+       word-count aggregate, and each probe reads min over d cells.
+
+    The md5-prefix hashing makes the whole sketch — hash, scatter,
+    merge, min-probe — reproducible in DuckDB, so an approximate
+    structure still gets a bit-exact oracle (``cms_counts`` in
+    __ray_entry__.py). The reference has no frequency sketch; its
+    nearest relative is the Bloom membership filter
+    (texoo-core/.../BloomEncoder.java:29-76)."""
+    from ray.data.aggregate import Sum
+
+    from .text_stats import _doc_word_codes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, codes, dic = _doc_word_codes(batch[text_col])
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        counts = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        buckets = _cms_buckets(dic.to_pylist())
+        grid = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for i in range(_CMS_D):
+            np.add.at(grid[i], buckets[i], counts)
+        ii, bb = np.nonzero(grid)
+        return pa.table(
+            {
+                "i": pa.array(ii.astype(np.int64)),
+                "b": pa.array(bb.astype(np.int64)),
+                "c": pa.array(grid[ii, bb]),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    grid = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for r in cells:
+        grid[int(r["i"]), int(r["b"])] = int(r["c"])
+
+    def word_rows(batch: pa.Table) -> pa.Table:
+        _, codes, dic = _doc_word_codes(batch[text_col])
+        counts = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        return pa.table({"word": dic, "c": pa.array(counts)})
+
+    top = (
+        ds.map_batches(word_rows, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort(["c", "word"], descending=[True, False])
+        .limit(top_n)
+        .take_all()
+    )
+    words = [r["word"] for r in top]
+    exact = np.asarray([r["c"] for r in top], dtype=np.int64)
+    if words:
+        probe = _cms_buckets(words)
+        est = grid[np.arange(_CMS_D)[:, None], probe].min(axis=0)
+    else:
+        est = np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "exact_count": pa.array(exact),
+            "cms_count": pa.array(est),
+        }
+    )
