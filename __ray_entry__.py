@@ -3433,6 +3433,18 @@ def _q_hll_bigrams(sf_dir: str):
     return hll_bigram_distinct(ds)
 
 
+def _q_bleu_eval(sf_dir: str):
+    """BLEU-2 clipped n-gram sufficient statistics per document against
+    a deterministic every-3rd-word corruption
+    (pipelines/evaluate.py::bleu2_stats) — the corpus-scale generation
+    eval primitive, row-local and shuffle-free; integer columns only so
+    the hash gate is float-free."""
+    from texoo_ray.pipelines.evaluate import bleu2_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bleu2_stats(ds)
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min Sketch point-frequency estimates probed at the exact
     top-20 words (stages/sketches.py::cms_word_counts): md5-prefix row
@@ -3610,6 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "hll_bigrams": _q_hll_bigrams,
         "cms_counts": _q_cms_counts,
+        "bleu_eval": _q_bleu_eval,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -4209,6 +4222,41 @@ def _hll_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_bigrams": _hll_oracle_sql(),
+        "bleu_eval": r"""
+            WITH words AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\w+')
+                       AS w
+              FROM documents),
+            ref AS MATERIALIZED (
+              SELECT doc_id, i, w[i] AS g,
+                     CASE WHEN i % 3 = 0 THEN 'xnoisex' ELSE w[i] END AS cg
+              FROM words,
+                   LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+            rc1 AS (SELECT doc_id, g, count(*) AS c
+                    FROM ref GROUP BY 1, 2),
+            cc1 AS (SELECT doc_id, cg AS g, count(*) AS c
+                    FROM ref GROUP BY 1, 2),
+            m1 AS (SELECT doc_id, sum(least(rc1.c, cc1.c))::BIGINT AS match1
+                   FROM rc1 JOIN cc1 USING (doc_id, g) GROUP BY 1),
+            rb AS (SELECT a.doc_id, a.g || ' ' || b.g AS g2, count(*) AS c
+                   FROM ref a JOIN ref b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   GROUP BY 1, 2),
+            cb AS (SELECT a.doc_id, a.cg || ' ' || b.cg AS g2, count(*) AS c
+                   FROM ref a JOIN ref b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   GROUP BY 1, 2),
+            m2 AS (SELECT doc_id, sum(least(rb.c, cb.c))::BIGINT AS match2
+                   FROM rb JOIN cb USING (doc_id, g2) GROUP BY 1)
+            SELECT d.doc_id, len(words.w)::BIGINT AS n_words,
+                   coalesce(m1.match1, 0)::BIGINT AS match1,
+                   coalesce(m2.match2, 0)::BIGINT AS match2
+            FROM documents d
+            JOIN words USING (doc_id)
+            LEFT JOIN m1 USING (doc_id)
+            LEFT JOIN m2 USING (doc_id)
+        """,
         "cms_counts": r"""
             WITH words AS MATERIALIZED (
               SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),

@@ -199,6 +199,7 @@ def run_queries() -> dict:
         "unpivot_orders",
         "order_ranks",
         "cms_counts",
+        "bleu_eval",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

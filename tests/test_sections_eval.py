@@ -216,3 +216,52 @@ class TestNerEval:
     def test_empty(self):
         assert mention_match_counts([], [], weak=False) == (0, 0, 0)
         assert prf1(0, 0, 0) == {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+
+
+# --- BLEU-2 sufficient statistics ------------------------------------------
+
+
+def _bleu_ref(text: str):
+    """Per-doc clipped counts, the slow obvious way."""
+    import re
+    from collections import Counter
+
+    ref = re.findall(r"\w+", text.lower())
+    cand = [
+        "xnoisex" if (i + 1) % 3 == 0 else w for i, w in enumerate(ref)
+    ]
+    m1 = sum(
+        min(c, Counter(ref)[g]) for g, c in Counter(cand).items()
+    )
+    rb = Counter(zip(ref, ref[1:]))
+    cb = Counter(zip(cand, cand[1:]))
+    m2 = sum(min(c, rb[g]) for g, c in cb.items())
+    return len(ref), m1, m2
+
+
+def test_bleu2_stats_matches_bruteforce(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.evaluate import bleu2_stats
+
+    texts = [
+        "the cat sat on the mat and the cat sat again",
+        "a b c a b c a b c",
+        "one two",
+        "",
+        "xnoisex appears xnoisex here literally in the source text",
+        "word",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for blocks in (1, 4):
+        out = (
+            bleu2_stats(ray.data.from_items(rows, override_num_blocks=blocks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(texts):
+            n, m1, m2 = _bleu_ref(t)
+            assert out.loc[i, "n_words"] == n
+            assert out.loc[i, "match1"] == m1
+            assert out.loc[i, "match2"] == m2

@@ -117,3 +117,84 @@ def segmentation_eval(
         "mean_pk": float(df["pk_sum"]) / n,
         "mean_window_diff": float(df["wd_sum"]) / n,
     }
+
+
+def bleu2_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sub_every: int = 3,
+    sub_token: str = "xnoisex",
+):
+    """BLEU-2 sufficient statistics per document (Papineni et al. 2002)
+    against a deterministic corruption of the text itself: the candidate
+    is the reference with every ``sub_every``-th word (1-based position)
+    replaced by ``sub_token``. Returns
+    Dataset[(id, n_words, match1, match2)] where ``match1`` / ``match2``
+    are the CLIPPED unigram / bigram matches (sum over distinct grams of
+    min(count_cand, count_ref)) and the precision denominators are
+    derivable (total1 = n_words, total2 = max(n_words - 1, 0); the
+    substitution preserves length so the brevity penalty is 1 and corpus
+    BLEU-2 is one libm expression over the summed row).
+
+    This is the eval-harness primitive a generation pipeline runs at
+    corpus scale (model output vs reference); the planted corruption
+    makes it oracle-checkable without a second table. Row-local and
+    shuffle-free: grams never leave the batch — per batch, grams key as
+    ``doc * M^2 + c1 * M + c2`` over the batch dictionary, two
+    ``np.unique`` count tables align with one ``searchsorted``, and the
+    per-doc clipped sums come from ``np.add.at``. If ``sub_token``
+    already occurs in the batch its dictionary code is reused, so a
+    corpus that genuinely contains the token still counts exactly.
+
+    The reference's evaluators are span-F1 / Pk (texoo-core/.../
+    AnnotationEvaluation.java, this module above); n-gram-precision
+    eval is part of the training-data extension surface.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.text_stats import _doc_word_codes
+
+    def clipped(ref_keys, cand_keys, stride, n_rows):
+        out = np.zeros(n_rows, dtype=np.int64)
+        if len(cand_keys) == 0:
+            return out
+        ru, rc = np.unique(ref_keys, return_counts=True)
+        cu, cc = np.unique(cand_keys, return_counts=True)
+        idx = np.searchsorted(ru, cu)
+        safe = np.minimum(idx, len(ru) - 1)
+        ok = (idx < len(ru)) & (ru[safe] == cu)
+        mins = np.minimum(cc[ok], rc[idx[ok]])
+        np.add.at(out, (cu[ok] // stride).astype(np.int64), mins)
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        doc_of, codes, dic = _doc_word_codes(batch[text_col])
+        hit = pc.index_in(pa.array([sub_token]), value_set=dic)[0]
+        sub_code = hit.as_py() if hit.is_valid else len(dic)
+        m = np.int64(len(dic) + 1)
+        nw = np.bincount(doc_of, minlength=n_rows).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        pos = np.arange(len(codes), dtype=np.int64) - starts[doc_of]
+        cand = np.where((pos + 1) % sub_every == 0, sub_code, codes)
+        match1 = clipped(doc_of * m + codes, doc_of * m + cand, m, n_rows)
+        if len(codes) > 1:
+            adj = doc_of[1:] == doc_of[:-1]
+            d = doc_of[:-1][adj]
+            rb = (d * m + codes[:-1][adj]) * m + codes[1:][adj]
+            cb = (d * m + cand[:-1][adj]) * m + cand[1:][adj]
+            match2 = clipped(rb, cb, m * m, n_rows)
+        else:
+            match2 = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(nw),
+                "match1": pa.array(match1),
+                "match2": pa.array(match2),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
