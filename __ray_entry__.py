@@ -3445,6 +3445,39 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_edit_join(sf_dir: str):
+    """Blocked Levenshtein similarity join (pipelines/joins.py::
+    edit_join): part names vs a planted typo side (4th char deleted +
+    6th char of the result replaced by 'q', every 4th part), blocked on
+    the first 2 chars, matched at edit distance <= 2. Length-band
+    prefilter + pair-vectorized Wagner-Fischer; DuckDB's native
+    levenshtein() is the oracle."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.joins import edit_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch["p_partkey"], dtype=np.int64) % 4 == 0
+        sub = batch.filter(pa.array(mask))
+        names = []
+        for n in sub["p_name"].to_pylist():
+            x = n[:3] + n[4:]
+            names.append(x[:4] + "q" + x[5:])
+        return pa.table(
+            {
+                "r_id": pc.subtract(-1, sub["p_partkey"]),
+                "r_name": pa.array(names, pa.string()),
+            }
+        )
+
+    dirty = part.map_batches(plant, batch_format="pyarrow")
+    return edit_join(
+        part, dirty, "p_partkey", "p_name", "r_id", "r_name", max_dist=2
+    )
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min Sketch point-frequency estimates probed at the exact
     top-20 words (stages/sketches.py::cms_word_counts): md5-prefix row
@@ -3623,6 +3656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_bigrams": _q_hll_bigrams,
         "cms_counts": _q_cms_counts,
         "bleu_eval": _q_bleu_eval,
+        "edit_join": _q_edit_join,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -4222,6 +4256,21 @@ def _hll_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_bigrams": _hll_oracle_sql(),
+        "edit_join": r"""
+            WITH x AS (
+              SELECT p_partkey,
+                     substr(p_name, 1, 3) || substr(p_name, 5) AS x
+              FROM part WHERE p_partkey % 4 = 0),
+            dirty AS (
+              SELECT -p_partkey - 1 AS r_id,
+                     substr(x, 1, 4) || 'q' || substr(x, 6) AS r_name
+              FROM x)
+            SELECT p.p_partkey AS l_id, d.r_id,
+                   levenshtein(p.p_name, d.r_name)::BIGINT AS dist
+            FROM part p JOIN dirty d
+              ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
+             AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
         "bleu_eval": r"""
             WITH words AS MATERIALIZED (
               SELECT doc_id,

@@ -200,6 +200,7 @@ def run_queries() -> dict:
         "order_ranks",
         "cms_counts",
         "bleu_eval",
+        "edit_join",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -103,3 +103,90 @@ def test_entity_clusters_transitive(ray_session):
     }
     assert got[1] == got[2] == got[3] == got[5] == 1
     assert got[4] == 4
+
+
+# --- edit_join --------------------------------------------------------------
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_pairs_vs_bruteforce():
+    import numpy as np
+
+    from texoo_ray.pipelines.joins import _levenshtein_pairs
+
+    l_names = ["kitten", "flaw", "", "abc", "identical"]
+    r_names = ["sitting", "lawn", "x", "abc", "identical", ""]
+    pi, pj = np.meshgrid(
+        np.arange(len(l_names)), np.arange(len(r_names)), indexing="ij"
+    )
+    pi, pj = pi.ravel(), pj.ravel()
+    d = _levenshtein_pairs(l_names, r_names, pi, pj)
+    for t in range(len(pi)):
+        assert d[t] == _lev_ref(l_names[pi[t]], r_names[pj[t]]), (
+            l_names[pi[t]],
+            r_names[pj[t]],
+        )
+
+
+def _edit_join_ref(lrows, rrows, max_dist, block_chars=2):
+    out = set()
+    for li, ln in lrows:
+        for ri, rn in rrows:
+            if ln[:block_chars] == rn[:block_chars]:
+                d = _lev_ref(ln, rn)
+                if d <= max_dist:
+                    out.add((li, ri, d))
+    return out
+
+
+def test_edit_join_matches_bruteforce_and_salting(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.joins import edit_join
+
+    lrows = [
+        (1, "charlotte"),
+        (2, "charlote"),
+        (3, "charlottes"),
+        (4, "chxrlotte"),
+        (5, "daniel"),
+        (6, "danial"),
+        (7, "dan"),
+        (8, "charles"),
+    ]
+    rrows = [
+        (11, "charlotte"),
+        (12, "chalotte"),
+        (13, "daniell"),
+        (14, "danielle"),
+        (15, "charlie"),
+        (16, "dxn"),
+    ]
+    expect = _edit_join_ref(lrows, rrows, 2)
+    left = ray.data.from_items(
+        [{"lid": i, "name": n} for i, n in lrows], override_num_blocks=3
+    )
+    right = ray.data.from_items(
+        [{"rid": i, "name": n} for i, n in rrows], override_num_blocks=2
+    )
+    # max_block_names=2 forces the hot-block salted path for both blocks
+    for mbn in (20000, 2):
+        got = edit_join(
+            left, right, "lid", "name", "rid", "name",
+            max_dist=2, max_block_names=mbn,
+        ).to_pandas()
+        assert (
+            set(zip(got["l_id"], got["r_id"], got["dist"])) == expect
+        ), mbn
+        assert len(got) == len(expect), mbn  # exactly-once under salting

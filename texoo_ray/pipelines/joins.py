@@ -848,38 +848,25 @@ def _hot_block_splits(
     return hot
 
 
-def fuzzy_join(
+def _blocked_both(
     left,
     right,
     left_id: str,
     left_name: str,
     right_id: str,
     right_name: str,
-    threshold: float = 0.9,
-    block_chars: int = 2,
-    max_block_names: int = 20000,
+    block_chars: int,
+    max_block_names: int,
 ):
-    """Blocked fuzzy (record-linkage) join: pairs of (left, right) rows
-    whose names have Jaro-Winkler similarity >= ``threshold``, compared
-    only WITHIN blocks sharing the first ``block_chars`` characters —
-    the classic blocking trade-off (pairs whose corruption touches the
-    block prefix are unmatchable by construction; pick the key
-    accordingly). Returns Dataset[(l_id, r_id, sim_micro)].
-
-    Shape: one tagged-union exchange on the block key; inside a block
-    the JW computation runs on DISTINCT-NAME pairs only and fans the
-    verdict out to id pairs vectorized — cost |distinct_L| x
-    |distinct_R| per block, not rows x rows. HOT BLOCKS (a very common
-    prefix) are handled by salting (r3 verdict #3): a cheap
-    distinct-count pass finds blocks whose per-side name count exceeds
-    ``max_block_names``; in those, left names are sub-split by a
-    deterministic name-hash salt and right names replicated across the
-    S salts, so every cross-side pair still meets exactly once while
-    the per-group JW cost drops by S (mirrors semantic_dedup's
-    max_cluster hyperplane sub-split, stages/dedup.py). At 100 TB the
-    block exchange is the only corpus-sized move."""
-    import ray.data
-
+    """Shared front half of the blocked similarity joins
+    (:func:`fuzzy_join`, :func:`edit_join`): tag both sides into ONE
+    (block, side, rid, name) schema keyed by the first ``block_chars``
+    characters, then sub-split HOT blocks (distinct-name count above
+    ``max_block_names``) by a deterministic name-hash salt on the left
+    and replication across the S salts on the right — every cross-side
+    pair still meets exactly once while per-group pairwise cost drops
+    by S (the r3-verdict salting, mirrors semantic_dedup's max_cluster
+    sub-split)."""
     from ..core.strhash import utf8_hash64
 
     def tag(side: str, id_col: str, name_col: str):
@@ -941,6 +928,49 @@ def fuzzy_join(
             return pa.concat_tables(pieces)
 
         both = both.map_batches(salt, batch_format="pyarrow")
+    return both
+
+
+def fuzzy_join(
+    left,
+    right,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    threshold: float = 0.9,
+    block_chars: int = 2,
+    max_block_names: int = 20000,
+):
+    """Blocked fuzzy (record-linkage) join: pairs of (left, right) rows
+    whose names have Jaro-Winkler similarity >= ``threshold``, compared
+    only WITHIN blocks sharing the first ``block_chars`` characters —
+    the classic blocking trade-off (pairs whose corruption touches the
+    block prefix are unmatchable by construction; pick the key
+    accordingly). Returns Dataset[(l_id, r_id, sim_micro)].
+
+    Shape: one tagged-union exchange on the block key; inside a block
+    the JW computation runs on DISTINCT-NAME pairs only and fans the
+    verdict out to id pairs vectorized — cost |distinct_L| x
+    |distinct_R| per block, not rows x rows. HOT BLOCKS (a very common
+    prefix) are handled by salting (r3 verdict #3): a cheap
+    distinct-count pass finds blocks whose per-side name count exceeds
+    ``max_block_names``; in those, left names are sub-split by a
+    deterministic name-hash salt and right names replicated across the
+    S salts, so every cross-side pair still meets exactly once while
+    the per-group JW cost drops by S (mirrors semantic_dedup's
+    max_cluster hyperplane sub-split, stages/dedup.py). At 100 TB the
+    block exchange is the only corpus-sized move."""
+    both = _blocked_both(
+        left,
+        right,
+        left_id,
+        left_name,
+        right_id,
+        right_name,
+        block_chars,
+        max_block_names,
+    )
     empty = pa.table(
         {
             "l_id": pa.array([], pa.int64()),
@@ -981,6 +1011,162 @@ def fuzzy_join(
                 "l_id": pa.array(np.concatenate(out_l), pa.int64()),
                 "r_id": pa.array(np.concatenate(out_r), pa.int64()),
                 "sim_micro": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    return both.groupby("block").map_groups(match_block, batch_format="pyarrow")
+
+
+def _levenshtein_pairs(
+    l_names, r_names, pi: np.ndarray, pj: np.ndarray
+) -> np.ndarray:
+    """Exact Levenshtein distance for each (l_names[pi[t]],
+    r_names[pj[t]]) pair — Wagner-Fischer vectorized ACROSS the pair
+    axis: one (npairs, maxB+1) DP row per left-char step, the inner
+    j loop is maxB vector ops (no per-pair Python dispatch). Strings
+    encode as padded int32 code points; each pair's answer is read off
+    the DP row at its own (len_a, len_b) as the rows stream by."""
+    la = np.array([len(s) for s in l_names], dtype=np.int64)
+    lb = np.array([len(s) for s in r_names], dtype=np.int64)
+    max_a = int(la.max()) if len(la) else 0
+    max_b = int(lb.max()) if len(lb) else 0
+    A = np.zeros((len(l_names), max_a), dtype=np.int32)
+    for i, s in enumerate(l_names):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int32)
+    B = np.zeros((len(r_names), max_b), dtype=np.int32)
+    for i, s in enumerate(r_names):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int32)
+    n = len(pi)
+    out = np.empty(n, dtype=np.int64)
+    # stream pair chunks so the DP rows stay cache/heap-bounded
+    chunk = max(1, 4_000_000 // max(1, max_b + 1))
+    for c0 in range(0, n, chunk):
+        ci = pi[c0 : c0 + chunk]
+        cj = pj[c0 : c0 + chunk]
+        a = A[ci]
+        b = B[cj]
+        cla = la[ci]
+        clb = lb[cj]
+        m = len(ci)
+        prev = np.broadcast_to(
+            np.arange(max_b + 1, dtype=np.int32), (m, max_b + 1)
+        ).copy()
+        res = clb.astype(np.int64).copy()  # pairs with len_a == 0
+        for i in range(1, max_a + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            ai = a[:, i - 1 : i]
+            sub = prev[:, :-1] + (b != ai)
+            dele = prev[:, 1:] + 1
+            best = np.minimum(sub, dele)
+            for j in range(1, max_b + 1):
+                np.minimum(best[:, j - 1], cur[:, j - 1] + 1, out=cur[:, j])
+            done = cla == i
+            if done.any():
+                res[done] = cur[done, clb[done]]
+            prev = cur
+        out[c0 : c0 + chunk] = res
+    return out
+
+
+def edit_join(
+    left,
+    right,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    max_dist: int = 2,
+    block_chars: int = 2,
+    max_block_names: int = 20000,
+):
+    """Blocked EDIT-DISTANCE similarity join: pairs of (left, right)
+    rows whose names are within Levenshtein distance ``max_dist``,
+    compared only within blocks sharing the first ``block_chars``
+    characters (same blocking contract and hot-block salting as
+    :func:`fuzzy_join`, via :func:`_blocked_both`). Returns
+    Dataset[(l_id, r_id, dist)].
+
+    Where Jaro-Winkler scores transpositions softly, Levenshtein is the
+    metric for typo/OCR-grade corruption with a hard edit budget — and
+    DuckDB ships a native ``levenshtein()``, so the oracle is the plain
+    blocked inequality join. In-block cost is bounded twice: pairs are
+    prefiltered by the LENGTH BAND ``|len_l - len_r| <= max_dist``
+    (a true lower bound on the distance, so no matches are lost), and
+    the surviving pair list runs through one Wagner-Fischer DP
+    vectorized across pairs (:func:`_levenshtein_pairs`) — no per-pair
+    Python loop, memory capped by pair-chunking. Verdicts fan out from
+    distinct-name pairs to id pairs exactly like fuzzy_join."""
+    empty = pa.table(
+        {
+            "l_id": pa.array([], pa.int64()),
+            "r_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    both = _blocked_both(
+        left,
+        right,
+        left_id,
+        left_name,
+        right_id,
+        right_name,
+        block_chars,
+        max_block_names,
+    )
+
+    def match_block(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group["side"].to_pylist())
+        ids = np.asarray(group["rid"], dtype=np.int64)
+        names = np.asarray(group["name"].to_pylist(), dtype=object)
+        lm = sides == "l"
+        rm = ~lm
+        if not lm.any() or not rm.any():
+            return empty
+        l_names, l_inv = np.unique(names[lm], return_inverse=True)
+        r_names, r_inv = np.unique(names[rm], return_inverse=True)
+        la = np.array([len(s) for s in l_names], dtype=np.int64)
+        lb = np.array([len(s) for s in r_names], dtype=np.int64)
+        # length-band candidate pairs: sort right by length, one
+        # searchsorted window per left name
+        order = np.argsort(lb, kind="stable")
+        lb_sorted = lb[order]
+        lo = np.searchsorted(lb_sorted, la - max_dist, side="left")
+        hi = np.searchsorted(lb_sorted, la + max_dist, side="right")
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return empty
+        pi = np.repeat(np.arange(len(l_names)), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pj = order[
+            np.arange(len(pi)) - offs[pi] + lo[pi]
+        ]
+        dist = _levenshtein_pairs(l_names, r_names, pi, pj)
+        keep = dist <= max_dist
+        if not keep.any():
+            return empty
+        l_ids = [ids[lm][l_inv == i] for i in range(len(l_names))]
+        r_ids = [ids[rm][r_inv == i] for i in range(len(r_names))]
+        out_l, out_r, out_d = [], [], []
+        for t in np.flatnonzero(keep):
+            li, rj = l_ids[pi[t]], r_ids[pj[t]]
+            out_l.append(np.repeat(li, len(rj)))
+            out_r.append(np.tile(rj, len(li)))
+            out_d.append(
+                np.full(len(li) * len(rj), dist[t], dtype=np.int64)
+            )
+        return pa.table(
+            {
+                "l_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "r_id": pa.array(np.concatenate(out_r), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.int64()),
             }
         )
 
