@@ -3445,6 +3445,18 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_chrf_eval(sf_dir: str):
+    """chrF character n-gram sufficient statistics per document against
+    a deterministic every-7th-char corruption of the whitespace-stripped
+    text (pipelines/evaluate.py::chrf_stats) — the tokenization-robust
+    generation-eval sibling of bleu_eval; row-local, shuffle-free,
+    integer columns only."""
+    from texoo_ray.pipelines.evaluate import chrf_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chrf_stats(ds)
+
+
 def _q_edit_join(sf_dir: str):
     """Blocked Levenshtein similarity join (pipelines/joins.py::
     edit_join): part names vs a planted typo side (4th char deleted +
@@ -3657,6 +3669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "bleu_eval": _q_bleu_eval,
         "edit_join": _q_edit_join,
+        "chrf_eval": _q_chrf_eval,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -4270,6 +4283,48 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN dirty d
               ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
              AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
+        "chrf_eval": r"""
+            WITH s AS MATERIALIZED (
+              SELECT doc_id, regexp_replace(text, '\s+', '', 'g') AS t
+              FROM documents),
+            pos AS MATERIALIZED (
+              SELECT doc_id, CAST(u.i AS INT) AS i,
+                     substr(t, CAST(u.i AS INT), 1) AS rc,
+                     CASE WHEN u.i % 7 = 0 THEN 'q'
+                          ELSE substr(t, CAST(u.i AS INT), 1) END AS cc
+              FROM s, LATERAL unnest(range(1, length(t) + 1)) AS u(i)),
+            seq AS MATERIALIZED (
+              SELECT doc_id,
+                     rc, lead(rc, 1) OVER w AS r2, lead(rc, 2) OVER w AS r3,
+                     cc, lead(cc, 1) OVER w AS c2, lead(cc, 2) OVER w AS c3
+              FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            rn1 AS (SELECT doc_id, rc AS g, count(*) AS c
+                    FROM seq GROUP BY 1, 2),
+            cn1 AS (SELECT doc_id, cc AS g, count(*) AS c
+                    FROM seq GROUP BY 1, 2),
+            m1 AS (SELECT r.doc_id, sum(least(r.c, c.c)) AS m
+                   FROM rn1 r JOIN cn1 c USING (doc_id, g) GROUP BY 1),
+            rn2 AS (SELECT doc_id, rc || r2 AS g, count(*) AS c
+                    FROM seq WHERE r2 IS NOT NULL GROUP BY 1, 2),
+            cn2 AS (SELECT doc_id, cc || c2 AS g, count(*) AS c
+                    FROM seq WHERE c2 IS NOT NULL GROUP BY 1, 2),
+            m2 AS (SELECT r.doc_id, sum(least(r.c, c.c)) AS m
+                   FROM rn2 r JOIN cn2 c USING (doc_id, g) GROUP BY 1),
+            rn3 AS (SELECT doc_id, rc || r2 || r3 AS g, count(*) AS c
+                    FROM seq WHERE r3 IS NOT NULL GROUP BY 1, 2),
+            cn3 AS (SELECT doc_id, cc || c2 || c3 AS g, count(*) AS c
+                    FROM seq WHERE c3 IS NOT NULL GROUP BY 1, 2),
+            m3 AS (SELECT r.doc_id, sum(least(r.c, c.c)) AS m
+                   FROM rn3 r JOIN cn3 c USING (doc_id, g) GROUP BY 1)
+            SELECT s.doc_id, length(s.t)::BIGINT AS n_chars,
+                   coalesce(m1.m, 0)::BIGINT AS cmatch1,
+                   coalesce(m2.m, 0)::BIGINT AS cmatch2,
+                   coalesce(m3.m, 0)::BIGINT AS cmatch3
+            FROM s
+            LEFT JOIN m1 ON s.doc_id = m1.doc_id
+            LEFT JOIN m2 ON s.doc_id = m2.doc_id
+            LEFT JOIN m3 ON s.doc_id = m3.doc_id
         """,
         "bleu_eval": r"""
             WITH words AS MATERIALIZED (

@@ -201,6 +201,7 @@ def run_queries() -> dict:
         "cms_counts",
         "bleu_eval",
         "edit_join",
+        "chrf_eval",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -265,3 +265,90 @@ def test_bleu2_stats_matches_bruteforce(ray_session):
             assert out.loc[i, "n_words"] == n
             assert out.loc[i, "match1"] == m1
             assert out.loc[i, "match2"] == m2
+
+
+# --- chrF sufficient statistics ----------------------------------------------
+
+
+def _chrf_ref(text: str, max_n=3, sub_every=7, sub_char="q"):
+    """Per-doc clipped char n-gram counts, the slow obvious way."""
+    import re
+    from collections import Counter
+
+    # RE2's \s is [ \t\n\r\f] (NO \v/\x0b, unlike Python re) — both the
+    # Arrow engine kernel and the DuckDB oracle are RE2, so the slow
+    # reference must use the RE2 class explicitly.
+    s = re.sub(r"[ \t\n\r\f]+", "", text)
+    cand = "".join(
+        sub_char if (i + 1) % sub_every == 0 else ch
+        for i, ch in enumerate(s)
+    )
+    out = [len(s)]
+    for n in range(1, max_n + 1):
+        rg = Counter(s[i : i + n] for i in range(len(s) - n + 1))
+        cg = Counter(cand[i : i + n] for i in range(len(cand) - n + 1))
+        out.append(sum(min(c, rg[g]) for g, c in cg.items()))
+    return out
+
+
+def test_chrf_stats_matches_bruteforce(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.evaluate import chrf_stats
+
+    texts = [
+        "the cat sat on the mat",
+        "aaaaaaaaaaaaaaaaaaaaaa",
+        "q qq qqq already has the sub char q",
+        "tabs\tand\nnewlines \x0b mixed   spaces",
+        "unicode: naïve café 北京市 🦊🦊 emoji",
+        "ab",
+        "",
+        "   \t\n  ",
+        "x",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for blocks in (1, 4):
+        out = (
+            chrf_stats(ray.data.from_items(rows, override_num_blocks=blocks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(texts):
+            want = _chrf_ref(t)
+            got = [
+                int(out.loc[i, c])
+                for c in ("n_chars", "cmatch1", "cmatch2", "cmatch3")
+            ]
+            assert got == want, (t, got, want)
+
+
+def test_chrf_stats_doc_chunking_path(ray_session):
+    """Force docs_per=1 equivalence by monkey-free construction: a
+    dictionary-heavy batch (many distinct codepoints) must agree with
+    the brute force regardless of the int64 chunk guard."""
+    import ray.data
+
+    from texoo_ray.pipelines.evaluate import chrf_stats
+
+    # ~1300 distinct codepoints => m**3 ~ 2.2e9, docs_per still large;
+    # the correctness claim is the packed-key math, checked per doc.
+    texts = [
+        "".join(chr(0x4E00 + (i * 7 + j) % 1300) for j in range(50))
+        for i in range(6)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (
+        chrf_stats(ray.data.from_items(rows, override_num_blocks=2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        want = _chrf_ref(t)
+        got = [
+            int(out.loc[i, c])
+            for c in ("n_chars", "cmatch1", "cmatch2", "cmatch3")
+        ]
+        assert got == want

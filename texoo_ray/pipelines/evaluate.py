@@ -119,6 +119,27 @@ def segmentation_eval(
     }
 
 
+def _clipped_matches(ref_keys, cand_keys, stride, n_rows):
+    """Per-doc CLIPPED gram matches: keys are ``doc * stride + gram``;
+    for every gram the candidate's count is clipped at the reference's
+    (min over the two count tables, aligned with one searchsorted) and
+    the mins scatter-add into a per-doc vector. Shared by the n-gram
+    eval primitives (:func:`bleu2_stats`, :func:`chrf_stats`)."""
+    import numpy as np
+
+    out = np.zeros(n_rows, dtype=np.int64)
+    if len(cand_keys) == 0:
+        return out
+    ru, rc = np.unique(ref_keys, return_counts=True)
+    cu, cc = np.unique(cand_keys, return_counts=True)
+    idx = np.searchsorted(ru, cu)
+    safe = np.minimum(idx, len(ru) - 1)
+    ok = (idx < len(ru)) & (ru[safe] == cu)
+    mins = np.minimum(cc[ok], rc[idx[ok]])
+    np.add.at(out, (cu[ok] // stride).astype(np.int64), mins)
+    return out
+
+
 def bleu2_stats(
     ds,
     id_col: str = "doc_id",
@@ -156,18 +177,7 @@ def bleu2_stats(
 
     from ..stages.text_stats import _doc_word_codes
 
-    def clipped(ref_keys, cand_keys, stride, n_rows):
-        out = np.zeros(n_rows, dtype=np.int64)
-        if len(cand_keys) == 0:
-            return out
-        ru, rc = np.unique(ref_keys, return_counts=True)
-        cu, cc = np.unique(cand_keys, return_counts=True)
-        idx = np.searchsorted(ru, cu)
-        safe = np.minimum(idx, len(ru) - 1)
-        ok = (idx < len(ru)) & (ru[safe] == cu)
-        mins = np.minimum(cc[ok], rc[idx[ok]])
-        np.add.at(out, (cu[ok] // stride).astype(np.int64), mins)
-        return out
+    clipped = _clipped_matches
 
     def partial(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
@@ -196,5 +206,99 @@ def bleu2_stats(
                 "match2": pa.array(match2),
             }
         )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def chrf_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 3,
+    sub_every: int = 7,
+    sub_char: str = "q",
+):
+    """chrF sufficient statistics per document (Popović 2015,
+    "chrF: character n-gram F-score") against a deterministic
+    corruption: the candidate is the WHITESPACE-STRIPPED reference
+    (chrF's standard preprocessing) with every ``sub_every``-th
+    character (1-based) replaced by ``sub_char``. Returns
+    Dataset[(id, n_chars, cmatch1..cmatch{max_n})] where ``cmatch_n``
+    is the clipped char n-gram match count; the precision AND recall
+    denominators are both ``max(n_chars - n + 1, 0)`` (substitution
+    preserves length), so corpus chrF is one closed-form expression
+    over the summed rows.
+
+    Character-level sibling of :func:`bleu2_stats` and the second
+    generation-eval primitive: robust to tokenization and morphology,
+    the standard for non-whitespace scripts. Row-local and
+    shuffle-free — per batch, all docs' stripped codepoints form one
+    array (``np.unique`` dictionary, typically a few hundred distinct
+    chars), n-gram keys pack as ``doc * m^n + c_1 m^{n-1} + ...`` and
+    the clipped per-doc sums come from :func:`_clipped_matches`.
+    Batches are processed in doc-chunks sized so the packed key stays
+    inside int64 even on dictionary-heavy (CJK) text.
+
+    The whitespace strip is RE2 ``\\s+`` on both sides (Arrow
+    ``replace_substring_regex`` here, DuckDB ``regexp_replace`` in the
+    oracle), so the two engines agree char-for-char."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        stripped = pc.replace_substring_regex(
+            pc.fill_null(batch[text_col], ""),
+            pattern=r"\s+",
+            replacement="",
+        )
+        lens = np.asarray(pc.utf8_length(stripped), dtype=np.int64)
+        joined = "".join(stripped.to_pylist())
+        if joined:
+            chars = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+        else:
+            chars = np.empty(0, dtype=np.int64)
+        doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        dic, codes = np.unique(chars, return_inverse=True)
+        sc = np.int64(ord(sub_char))
+        at = int(np.searchsorted(dic, sc))
+        sub_code = at if at < len(dic) and dic[at] == sc else len(dic)
+        m = np.int64(len(dic) + 1)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(len(codes), dtype=np.int64) - starts[doc_of]
+        cand = np.where((pos + 1) % sub_every == 0, sub_code, codes)
+        match = [np.zeros(n_rows, dtype=np.int64) for _ in range(max_n)]
+        # doc-chunk so doc_local * m**max_n stays inside int64
+        docs_per = max(1, int((1 << 62) // max(1, int(m) ** max_n)))
+        for d0 in range(0, n_rows, docs_per):
+            d1 = min(n_rows, d0 + docs_per)
+            c0 = int(starts[d0])
+            c1 = int(starts[d1 - 1] + lens[d1 - 1])
+            dl = doc_of[c0:c1] - d0
+            rc, cc = codes[c0:c1], cand[c0:c1]
+            for n in range(1, max_n + 1):
+                end = len(rc) - n + 1
+                if end <= 0:
+                    continue
+                valid = dl[:end] == dl[n - 1 :]
+                rk = rc[:end].copy()
+                ck = cc[:end].copy()
+                for j in range(1, n):
+                    rk = rk * m + rc[j : end + j]
+                    ck = ck * m + cc[j : end + j]
+                stride = m**n
+                part = _clipped_matches(
+                    (dl[:end] * stride + rk)[valid],
+                    (dl[:end] * stride + ck)[valid],
+                    stride,
+                    d1 - d0,
+                )
+                match[n - 1][d0:d1] += part
+        cols = {id_col: batch[id_col], "n_chars": pa.array(lens)}
+        for n in range(1, max_n + 1):
+            cols[f"cmatch{n}"] = pa.array(match[n - 1])
+        return pa.table(cols)
 
     return ds.map_batches(partial, batch_format="pyarrow")
