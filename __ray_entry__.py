@@ -3445,6 +3445,73 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_kcore(sf_dir: str):
+    """6-core of the bipartite lineitem graph (orderkey+1e9, partkey)
+    (pipelines/graph.py::kcore): iterative degree peeling to the
+    fixpoint, two fused Ray jobs per round (broadcast doomed set +
+    node-sized degree aggregate). Oracle: the peel unrolled as 16
+    MATERIALIZED CTE rounds (measured depth: 5 @ sf0.001, 9 @ sf0.01,
+    11 @ sf0.1 — both engines sit at the same fixpoint)."""
+    from texoo_ray.pipelines.graph import kcore
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch["l_orderkey"], dtype=np.int64) + 1_000_000_000
+        return pa.table(
+            {
+                "src": pa.array(o, pa.int64()),
+                "dst": batch["l_partkey"].cast(pa.int64()),
+            }
+        )
+
+    return kcore(li.map_batches(to_edges, batch_format="pyarrow"), k=6)
+
+
+def _q_window_dedup(sf_dir: str):
+    """Time-window repeat suppression over the event log
+    (pipelines/analytics.py::window_dedup): drop an event when the same
+    (user_id, event_type) occurred within the previous 24 h; ties break
+    by event_id. One user-bucket hash exchange + block-local lexsort /
+    shifted compare; lag() window oracle."""
+    from texoo_ray.pipelines.analytics import window_dedup
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    return window_dedup(ds, window_us=86_400_000_000)
+
+
+def _q_skyline_parts(sf_dir: str):
+    """3-criterion SKYLINE over part (pipelines/relational.py::
+    skyline): Pareto-optimal parts maximizing retail price (integer
+    cents), minimizing size, maximizing name length. Block-local
+    frontier -> frontier-sized final pass; NOT EXISTS dominance
+    anti-join is the oracle."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.relational import _cents, skyline
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "price_cents": pa.array(_cents(batch["p_retailprice"])),
+                "p_size": batch["p_size"],
+                "name_len": pc.cast(
+                    pc.utf8_length(batch["p_name"]), pa.int64()
+                ),
+            }
+        )
+
+    ds = part.map_batches(derive, batch_format="pyarrow")
+    return skyline(
+        ds, [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")]
+    )
+
+
 def _q_chrf_eval(sf_dir: str):
     """chrF character n-gram sufficient statistics per document against
     a deterministic every-7th-char corruption of the whitespace-stripped
@@ -3670,6 +3737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bleu_eval": _q_bleu_eval,
         "edit_join": _q_edit_join,
         "chrf_eval": _q_chrf_eval,
+        "skyline_parts": _q_skyline_parts,
+        "window_dedup": _q_window_dedup,
+        "kcore6": _q_kcore,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -4266,9 +4336,43 @@ def _hll_oracle_sql() -> str:
         """.replace("__PW__", pw).replace("__PW2__", pw2)
 
 
+def _kcore_oracle_sql(k: int = 6, rounds: int = 16) -> str:
+    """k-core peel unrolled as MATERIALIZED CTE rounds (the bpe_merges
+    precedent for iterative oracles). ``rounds`` must cover the
+    peeling depth at the gate's scale (measured: 5 @ sf0.001,
+    9 @ sf0.01, 11 @ sf0.1); past the fixpoint every extra round is an
+    identity, so both engines land on the same answer."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT least(l_orderkey + 1000000000, l_partkey) AS lo,
+                          greatest(l_orderkey + 1000000000, l_partkey) AS hi
+          FROM lineitem
+          WHERE l_orderkey + 1000000000 <> l_partkey)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+              SELECT id FROM (SELECT lo AS id FROM e{r - 1}
+                              UNION ALL SELECT hi FROM e{r - 1})
+              GROUP BY id HAVING count(*) < {k})"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+              SELECT * FROM e{r - 1}
+              WHERE lo NOT IN (TABLE b{r}) AND hi NOT IN (TABLE b{r}))"""
+        )
+    final = (
+        f"""SELECT id, count(*)::BIGINT AS d
+        FROM (SELECT lo AS id FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
+        GROUP BY id"""
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_bigrams": _hll_oracle_sql(),
+        "kcore6": _kcore_oracle_sql(),
         "edit_join": r"""
             WITH x AS (
               SELECT p_partkey,
@@ -4283,6 +4387,34 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN dirty d
               ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
              AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
+        "window_dedup": r"""
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+              FROM events)
+            WHERE gap IS NULL OR gap > 86400000000
+        """,
+        "skyline_parts": r"""
+            WITH t AS MATERIALIZED (
+              SELECT p_partkey,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                     p_size,
+                     length(p_name)::BIGINT AS name_len
+              FROM part)
+            SELECT o.p_partkey, o.price_cents, o.p_size, o.name_len
+            FROM t o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t i
+              WHERE i.price_cents >= o.price_cents
+                AND i.p_size <= o.p_size
+                AND i.name_len >= o.name_len
+                AND (i.price_cents > o.price_cents
+                     OR i.p_size < o.p_size
+                     OR i.name_len > o.name_len))
         """,
         "chrf_eval": r"""
             WITH s AS MATERIALIZED (

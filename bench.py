@@ -202,6 +202,9 @@ def run_queries() -> dict:
         "bleu_eval",
         "edit_join",
         "chrf_eval",
+        "skyline_parts",
+        "window_dedup",
+        "kcore6",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1785,3 +1785,144 @@ def test_order_cube_levels(ray_session):
     re = fine.groupby("o_orderstatus")["total_cents"].sum()
     for st, v in re.items():
         assert int(by_st[by_st["o_orderstatus"] == st]["total_cents"].iloc[0]) == int(v)
+
+
+# --- skyline -----------------------------------------------------------------
+
+
+def _skyline_ref(rows, signs):
+    out = []
+    for i, r in enumerate(rows):
+        dominated = False
+        for j, s in enumerate(rows):
+            if i == j:
+                continue
+            ge = all(
+                sg * s[k] >= sg * r[k] for k, sg in enumerate(signs)
+            )
+            gt = any(sg * s[k] > sg * r[k] for k, sg in enumerate(signs))
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            out.append(i)
+    return set(out)
+
+
+def test_skyline_mask_vs_bruteforce():
+    import numpy as np
+
+    from texoo_ray.pipelines.relational import _skyline_mask
+
+    rng = np.random.RandomState(7)
+    for d in (2, 3):
+        for chunk in (2048, 5):  # 5 forces the multi-chunk path
+            V = rng.randint(0, 12, size=(120, d)).astype(np.float64)
+            V[10] = V[3]  # planted duplicate: both must survive or die together
+            mask = _skyline_mask(V, chunk=chunk)
+            want = _skyline_ref([tuple(r) for r in V], [1] * d)
+            assert set(np.flatnonzero(mask)) == want, (d, chunk)
+
+
+def test_skyline_dataset_mixed_directions(ray_session):
+    import numpy as np
+    import ray.data
+
+    from texoo_ray.pipelines.relational import skyline
+
+    rng = np.random.RandomState(11)
+    rows = [
+        {"rid": i, "a": int(rng.randint(0, 15)), "b": int(rng.randint(0, 15))}
+        for i in range(200)
+    ]
+    got = (
+        skyline(
+            ray.data.from_items(rows, override_num_blocks=6),
+            [("a", "max"), ("b", "min")],
+        )
+        .to_pandas()
+        .sort_values("rid")
+    )
+    want = _skyline_ref([(r["a"], r["b"]) for r in rows], [1, -1])
+    assert set(got["rid"]) == want
+    # every point dominated nowhere: sanity spot-check invariants
+    pts = {(r["a"], r["b"]) for r in rows if r["rid"] in want}
+    for a, b in pts:
+        assert not any(
+            (a2 >= a and b2 <= b and (a2 > a or b2 < b)) for a2, b2 in pts
+        )
+
+
+# --- window_dedup ------------------------------------------------------------
+
+
+def test_window_dedup_matches_bruteforce(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.analytics import window_dedup
+
+    US = 1_000_000
+    rows = [
+        # (event_id, user, type, ts_us): u1/click repeats inside+outside window
+        (1, 1, "click", 0),
+        (2, 1, "click", 5 * US),      # within 10s of #1 -> dropped
+        (3, 1, "click", 12 * US),     # 7s after #2 (prev OCCURRENCE) -> dropped
+        (4, 1, "click", 30 * US),     # 18s after #3 -> kept
+        (5, 1, "view", 1 * US),       # different type -> kept
+        (6, 2, "click", 2 * US),      # different user -> kept
+        (7, 2, "click", 2 * US),      # exact duplicate ts, higher id -> dropped
+        (8, 3, "buy", 100 * US),      # singleton -> kept
+    ]
+    ds = ray.data.from_items(
+        [
+            {
+                "event_id": e,
+                "user_id": u,
+                "event_type": t,
+                "ts": ts,
+            }
+            for e, u, t, ts in rows
+        ],
+        override_num_blocks=3,
+    )
+    got = window_dedup(ds, window_us=10 * US, n_buckets=4).to_pandas()
+    assert sorted(got["event_id"]) == [1, 4, 5, 6, 8]
+
+
+# --- kcore -------------------------------------------------------------------
+
+
+def _kcore_ref(edges, k):
+    """Peel the obvious way; returns {id: core_degree}."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        es = {e for e in es if e[0] not in bad and e[1] not in bad}
+
+
+def test_kcore_matches_bruteforce_both_paths(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.graph import kcore
+
+    # K4 on {1,2,3,4} + a tail 4-5-6 + pendant 7 + parallel/self noise
+    edges = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        + [(4, 5), (5, 6), (6, 7), (2, 1), (3, 3)]
+    )
+    want = _kcore_ref(edges, 3)
+    ds = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in edges], override_num_blocks=3
+    )
+    for thr in (2_000_000, 0):  # broadcast path, then forced join path
+        got = kcore(ds, k=3, broadcast_threshold=thr).to_pandas()
+        assert dict(zip(got["id"], got["d"])) == want, thr
+    # empty core: k larger than any degree
+    got = kcore(ds, k=10).to_pandas()
+    assert len(got) == 0

@@ -658,3 +658,62 @@ def event_transitions(ds, n_buckets: int = 64):
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def window_dedup(
+    ds,
+    window_us: int = 1_800_000_000,
+    n_buckets: int = 64,
+):
+    """Time-window repeat suppression (log/telemetry dedup): drop an
+    event when the SAME (user_id, event_type) occurred within the
+    previous ``window_us`` microseconds — keep it only if it is the
+    key's first event or the gap from the key's PREVIOUS event (kept or
+    not) exceeds the window. Ordering ties break by event_id, matching
+    the SQL window ``ORDER BY ts, event_id`` exactly, so exact
+    duplicates (same key, same ts) collapse to one. Returns
+    Dataset[(event_id, user_id, event_type)].
+
+    Shape: the ONE user-bucket hash exchange (:func:`_user_buckets`)
+    co-locates each user's events; inside a bucket the whole pass is a
+    lexsort + shifted ts-compare over (user, type-code) runs — no
+    per-key dispatch, the conversation-family idiom. The previous-
+    occurrence (debounce) semantics — rather than previous-KEPT
+    (throttle) — is what keeps the scan one shifted compare instead of
+    a sequential chain, and is the window-function-expressible contract
+    the oracle mirrors with lag()."""
+    import numpy as np
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(group["ts"].cast(pa.int64()), dtype=np.int64)
+        eid = np.asarray(group["event_id"], dtype=np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((eid, ts, codes, u))
+        su, sc, sts = u[order], codes[order], ts[order]
+        same = np.zeros(len(order), dtype=bool)
+        if len(order) > 1:
+            same[1:] = (su[1:] == su[:-1]) & (sc[1:] == sc[:-1])
+        gap_ok = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            gap_ok[1:] = (sts[1:] - sts[:-1]) > window_us
+        keep = ~same | gap_ok
+        kept = order[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[kept]),
+                "user_id": pa.array(u[kept]),
+                "event_type": et.take(pa.array(kept, pa.int64())),
+            }
+        )
+
+    return (
+        _user_buckets(ds.select_columns(
+            ["event_id", "user_id", "event_type", "ts"]), n_buckets)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )

@@ -601,3 +601,175 @@ def triangle_count(edges, num_partitions: int | None = None):
         .groupby("id")
         .aggregate(Sum("triangles", alias_name="triangles"))
     )
+
+
+def kcore(
+    edges,
+    k: int = 3,
+    max_rounds: int = 50,
+    broadcast_threshold: int = 2_000_000,
+    materialize_every: int = 8,
+    num_partitions: int | None = None,
+):
+    """k-CORE: the maximal subgraph of the undirected graph (directed
+    Dataset[(src, dst)] input; orientation, parallel edges and
+    self-loops normalized away) in which every vertex keeps degree
+    >= ``k``. Returns Dataset[(id, d)] — the core's vertices with
+    their core-internal degree. The classic peeling fixpoint
+    (Seidman 1983, "Network structure and minimum degree"): repeatedly
+    delete vertices of degree < k until none remain.
+
+    Shape — TWO Ray jobs per peel round, not four (the
+    N-sequential-tiny-jobs lesson): peeling only ever REMOVES
+    vertices, so instead of re-materializing the edge set each round,
+    the accumulated doomed-vertex set ships via ``ray.put`` (sorted
+    int64, zero-copy per batch) and the round's ONE aggregate fuses
+    [drop doomed edges -> per-batch degree bincount] into its map
+    before the node-sized groupby sum; the second job collects the
+    round's new sub-k vertices from the materialized degree table.
+    Every ``materialize_every`` rounds the filter folds into a real
+    compacted edge set and the doomed set resets, bounding both the
+    re-scan cost and the broadcast size at depth (deep peels on
+    power-law graphs). If a round's doomed collection exceeds
+    ``broadcast_threshold`` ids, that round falls back to two hash
+    semi-joins against the surviving GOOD node table instead of a
+    driver-sized broadcast — the corpus-scale early-round path."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _compact, _join_partitions, _norm
+
+    P = num_partitions or _join_partitions()
+    lohi_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    deg_schema = pa.schema([("id", pa.int64()), ("d", pa.int64())])
+    empty = pa.table(
+        {"id": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+    )
+
+    @_norm(lohi_schema)
+    def canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["src"], dtype=np.int64)
+        d = np.asarray(b["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d), pa.int64()),
+                "hi": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    def _alive(b: pa.Table, doomed: np.ndarray):
+        lo = np.asarray(b["lo"], dtype=np.int64)
+        hi = np.asarray(b["hi"], dtype=np.int64)
+        if len(doomed):
+            il = np.minimum(np.searchsorted(doomed, lo), len(doomed) - 1)
+            ih = np.minimum(np.searchsorted(doomed, hi), len(doomed) - 1)
+            keep = (doomed[il] != lo) & (doomed[ih] != hi)
+            lo, hi = lo[keep], hi[keep]
+        return lo, hi
+
+    def degrees(e, ref):
+        @_norm(deg_schema)
+        def drop_and_count(b: pa.Table) -> pa.Table:
+            lo, hi = _alive(b, ray.get(ref))
+            u, c = np.unique(np.concatenate([lo, hi]), return_counts=True)
+            return pa.table(
+                {
+                    "id": pa.array(u, pa.int64()),
+                    "d": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return _compact(
+            e.map_batches(drop_and_count, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Sum("d", alias_name="d"))
+        )
+
+    def collect_capped(ds_ids, cap):
+        """Gather an id column to the driver, aborting past ``cap``
+        rows; returns (sorted ids, None) or (None, overflow=True)."""
+        got, total = [], 0
+        for r in ds_ids.to_arrow_refs():
+            t = ray.get(r)
+            if t.num_rows == 0:
+                continue
+            total += t.num_rows
+            if total > cap:
+                return None
+            got.append(np.asarray(t["id"], dtype=np.int64))
+        return np.sort(np.concatenate(got)) if got else np.empty(0, np.int64)
+
+    cur = _compact(
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lo", "hi"])
+    )
+    doomed_all = np.empty(0, dtype=np.int64)
+    ref = ray.put(doomed_all)
+    since_mat = 0
+    for _ in range(max_rounds):
+        if cur is None:
+            return ray.data.from_arrow(empty)
+        deg = degrees(cur, ref)
+        if deg is None:
+            return ray.data.from_arrow(empty)
+        bad = deg.filter(expr=f"d < {k}").select_columns(["id"])
+        new_doomed = collect_capped(bad, broadcast_threshold)
+        if new_doomed is None:
+            # corpus-scale round: keep survivors via two hash semi-joins
+            good = _compact(deg.filter(expr=f"d >= {k}").select_columns(["id"]))
+            if good is None:
+                return ray.data.from_arrow(empty)
+            filt = cur
+            if len(doomed_all):
+                dm = doomed_all
+
+                @_norm(lohi_schema)
+                def fold(b: pa.Table, _dm=dm) -> pa.Table:
+                    lo, hi = _alive(b, _dm)
+                    return pa.table(
+                        {
+                            "lo": pa.array(lo, pa.int64()),
+                            "hi": pa.array(hi, pa.int64()),
+                        }
+                    )
+
+                filt = cur.map_batches(fold, batch_format="pyarrow")
+            j = filt.join(good, "inner", P, on=("lo",), right_on=("id",))
+            j = _compact(j.select_columns(["lo", "hi"]))
+            if j is None:
+                return ray.data.from_arrow(empty)
+            j = j.join(good, "inner", P, on=("hi",), right_on=("id",))
+            cur = _compact(j.select_columns(["lo", "hi"]))
+            doomed_all = np.empty(0, dtype=np.int64)
+            ref = ray.put(doomed_all)
+            since_mat = 0
+            continue
+        if len(new_doomed) == 0:
+            return deg
+        doomed_all = np.union1d(doomed_all, new_doomed)
+        ref = ray.put(doomed_all)
+        since_mat += 1
+        if since_mat >= materialize_every:
+            dm = doomed_all
+
+            @_norm(lohi_schema)
+            def fold2(b: pa.Table, _dm=dm) -> pa.Table:
+                lo, hi = _alive(b, _dm)
+                return pa.table(
+                    {
+                        "lo": pa.array(lo, pa.int64()),
+                        "hi": pa.array(hi, pa.int64()),
+                    }
+                )
+
+            cur = _compact(cur.map_batches(fold2, batch_format="pyarrow"))
+            doomed_all = np.empty(0, dtype=np.int64)
+            ref = ray.put(doomed_all)
+            since_mat = 0
+    deg = degrees(cur, ref)
+    return ray.data.from_arrow(empty) if deg is None else deg

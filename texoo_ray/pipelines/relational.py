@@ -829,3 +829,74 @@ def global_rank(ds, value_col: str, id_col: str, out_col: str = "rnk"):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _skyline_mask(V: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Boolean mask of Pareto-optimal rows of ``V`` (all columns
+    maximize; callers negate minimize dims). Sort-filter-skyline:
+    rows stream in sum-descending order (a dominator's sum is strictly
+    larger, so it always precedes its victims), each CHUNK is tested
+    against the accumulated frontier and against itself with one
+    broadcast comparison each — no per-row Python dispatch. Equal
+    vectors never dominate each other, so duplicates of a frontier
+    point all survive."""
+    n = len(V)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(-V.sum(axis=1), kind="stable")
+    keep = np.zeros(n, dtype=bool)
+    sky = np.empty((0, V.shape[1]), dtype=V.dtype)
+    for c0 in range(0, n, chunk):
+        idx = order[c0 : c0 + chunk]
+        C = V[idx]
+        dominated = np.zeros(len(idx), dtype=bool)
+        # vs the accumulated frontier, slab-bounded
+        for s0 in range(0, len(sky), 4096):
+            S = sky[s0 : s0 + 4096]
+            ge = (S[:, None, :] >= C[None, :, :]).all(-1)
+            gt = (S[:, None, :] > C[None, :, :]).any(-1)
+            dominated |= (ge & gt).any(0)
+        # intra-chunk (dominance is transitive, so testing against ALL
+        # chunk rows — dominated or not — marks exactly the right set)
+        ge = (C[:, None, :] >= C[None, :, :]).all(-1)
+        gt = (C[:, None, :] > C[None, :, :]).any(-1)
+        dominated |= (ge & gt).any(0)
+        alive = ~dominated
+        keep[idx[alive]] = True
+        sky = np.concatenate([sky, C[alive]], axis=0)
+    return keep
+
+
+def skyline(ds, criteria, chunk: int = 2048):
+    """Distributed SKYLINE (Pareto frontier, Börzsönyi et al. 2001):
+    rows not dominated on the given ``criteria`` — a list of
+    ``(column, 'max'|'min')`` — where r dominates s iff r is no worse
+    on every criterion and strictly better on at least one. Ties
+    (equal criterion vectors) are mutually non-dominating and ALL kept.
+    Criterion columns must be non-null numerics.
+
+    The multi-objective "best corpus subset" primitive (e.g. maximize
+    quality score while minimizing length and toxicity). Two-phase
+    shape with NO shuffle: (1) every block reduces to its LOCAL
+    frontier inside ``map_batches`` — any global skyline point is on
+    its own block's frontier, so local pruning is lossless and the
+    survivor set is frontier-sized (expected O(log^(d-1) n) per block
+    on independent dims); (2) the survivors — KBs, not corpus-sized —
+    collapse to one block for the final pass. The reference has no
+    multi-objective operator; this extends its filter surface
+    (SURVEY.md §2.4) the way a curation pipeline needs at scale."""
+
+    def to_matrix(batch: pa.Table) -> np.ndarray:
+        cols = []
+        for col, direction in criteria:
+            v = np.asarray(batch[col], dtype=np.float64)
+            cols.append(v if direction == "max" else -v)
+        return np.column_stack(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pa.array(_skyline_mask(to_matrix(batch), chunk)))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(local, batch_format="pyarrow")
