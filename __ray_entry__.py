@@ -3445,6 +3445,40 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_snm_join(sf_dir: str):
+    """Sorted-neighborhood record linkage (pipelines/joins.py::
+    snm_join): part names vs a planted HEAD-corrupted side ('q' +
+    name[1:], every 5th part) — corruption that touches the blocking
+    prefix, so fuzzy_join's 2-char blocking finds ZERO of these pairs
+    while rank-space windowing over the REVERSED-name order finds them
+    all. Exact global ranks via the order-preserving 7-byte-prefix
+    histogram; dual half-shifted rank buckets pair exactly-once."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.pipelines.joins import snm_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch["p_partkey"], dtype=np.int64) % 5 == 0
+        sub = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "r_id": pc.subtract(-1, sub["p_partkey"]),
+                "r_name": pa.array(
+                    ["q" + n[1:] for n in sub["p_name"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    dirty = part.map_batches(plant, batch_format="pyarrow")
+    return snm_join(
+        part, dirty, "p_partkey", "p_name", "r_id", "r_name",
+        window=5, threshold=0.9,
+    )
+
+
 def _q_kcore(sf_dir: str):
     """6-core of the bipartite lineitem graph (orderkey+1e9, partkey)
     (pipelines/graph.py::kcore): iterative degree peeling to the
@@ -3710,10 +3744,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never-driver-checked queries (purchase_attribution — the r2 red row,
     # fixed but never re-verified — plus the round-3 graph/BPE/PQ/postings/
     # salted-join/sketch additions per VERDICT r3 "Next round #1"). The
-    # remaining 18 never-checked (simple aggregates shaped like already
-    # driver-green queries, plus 3 rows-only) follow at positions 51+ and
-    # rotate in next round. Already-driver-green queries trail.
-    return {
+    # remaining never-checked (simple aggregates shaped like already
+    # driver-green queries, plus rows-only) follow at positions 51+ and
+    # rotate in next round. Already-driver-green queries trail. The
+    # _WINDOW list below pins the exact first-50 ordering — late-round
+    # operator additions land in the dict body and are PROMOTED there
+    # explicitly, so the window never silently overflows.
+    q = {
         # --- round-4 driver window: never driver-checked, oracle-backed ---
         "purchase_attribution": _q_purchase_attribution,
         "extract_digest": _q_extract_digest,
@@ -3740,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": _q_skyline_parts,
         "window_dedup": _q_window_dedup,
         "kcore6": _q_kcore,
+        "snm_join": _q_snm_join,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -3871,6 +3909,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_open_orders": _q_customers_no_open_orders,
         "media_features": _q_media_features,
     }
+    _WINDOW = [
+        "purchase_attribution", "extract_digest", "attribution_salted",
+        "clicks_salted", "pagerank2", "graph_components", "triangle_count",
+        "bpe_merges", "bpe_token_count", "pq_codes", "pq_search",
+        "knn_ivf_pq", "postings_search", "phrase_search", "fuzzy_join",
+        "entity_clusters", "ntile_shards", "snapshot_diff", "hll_bigrams",
+        "order_cube", "weighted_sample_grouped", "clustered_join",
+        "cms_counts", "bleu_eval", "edit_join", "chrf_eval",
+        "skyline_parts", "window_dedup", "kcore6", "snm_join",
+        "image_dedup", "audio_dedup", "video_dedup", "kn_score",
+        "ccnet_buckets", "zorder_prune", "quantile_trim_float",
+        "url_dedup", "host_cap", "domain_block", "pivot_orders",
+        "unpivot_orders", "order_ranks", "price_tiers", "overlap_pairs",
+        "scd2_join", "dedup_bloom", "dedup_canonical", "context_windows",
+        "dsir_score",
+    ]
+    assert len(_WINDOW) == 50 and all(k in q for k in _WINDOW)
+    ordered = {k: q[k] for k in _WINDOW}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def _knn_lsh_oracle_sql() -> str:
@@ -4387,6 +4445,28 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN dirty d
               ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
              AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
+        "snm_join": r"""
+            WITH dirty AS (
+              SELECT -p_partkey - 1 AS r_id,
+                     'q' || substr(p_name, 2) AS r_name
+              FROM part WHERE p_partkey % 5 = 0),
+            u AS (
+              SELECT p_partkey AS rid, p_name AS name, 'l' AS side
+              FROM part
+              UNION ALL SELECT r_id, r_name, 'r' FROM dirty),
+            r AS (
+              SELECT rid, name, side,
+                     row_number() OVER (
+                       ORDER BY reverse(name), side, rid) AS rnk
+              FROM u)
+            SELECT l.rid AS l_id, rr.rid AS r_id,
+                   CAST(floor(jaro_winkler_similarity(l.name, rr.name)
+                              * 1000000 + 0.5) AS BIGINT) AS sim_micro
+            FROM r l JOIN r rr
+              ON l.side = 'l' AND rr.side = 'r'
+             AND abs(l.rnk - rr.rnk) <= 5
+            WHERE jaro_winkler_similarity(l.name, rr.name) >= 0.9
         """,
         "window_dedup": r"""
             SELECT event_id, user_id, event_type FROM (

@@ -205,6 +205,7 @@ def run_queries() -> dict:
         "skyline_parts",
         "window_dedup",
         "kcore6",
+        "snm_join",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

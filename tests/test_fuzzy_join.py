@@ -190,3 +190,62 @@ def test_edit_join_matches_bruteforce_and_salting(ray_session):
             set(zip(got["l_id"], got["r_id"], got["dist"])) == expect
         ), mbn
         assert len(got) == len(expect), mbn  # exactly-once under salting
+
+
+# --- snm_join ----------------------------------------------------------------
+
+
+def _snm_ref(lrows, rrows, window, threshold, reverse=True):
+    from texoo_ray.pipelines.joins import jaro_winkler_std
+
+    allrows = [(n[::-1] if reverse else n, "l", i, n) for i, n in lrows] + [
+        (n[::-1] if reverse else n, "r", i, n) for i, n in rrows
+    ]
+    allrows.sort(key=lambda t: (t[0].encode(), t[1], t[2]))
+    out = set()
+    for a, (ka, sa, ia, na) in enumerate(allrows, 1):
+        for b, (kb, sb, ib, nb) in enumerate(allrows, 1):
+            if sa == "l" and sb == "r" and abs(a - b) <= window:
+                sim = jaro_winkler_std(na, nb)
+                if sim >= threshold:
+                    import numpy as np
+
+                    out.add((ia, ib, int(np.floor(sim * 1e6 + 0.5))))
+    return out
+
+
+def test_snm_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from texoo_ray.pipelines.joins import snm_join
+
+    # head-corrupted copies: prefix blocking would miss every pair
+    lrows = [
+        (1, "charlotte anderson"),
+        (2, "margaret blackwood"),
+        (3, "jonathan priestley"),
+        (4, "benjamin underhill"),
+        (5, "alexandra morrison"),
+        (6, "zzz totally unrelated"),
+    ]
+    rrows = [(100 + i, "q" + n[1:]) for i, n in lrows[:5]] + [
+        (200, "completely different"),
+    ]
+    want = _snm_ref(lrows, rrows, window=5, threshold=0.9)
+    # 4 of 5 planted head-corrupted pairs clear 0.9 (the 'alexandra'
+    # copy lands at 0.884: the stray internal 'a' match costs a
+    # transposition) — prefix blocking would find ZERO of them
+    assert len(want) == 4
+    left = ray.data.from_items(
+        [{"lid": i, "name": n} for i, n in lrows], override_num_blocks=3
+    )
+    right = ray.data.from_items(
+        [{"rid": i, "name": n} for i, n in rrows], override_num_blocks=2
+    )
+    # n_buckets=3 forces multi-segment hash buckets; window B-passes on
+    got = snm_join(
+        left, right, "lid", "name", "rid", "name",
+        window=5, threshold=0.9, n_buckets=3,
+    ).to_pandas()
+    assert set(zip(got["l_id"], got["r_id"], got["sim_micro"])) == want
+    assert len(got) == len(want)  # exactly-once across the two passes

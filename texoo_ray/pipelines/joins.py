@@ -1487,3 +1487,252 @@ def interval_overlap_join(
         )
 
     return tagged.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+def snm_join(
+    left,
+    right,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    window: int = 5,
+    threshold: float = 0.9,
+    reverse_key: bool = True,
+    n_buckets: int = 64,
+):
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    tag both sides into one relation, totally order it by a SORT KEY,
+    and compare only cross-side pairs within ``window`` positions of
+    each other, keeping Jaro-Winkler >= ``threshold`` on the ORIGINAL
+    names. Returns Dataset[(l_id, r_id, sim_micro)] — the same contract
+    as :func:`fuzzy_join`, but rank-space windowing instead of prefix
+    blocking, so corruption that TOUCHES the blocking prefix is still
+    matchable; with ``reverse_key`` the sort key is the reversed name
+    (the classic multi-pass SNM key for head-of-string noise).
+
+    Distributed shape — no global sort materialization:
+      1. EXACT global ranks over (key, side, rid) via the
+         :func:`~..pipelines.relational.global_rank` recipe lifted to
+         strings: a 7-byte big-endian prefix of the key is an
+         order-preserving int64, its histogram (distinct-prefix-sized,
+         the exact-quantile budget; key-space refinement is the
+         documented drop-in for pathological domains) cumsums on the
+         driver, and rows get below[pfx] + their rank within the
+         prefix run — runs co-located by ONE prefix-hash bucket
+         exchange, ordered block-locally by Arrow sort_by (binary
+         collation, matching DuckDB).
+      2. Pairing without a self-join: bucket rank space twice with
+         B = 2*window (plain and half-shifted); any pair within the
+         window shares a bucket in >= 1 pass, and a pass-B pair is
+         kept only when its pass-A buckets differ — exactly-once by
+         construction. Per bucket, one searchsorted window per left
+         row bounds candidates at 2*window+1.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    B = 2 * window
+
+    def tag(side, ds, id_col, name_col):
+        def f(batch: pa.Table) -> pa.Table:
+            names = batch[name_col].to_pylist()
+            keys = [
+                (n[::-1] if reverse_key else n) if n is not None else ""
+                for n in names
+            ]
+            pfx = np.array(
+                [
+                    int.from_bytes(s.encode("utf-8")[:7].ljust(7, b"\0"), "big")
+                    for s in keys
+                ],
+                dtype=np.int64,
+            )
+            return pa.table(
+                {
+                    "pfx": pa.array(pfx, pa.int64()),
+                    "skey": pa.array(keys, pa.string()),
+                    "side": pa.array([side] * batch.num_rows, pa.string()),
+                    "rid": batch[id_col].cast(pa.int64()),
+                    "name": pa.array(
+                        [n if n is not None else "" for n in names],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    both = tag("l", left, left_id, left_name).union(
+        tag("r", right, right_id, right_name)
+    )
+    both = both.materialize()  # consumed by the histogram AND the rank pass
+
+    def hist(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(batch["pfx"], dtype=np.int64),
+                         return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        both.map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .to_pandas()
+    )
+    vals = rows["v"].to_numpy().astype(np.int64)
+    below = np.concatenate([[0], np.cumsum(rows["n"].to_numpy())[:-1]])
+    ref = ray.put((vals, below))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pfx"], dtype=np.int64)
+        h = (p.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        b = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def rank_block(group: pa.Table) -> pa.Table:
+        vals, below = ray.get(ref)
+        g = group.sort_by(
+            [("pfx", "ascending"), ("skey", "ascending"),
+             ("side", "ascending"), ("rid", "ascending")]
+        )
+        p = np.asarray(g["pfx"], dtype=np.int64)
+        n = len(p)
+        if n == 0:
+            return pa.table(
+                {
+                    "rnk": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.string()),
+                    "rid": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                }
+            )
+        # local index within each pfx run
+        start = np.zeros(n, dtype=np.int64)
+        newrun = np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        start[newrun] = 1
+        runpos = np.arange(n) - np.maximum.accumulate(
+            np.where(start == 1, np.arange(n), 0)
+        )
+        rnk = below[np.searchsorted(vals, p)] + runpos + 1
+        return pa.table(
+            {
+                "rnk": pa.array(rnk, pa.int64()),
+                "side": g["side"],
+                "rid": g["rid"],
+                "name": g["name"],
+            }
+        )
+
+    ranked = (
+        both.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_block, batch_format="pyarrow")
+    )
+
+    def passes(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch["rnk"], dtype=np.int64)
+        t0 = batch.append_column(
+            "pb", pa.array(r // B, pa.int64())
+        ).append_column("pass_b", pa.array(np.zeros(len(r), bool)))
+        t1 = batch.append_column(
+            "pb", pa.array((r + window) // B, pa.int64())
+        ).append_column("pass_b", pa.array(np.ones(len(r), bool)))
+        return pa.concat_tables([t0, t1])
+
+    empty = pa.table(
+        {
+            "l_id": pa.array([], pa.int64()),
+            "r_id": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group["side"].to_pylist())
+        lm = sides == "l"
+        rm = ~lm
+        if not lm.any() or not rm.any():
+            return empty
+        pass_b = np.asarray(group["pass_b"])
+        rnk = np.asarray(group["rnk"], dtype=np.int64)
+        rid = np.asarray(group["rid"], dtype=np.int64)
+        names = np.asarray(group["name"].to_pylist(), dtype=object)
+        out_l, out_r, out_s = [], [], []
+        for is_b in (False, True):
+            sel = pass_b == is_b
+            ls = sel & lm
+            rs = sel & rm
+            if not ls.any() or not rs.any():
+                continue
+            rl, il, nl = rnk[ls], rid[ls], names[ls]
+            rr_, ir, nr = rnk[rs], rid[rs], names[rs]
+            o = np.argsort(rr_, kind="stable")
+            rr_, ir, nr = rr_[o], ir[o], nr[o]
+            lo = np.searchsorted(rr_, rl - window, side="left")
+            hi = np.searchsorted(rr_, rl + window, side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                continue
+            pi = np.repeat(np.arange(len(rl)), cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            pj = np.arange(len(pi)) - offs[pi] + lo[pi]
+            if is_b:
+                keep = (rl[pi] // B) != (rr_[pj] // B)
+                pi, pj = pi[keep], pj[keep]
+            for a, b in zip(pi, pj):
+                sim = jaro_winkler_std(nl[a], nr[b])
+                if sim >= threshold:
+                    out_l.append(il[a])
+                    out_r.append(ir[b])
+                    out_s.append(int(np.floor(sim * 1e6 + 0.5)))
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                "l_id": pa.array(np.asarray(out_l, np.int64), pa.int64()),
+                "r_id": pa.array(np.asarray(out_r, np.int64), pa.int64()),
+                "sim_micro": pa.array(np.asarray(out_s, np.int64), pa.int64()),
+            }
+        )
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        pb = np.asarray(batch["pb"], dtype=np.int64)
+        h = (pb.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        b = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("gb", pa.array(b, pa.int64()))
+
+    paired = ranked.map_batches(passes, batch_format="pyarrow").map_batches(
+        pair_bucket, batch_format="pyarrow"
+    )
+
+    def match_segments(group: pa.Table) -> pa.Table:
+        # one hash bucket holds many (pass, pb) segments: sort and scan
+        g = group.sort_by([("pass_b", "ascending"), ("pb", "ascending")])
+        pb = np.asarray(g["pb"], dtype=np.int64)
+        pass_b = np.asarray(g["pass_b"])
+        n = len(pb)
+        if n == 0:
+            return empty
+        bnd = np.flatnonzero(
+            np.concatenate(
+                [[True], (pb[1:] != pb[:-1]) | (pass_b[1:] != pass_b[:-1])]
+            )
+        )
+        bnd = np.concatenate([bnd, [n]])
+        pieces = []
+        for s, e in zip(bnd[:-1], bnd[1:]):
+            t = match(g.slice(s, e - s))
+            if t.num_rows:
+                pieces.append(t)
+        return pa.concat_tables(pieces) if pieces else empty
+
+    return paired.groupby("gb").map_groups(
+        match_segments, batch_format="pyarrow"
+    )
