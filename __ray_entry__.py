@@ -3445,6 +3445,54 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retriever runs over the SAME
+    corpus — BM25 top-20 on document text and brute-force cosine
+    top-20 on the aligned embeddings (vec_id == doc_id) — into a fused
+    top-10 (stages/knn.py::rrf_fusion). Scores are integer
+    1e6 // (60 + rank), so the fusion algebra is bit-exact in SQL;
+    both constituent retrievers are themselves hash-green operators."""
+    import ray
+    import ray.data
+
+    from texoo_ray.stages.knn import brute_force_topk, rrf_fusion
+    from texoo_ray.stages.lm import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(docs, "fast hash join order", k=20)
+
+    def rank_list(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["bm25_micro"], dtype=np.int64)
+        i = np.asarray(batch["doc_id"], dtype=np.int64)
+        order = np.lexsort((i, -s))
+        rank = np.empty(len(s), dtype=np.int64)
+        rank[order] = np.arange(1, len(s) + 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    bm_run = bm.repartition(1).map_batches(rank_list, batch_format="pyarrow")
+
+    q = _knn_query_vector(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(emb, q, k=20)
+    tbl = pa.concat_tables(ray.get(ref) for ref in top.to_arrow_refs())
+    knn_run = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": tbl["vec_id"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, tbl.num_rows + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+    return rrf_fusion([bm_run, knn_run], k=10)
+
+
 def _q_snm_join(sf_dir: str):
     """Sorted-neighborhood record linkage (pipelines/joins.py::
     snm_join): part names vs a planted HEAD-corrupted side ('q' +
@@ -3482,7 +3530,7 @@ def _q_snm_join(sf_dir: str):
 def _q_kcore(sf_dir: str):
     """6-core of the bipartite lineitem graph (orderkey+1e9, partkey)
     (pipelines/graph.py::kcore): iterative degree peeling to the
-    fixpoint, two fused Ray jobs per round (broadcast doomed set +
+    fixpoint, one fused Ray job per round (broadcast doomed set +
     node-sized degree aggregate). Oracle: the peel unrolled as 16
     MATERIALIZED CTE rounds (measured depth: 5 @ sf0.001, 9 @ sf0.01,
     11 @ sf0.1 — both engines sit at the same fixpoint)."""
@@ -3778,6 +3826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup": _q_window_dedup,
         "kcore6": _q_kcore,
         "snm_join": _q_snm_join,
+        "rrf_fusion": _q_rrf_fusion,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -3921,7 +3970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup", "audio_dedup", "video_dedup", "kn_score",
         "ccnet_buckets", "zorder_prune", "quantile_trim_float",
         "url_dedup", "host_cap", "domain_block", "pivot_orders",
-        "unpivot_orders", "order_ranks", "price_tiers", "overlap_pairs",
+        "unpivot_orders", "order_ranks", "rrf_fusion", "overlap_pairs",
         "scd2_join", "dedup_bloom", "dedup_canonical", "context_windows",
         "dsir_score",
     ]
@@ -4445,6 +4494,55 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN dirty d
               ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
              AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
+        "rrf_fusion": r"""
+            WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                          FROM documents),
+            words AS (SELECT doc_id, u.w
+                      FROM docs,
+                           LATERAL unnest(regexp_extract_all(t, '[a-z0-9]+')) AS u(w)),
+            stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+                             (SELECT count(*) FROM words)::DOUBLE AS tl),
+            qt AS (SELECT * FROM (VALUES ('fast'), ('hash'), ('join'), ('order')) AS q(w)),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM words GROUP BY doc_id),
+            df AS (SELECT w.w, count(DISTINCT w.doc_id)::DOUBLE AS df
+                   FROM words w JOIN qt USING (w) GROUP BY w.w),
+            tf AS (SELECT w.doc_id, w.w, count(*)::DOUBLE AS tf
+                   FROM words w JOIN qt USING (w) GROUP BY w.doc_id, w.w),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(floor(ln(1 + ((stats.n - df.df) + 0.5) / (df.df + 0.5))
+                                 * ((tf.tf * (1.2 + 1.0))
+                                    / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                        + (0.75 * dl.dl) / (stats.tl / stats.n))))
+                                 * 1e6 + 0.5)::BIGINT)::BIGINT AS bm25_micro
+                FROM tf JOIN df ON df.w = tf.w
+                        JOIN dl ON dl.doc_id = tf.doc_id, stats
+                GROUP BY tf.doc_id),
+            b0 AS MATERIALIZED (
+                SELECT doc_id, bm25_micro FROM scored
+                ORDER BY bm25_micro DESC, doc_id LIMIT 20),
+            b AS (SELECT doc_id,
+                         row_number() OVER (
+                           ORDER BY bm25_micro DESC, doc_id) AS rnk
+                  FROM b0),
+            k0 AS MATERIALIZED (
+                SELECT row_number() OVER (
+                         ORDER BY list_cosine_similarity(e.embedding,
+                           (SELECT embedding FROM embeddings
+                            WHERE vec_id = (SELECT min(vec_id)
+                                            FROM embeddings))) DESC,
+                         e.vec_id ASC)::BIGINT AS rnk,
+                       e.vec_id
+                FROM embeddings e
+                ORDER BY rnk LIMIT 20),
+            u AS (
+                SELECT doc_id, 1000000 // (60 + rnk) AS s FROM b
+                UNION ALL
+                SELECT vec_id AS doc_id, 1000000 // (60 + rnk) FROM k0)
+            SELECT doc_id, sum(s)::BIGINT AS rrf_micro
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_micro DESC, doc_id LIMIT 10
         """,
         "snm_join": r"""
             WITH dirty AS (

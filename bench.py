@@ -206,6 +206,7 @@ def run_queries() -> dict:
         "window_dedup",
         "kcore6",
         "snm_join",
+        "rrf_fusion",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

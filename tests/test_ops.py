@@ -1926,3 +1926,51 @@ def test_kcore_matches_bruteforce_both_paths(ray_session):
     # empty core: k larger than any degree
     got = kcore(ds, k=10).to_pandas()
     assert len(got) == 0
+
+
+# --- rrf_fusion --------------------------------------------------------------
+
+
+def test_rrf_fusion_single_and_multi_query(ray_session):
+    import numpy as np
+    import ray.data
+
+    from texoo_ray.stages.knn import rrf_fusion
+
+    run1 = [(10, 1), (20, 2), (30, 3), (40, 4)]
+    run2 = [(30, 1), (10, 2), (50, 3)]
+    ds1 = ray.data.from_items(
+        [{"doc_id": d, "rank": r} for d, r in run1], override_num_blocks=2
+    )
+    ds2 = ray.data.from_items(
+        [{"doc_id": d, "rank": r} for d, r in run2], override_num_blocks=1
+    )
+    got = rrf_fusion([ds1, ds2], k=3).to_pandas()
+    ref = {}
+    for d, r in run1 + run2:
+        ref[d] = ref.get(d, 0) + 1_000_000 // (60 + r)
+    want = sorted(ref.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert list(zip(got["doc_id"], got["rrf_micro"])) == want
+
+    # multi-query: per-query top-k, block-local after the bucket exchange
+    rows = []
+    rng = np.random.RandomState(3)
+    ref2 = {}
+    for qid in range(7):
+        for run in range(2):
+            docs = rng.permutation(20)[:8]
+            for r, d in enumerate(docs, 1):
+                rows.append({"qid": qid, "doc_id": int(d), "rank": r})
+                key = (qid, int(d))
+                ref2[key] = ref2.get(key, 0) + 1_000_000 // (60 + r)
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    got = rrf_fusion([ds], k=2, query_col="qid", n_buckets=3).to_pandas()
+    for qid in range(7):
+        items = sorted(
+            ((d, s) for (q, d), s in ref2.items() if q == qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:2]
+        sub = got[got["qid"] == qid].sort_values(
+            ["rrf_micro", "doc_id"], ascending=[False, True]
+        )
+        assert list(zip(sub["doc_id"], sub["rrf_micro"])) == items, qid

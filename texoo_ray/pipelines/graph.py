@@ -619,14 +619,15 @@ def kcore(
     (Seidman 1983, "Network structure and minimum degree"): repeatedly
     delete vertices of degree < k until none remain.
 
-    Shape — TWO Ray jobs per peel round, not four (the
+    Shape — ONE Ray job per peel round, not four (the
     N-sequential-tiny-jobs lesson): peeling only ever REMOVES
     vertices, so instead of re-materializing the edge set each round,
     the accumulated doomed-vertex set ships via ``ray.put`` (sorted
-    int64, zero-copy per batch) and the round's ONE aggregate fuses
+    int64, zero-copy per batch) and the round's single aggregate fuses
     [drop doomed edges -> per-batch degree bincount] into its map
-    before the node-sized groupby sum; the second job collects the
-    round's new sub-k vertices from the materialized degree table.
+    before the node-sized groupby sum; the round's new sub-k vertices
+    come straight off the MATERIALIZED degree table's blocks (pure
+    object-store reads, no job launch).
     Every ``materialize_every`` rounds the filter folds into a real
     compacted edge set and the doomed set resets, bounding both the
     re-scan cost and the broadcast size at depth (deep peels on
@@ -688,18 +689,25 @@ def kcore(
             .aggregate(Sum("d", alias_name="d"))
         )
 
-    def collect_capped(ds_ids, cap):
-        """Gather an id column to the driver, aborting past ``cap``
-        rows; returns (sorted ids, None) or (None, overflow=True)."""
+    def collect_bad_capped(deg_ds, cap):
+        """Pull the round's sub-k vertex ids straight off the
+        MATERIALIZED degree table's blocks — pure object-store reads,
+        no extra Ray job per round (the degree aggregate is the round's
+        only job in the common case). Aborts past ``cap`` collected
+        rows and returns None, signalling the hash-semi-join fallback."""
         got, total = [], 0
-        for r in ds_ids.to_arrow_refs():
+        for r in deg_ds.to_arrow_refs():
             t = ray.get(r)
             if t.num_rows == 0:
                 continue
-            total += t.num_rows
+            ids = np.asarray(t["id"], dtype=np.int64)
+            d = np.asarray(t["d"], dtype=np.int64)
+            ids = ids[d < k]
+            total += len(ids)
             if total > cap:
                 return None
-            got.append(np.asarray(t["id"], dtype=np.int64))
+            if len(ids):
+                got.append(ids)
         return np.sort(np.concatenate(got)) if got else np.empty(0, np.int64)
 
     cur = _compact(
@@ -717,8 +725,7 @@ def kcore(
         deg = degrees(cur, ref)
         if deg is None:
             return ray.data.from_arrow(empty)
-        bad = deg.filter(expr=f"d < {k}").select_columns(["id"])
-        new_doomed = collect_capped(bad, broadcast_threshold)
+        new_doomed = collect_bad_capped(deg, broadcast_threshold)
         if new_doomed is None:
             # corpus-scale round: keep survivors via two hash semi-joins
             good = _compact(deg.filter(expr=f"d >= {k}").select_columns(["id"]))

@@ -443,3 +443,85 @@ def embedding_gram(
             "n_vecs": pa.array(np.full(len(iu), n, np.int64), pa.int64()),
         }
     )
+
+
+def rrf_fusion(runs, k: int = 10, c: int = 60, id_col: str = "doc_id",
+               query_col: str | None = None, n_buckets: int = 64):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    N retriever runs — each a Dataset[(id[, query], rank)] with rank
+    1-based — into fused top-``k`` per query:
+    ``rrf_micro = sum over runs of 1_000_000 // (c + rank)`` (integer
+    floor division, so the score algebra is bit-exact in the DuckDB
+    mirror). Ties at the cut break by ascending id, making the top-k
+    set deterministic. Returns Dataset[(id[, query], rrf_micro)].
+
+    The multi-retriever composition layer over this engine's retriever
+    zoo (bm25_topk, brute/LSH/IVF/PQ cosine top-k): rank lists are
+    k-sized per query, so fusion is ONE union + ONE grouped sum; with
+    ``query_col`` set, millions of queries fuse in the same two steps —
+    the sum groups on (query, id) and per-query top-k runs block-local
+    after a query-hash bucket exchange (no per-query dispatch)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def score(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch["rank"], dtype=np.int64)
+        cols = {
+            id_col: batch[id_col].cast(pa.int64()),
+            "s": pa.array(1_000_000 // (c + r), pa.int64()),
+        }
+        if query_col is not None:
+            cols[query_col] = batch[query_col]
+        return pa.table(cols)
+
+    united = runs[0]
+    for r in runs[1:]:
+        united = united.union(r)
+    scored = united.map_batches(score, batch_format="pyarrow")
+    keys = [query_col, id_col] if query_col is not None else [id_col]
+    summed = scored.groupby(keys).aggregate(Sum("s", alias_name="rrf_micro"))
+    if query_col is None:
+        def cut(batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch["rrf_micro"], dtype=np.int64)
+            i = np.asarray(batch[id_col], dtype=np.int64)
+            order = np.lexsort((i, -s))[:k]
+            return pa.table(
+                {
+                    id_col: pa.array(i[order], pa.int64()),
+                    "rrf_micro": pa.array(s[order], pa.int64()),
+                }
+            )
+
+        # fused lists are k*N-run-sized: one final block
+        return summed.repartition(1).map_batches(cut, batch_format="pyarrow")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch[query_col], dtype=np.int64)
+        h = q.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        b = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def cut_block(group: pa.Table) -> pa.Table:
+        q = np.asarray(group[query_col], dtype=np.int64)
+        s = np.asarray(group["rrf_micro"], dtype=np.int64)
+        i = np.asarray(group[id_col], dtype=np.int64)
+        order = np.lexsort((i, -s, q))
+        q, s, i = q[order], s[order], i[order]
+        pos = np.arange(len(q))
+        starts = np.maximum.accumulate(
+            np.where(np.concatenate([[True], q[1:] != q[:-1]]), pos, 0)
+        )
+        keep = (pos - starts) < k
+        return pa.table(
+            {
+                query_col: pa.array(q[keep], pa.int64()),
+                id_col: pa.array(i[keep], pa.int64()),
+                "rrf_micro": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    return (
+        summed.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cut_block, batch_format="pyarrow")
+    )
