@@ -1920,12 +1920,19 @@ def test_kcore_matches_bruteforce_both_paths(ray_session):
     ds = ray.data.from_items(
         [{"src": a, "dst": b} for a, b in edges], override_num_blocks=3
     )
-    for thr in (2_000_000, 0):  # broadcast path, then forced join path
-        got = kcore(ds, k=3, broadcast_threshold=thr).to_pandas()
+    # driver-local path (default), then the distributed loop's
+    # broadcast and forced-join paths — all three must agree
+    got = kcore(ds, k=3).to_pandas()
+    assert dict(zip(got["id"], got["d"])) == want
+    for thr in (2_000_000, 0):
+        got = kcore(
+            ds, k=3, broadcast_threshold=thr, driver_edge_threshold=0
+        ).to_pandas()
         assert dict(zip(got["id"], got["d"])) == want, thr
-    # empty core: k larger than any degree
-    got = kcore(ds, k=10).to_pandas()
-    assert len(got) == 0
+    # empty core: k larger than any degree, both loop flavors
+    for det in (5_000_000, 0):
+        got = kcore(ds, k=10, driver_edge_threshold=det).to_pandas()
+        assert len(got) == 0, det
 
 
 # --- rrf_fusion --------------------------------------------------------------

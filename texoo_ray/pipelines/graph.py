@@ -609,6 +609,7 @@ def kcore(
     max_rounds: int = 50,
     broadcast_threshold: int = 2_000_000,
     materialize_every: int = 8,
+    driver_edge_threshold: int = 5_000_000,
     num_partitions: int | None = None,
 ):
     """k-CORE: the maximal subgraph of the undirected graph (directed
@@ -634,7 +635,15 @@ def kcore(
     power-law graphs). If a round's doomed collection exceeds
     ``broadcast_threshold`` ids, that round falls back to two hash
     semi-joins against the surviving GOOD node table instead of a
-    driver-sized broadcast — the corpus-scale early-round path."""
+    driver-sized broadcast — the corpus-scale early-round path.
+
+    Hybrid fast path (the bpe_merges precedent): when the canonical
+    edge set fits ``driver_edge_threshold`` rows (~16 B each), the
+    whole peel loops locally on the driver with ZERO per-round Ray
+    jobs — at query scale the distributed loop is launch-bound
+    (measured 34 s for 11 aggregate rounds at sf0.1 vs one collect).
+    Path equivalence between the two loops is pinned in tests; at
+    corpus scale the distributed loop runs."""
     import ray
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -716,6 +725,41 @@ def kcore(
         .aggregate(Count(alias_name="_n"))
         .select_columns(["lo", "hi"])
     )
+    if cur is not None and cur.count() <= driver_edge_threshold:
+        # hybrid under-threshold path (the bpe_merges precedent: an
+        # iterated table that fits the driver loops locally with zero
+        # per-round Ray jobs — the distributed loop was 11 aggregate
+        # rounds / 34 s at sf0.1 where this is one collect).
+        # Path-equivalence vs the distributed loop is pinned in tests.
+        shards = [
+            t
+            for t in (ray.get(r) for r in cur.to_arrow_refs())
+            if t.num_rows > 0
+        ]
+        if not shards:
+            return ray.data.from_arrow(empty)
+        e = pa.concat_tables(shards)
+        lo = np.asarray(e["lo"], dtype=np.int64)
+        hi = np.asarray(e["hi"], dtype=np.int64)
+        while True:
+            if len(lo) == 0:
+                return ray.data.from_arrow(empty)
+            ids, inv = np.unique(np.concatenate([lo, hi]),
+                                 return_inverse=True)
+            d = np.bincount(inv, minlength=len(ids)).astype(np.int64)
+            bad = d < k
+            if not bad.any():
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "id": pa.array(ids, pa.int64()),
+                            "d": pa.array(d, pa.int64()),
+                        }
+                    )
+                )
+            half = len(lo)
+            keep = ~(bad[inv[:half]] | bad[inv[half:]])
+            lo, hi = lo[keep], hi[keep]
     doomed_all = np.empty(0, dtype=np.int64)
     ref = ray.put(doomed_all)
     since_mat = 0
