@@ -3445,6 +3445,23 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_cluster_top_terms(sf_dir: str):
+    """c-TF-IDF top-5 distinctive terms per k-means cluster
+    (stages/encoders.py::cluster_top_terms over
+    stages/knn.py::kmeans_assign labels, vec_id == doc_id): the
+    BERTopic-style corpus-understanding composition — exact-int64
+    cluster assignment, one corpus join, then vocab-sized scoring with
+    IEEE-identical ln micros."""
+    from texoo_ray.stages.encoders import cluster_top_terms
+    from texoo_ray.stages.knn import kmeans_assign, label_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    cent = pa.Table.from_pylist(label_centroids(emb).take_all())
+    labels = kmeans_assign(emb, cent)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cluster_top_terms(docs, labels, k=5)
+
+
 def _q_rrf_fusion(sf_dir: str):
     """Reciprocal-rank fusion of two retriever runs over the SAME
     corpus — BM25 top-20 on document text and brute-force cosine
@@ -3827,6 +3844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore6": _q_kcore,
         "snm_join": _q_snm_join,
         "rrf_fusion": _q_rrf_fusion,
+        "cluster_top_terms": _q_cluster_top_terms,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -3969,7 +3987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts", "window_dedup", "kcore6", "snm_join",
         "image_dedup", "audio_dedup", "video_dedup", "kn_score",
         "ccnet_buckets", "zorder_prune", "quantile_trim_float",
-        "url_dedup", "host_cap", "domain_block", "pivot_orders",
+        "url_dedup", "host_cap", "cluster_top_terms", "pivot_orders",
         "unpivot_orders", "order_ranks", "rrf_fusion", "overlap_pairs",
         "scd2_join", "dedup_bloom", "dedup_canonical", "context_windows",
         "dsir_score",
@@ -4494,6 +4512,51 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN dirty d
               ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
              AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
+        "cluster_top_terms": r"""
+            WITH cent AS (
+              SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+                     sum(CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT))::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+              GROUP BY 1, 2),
+            cq AS (SELECT label, dim,
+                     ((2*s + n) - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS c
+                   FROM cent),
+            vq AS (SELECT vec_id, (i - 1)::BIGINT AS dim,
+                     CAST(floor(embedding[i] * 1048576.0 + 0.5) AS BIGINT) AS v
+                   FROM embeddings,
+                        LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+            d AS (SELECT vq.vec_id, cq.label,
+                         sum((vq.v - cq.c) * (vq.v - cq.c))::BIGINT AS d2
+                  FROM vq JOIN cq USING (dim) GROUP BY 1, 2),
+            lab AS (SELECT vec_id, label
+                    FROM (SELECT vec_id, label,
+                                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                    ORDER BY d2, label) AS rn
+                          FROM d) WHERE rn = 1),
+            words AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents),
+            ctf AS (
+              SELECT lab.label, words.word, count(*)::BIGINT AS tf
+              FROM words JOIN lab ON words.doc_id = lab.vec_id
+              GROUP BY 1, 2),
+            fw AS (SELECT word, sum(tf)::BIGINT AS f FROM ctf GROUP BY word),
+            tot AS (SELECT sum(tf)::DOUBLE AS total,
+                           count(DISTINCT label)::DOUBLE AS nc FROM ctf),
+            scored AS (
+              SELECT c.label, c.word, c.tf,
+                     CAST(floor(c.tf * ln(1 + (tot.total / tot.nc) / fw.f)
+                                * 1000000 + 0.5) AS BIGINT) AS ctfidf_micro
+              FROM ctf c JOIN fw USING (word), tot)
+            SELECT label, word, tf, ctfidf_micro FROM (
+              SELECT *, row_number() OVER (PARTITION BY label
+                          ORDER BY ctfidf_micro DESC, word ASC) AS rn
+              FROM scored)
+            WHERE rn <= 5
         """,
         "rrf_fusion": r"""
             WITH docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t

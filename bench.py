@@ -207,6 +207,7 @@ def run_queries() -> dict:
         "kcore6",
         "snm_join",
         "rrf_fusion",
+        "cluster_top_terms",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1981,3 +1981,57 @@ def test_rrf_fusion_single_and_multi_query(ray_session):
             ["rrf_micro", "doc_id"], ascending=[False, True]
         )
         assert list(zip(sub["doc_id"], sub["rrf_micro"])) == items, qid
+
+
+# --- cluster_top_terms -------------------------------------------------------
+
+
+def test_cluster_top_terms_matches_bruteforce(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from texoo_ray.stages.encoders import cluster_top_terms
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "engine piston engine valve"),
+        (3, "piston crank engine"),
+        (4, "apple engine mixed bag"),
+    ]
+    labels = [(0, 0), (1, 0), (2, 1), (3, 1), (4, 0)]
+    # brute force
+    ctf, fw = Counter(), Counter()
+    for (d, t), (_, l) in zip(docs, labels):
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            ctf[(l, w)] += 1
+            fw[w] += 1
+    A = sum(ctf.values()) / len({l for l, _ in ctf})
+    scores = {
+        (l, w): int(np.floor(c * math.log(1.0 + A / fw[w]) * 1e6 + 0.5))
+        for (l, w), c in ctf.items()
+    }
+    want = {}
+    for l in {l for l, _ in scores}:
+        items = sorted(
+            ((w, s) for (ll, w), s in scores.items() if ll == l),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        want[l] = items
+    dds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs], override_num_blocks=2
+    )
+    lds = ray.data.from_items(
+        [{"vec_id": d, "assigned_label": l} for d, l in labels],
+        override_num_blocks=2,
+    )
+    got = cluster_top_terms(dds, lds, k=3).to_pandas()
+    for l, items in want.items():
+        sub = got[got["label"] == l].sort_values(
+            ["ctfidf_micro", "word"], ascending=[False, True]
+        )
+        assert list(zip(sub["word"], sub["ctfidf_micro"])) == items, l

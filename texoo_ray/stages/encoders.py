@@ -253,6 +253,144 @@ def tfidf_top_terms(
     )
 
 
+def cluster_top_terms(
+    docs,
+    labels,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_id_col: str = "vec_id",
+    label_col: str = "assigned_label",
+    num_partitions: Optional[int] = None,
+):
+    """c-TF-IDF cluster characterization (Grootendorst 2022, BERTopic's
+    class-based TF-IDF): the top-k most DISTINCTIVE terms per document
+    cluster, score(w, c) = tf(w, c) * ln(1 + A / f(w)) with tf(w, c)
+    the count of w inside cluster c, f(w) the corpus count, and A the
+    average word count per cluster. The corpus-understanding composition
+    layer over the exact-int64 k-means family: ``labels`` is any
+    Dataset[(id, label)] — in the driver query, kmeans_assign's output.
+
+    Shape: per-doc term counts (row-local) -> ONE corpus-sized hash
+    join with the label table on the doc id -> ONE (label, word)
+    grouped sum; everything after — corpus word totals f(w), the A
+    constant, scoring, per-label top-k — operates on the vocab x
+    clusters table, never the corpus. Scores are integer micros via
+    floor(x * 1e6 + 0.5) with the ln computed once per distinct
+    (f, ctf) pair in the same IEEE order as the DuckDB oracle.
+    Returns Dataset[(label, word, tf, ctfidf_micro)]."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _compact, _join_partitions
+    from .retrieval import grouped_topk
+
+    P = _join_partitions(cap=num_partitions or 16)
+    terms = doc_term_counts(docs, id_col=id_col, text_col=text_col)
+    lab = labels.select_columns([label_id_col, label_col])
+    j = terms.join(lab, "inner", P, on=(id_col,), right_on=(label_id_col,))
+
+    def ct_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.group_by([label_col, "word"]).aggregate([("tf", "sum")])
+        return pa.table(
+            {
+                "label": g[label_col].cast(pa.int64()),
+                "word": g["word"],
+                "tf": g["tf_sum"].cast(pa.int64()),
+            }
+        )
+
+    ctf = _compact(
+        j.map_batches(ct_partial, batch_format="pyarrow")
+        .groupby(["label", "word"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    if ctf is None:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "ctfidf_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def fw_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["word"]).aggregate([("tf", "sum")])
+        return pa.table(
+            {"w": g["word"], "f": g["tf_sum"].cast(pa.int64())}
+        )
+
+    fw = _compact(
+        ctf.map_batches(fw_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("f", alias_name="f"))
+    )
+
+    # A = total words / n clusters: two tiny driver-side aggregates over
+    # the vocab x clusters table (never the corpus)
+    import ray
+
+    tot = 0
+    lbls = set()
+    for r in ctf.to_arrow_refs():
+        t = ray.get(r)
+        if t.num_rows:
+            tot += int(np.sum(np.asarray(t["tf"], dtype=np.int64)))
+            lbls.update(np.unique(np.asarray(t["label"], np.int64)).tolist())
+    A = float(tot) / float(len(lbls))
+
+    joined = ctf.join(fw, "inner", P, on=("word",), right_on=("w",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "ctfidf_micro": pa.array([], pa.int64()),
+                }
+            )
+        tf = np.asarray(batch["tf"], dtype=np.float64)
+        f = np.asarray(batch["f"], dtype=np.float64)
+        uniq, inv = np.unique(f, return_inverse=True)
+        lg = np.array(
+            [math.log(1.0 + A / x) for x in uniq], dtype=np.float64
+        )[inv]
+        micro = np.floor(tf * lg * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "label": batch["label"].cast(pa.int64()),
+                "word": batch["word"],
+                "tf": batch["tf"].cast(pa.int64()),
+                "ctfidf_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored,
+        group_col="label",
+        k=k,
+        id_col="word",
+        order_by=[("ctfidf_micro", "descending"), ("word", "ascending")],
+    )
+
+
 class BagOfWordsEncoder:
     """vocab -> index map; encode(words) = count vector over the vocab."""
 
