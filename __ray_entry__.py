@@ -3445,6 +3445,29 @@ def _q_bleu_eval(sf_dir: str):
     return bleu2_stats(ds)
 
 
+def _q_ks_drift(sf_dir: str):
+    """Exact two-sample KS drift between two order snapshots
+    (pipelines/relational.py::ks_drift): even vs odd orderkeys as the
+    planted old/new split, o_totalprice in 1000-dollar integer bins;
+    the max-CDF-gap row with the exact integer numerator
+    |cum_old*n_new - cum_new*n_old| — the distribution-shift data
+    contract between ingestion snapshots."""
+    from texoo_ray.pipelines.relational import _cents, ks_drift
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def binned(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+            sel = k % 2 == parity
+            cents = _cents(batch["o_totalprice"])[sel]
+            return pa.table({"bin": pa.array(cents // 100_000, pa.int64())})
+
+        return orders.map_batches(f, batch_format="pyarrow")
+
+    return ks_drift(binned(0), binned(1))
+
+
 def _q_cluster_top_terms(sf_dir: str):
     """c-TF-IDF top-5 distinctive terms per k-means cluster
     (stages/encoders.py::cluster_top_terms over
@@ -3845,6 +3868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_join": _q_snm_join,
         "rrf_fusion": _q_rrf_fusion,
         "cluster_top_terms": _q_cluster_top_terms,
+        "ks_drift": _q_ks_drift,
         "order_cube": _q_order_cube,
         "clustered_join": _q_clustered_join,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
@@ -3987,7 +4011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts", "window_dedup", "kcore6", "snm_join",
         "image_dedup", "audio_dedup", "video_dedup", "kn_score",
         "ccnet_buckets", "zorder_prune", "quantile_trim_float",
-        "url_dedup", "host_cap", "cluster_top_terms", "pivot_orders",
+        "url_dedup", "host_cap", "cluster_top_terms", "ks_drift",
         "unpivot_orders", "order_ranks", "rrf_fusion", "overlap_pairs",
         "scd2_join", "dedup_bloom", "dedup_canonical", "context_windows",
         "dsir_score",
@@ -4512,6 +4536,34 @@ def oracle_sql() -> dict[str, str]:
             FROM part p JOIN dirty d
               ON substr(p.p_name, 1, 2) = substr(d.r_name, 1, 2)
              AND levenshtein(p.p_name, d.r_name) <= 2
+        """,
+        "ks_drift": r"""
+            WITH src AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       // 100000 AS bin
+              FROM orders),
+            u AS (
+              SELECT bin, 1 AS is_old FROM src WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT bin, 0 FROM src WHERE o_orderkey % 2 = 1),
+            t AS (SELECT bin,
+                         sum(is_old)::BIGINT AS n_old,
+                         sum(1 - is_old)::BIGINT AS n_new
+                  FROM u GROUP BY bin),
+            c AS (SELECT bin,
+                         sum(n_old) OVER w AS cum_old,
+                         sum(n_new) OVER w AS cum_new
+                  FROM t WINDOW w AS (ORDER BY bin)),
+            tot AS (SELECT sum(n_old)::BIGINT AS no,
+                           sum(n_new)::BIGINT AS nn FROM t)
+            SELECT bin, cum_old::BIGINT AS cum_old,
+                   cum_new::BIGINT AS cum_new,
+                   tot.no AS n_old_total, tot.nn AS n_new_total,
+                   abs(cum_old * tot.nn - cum_new * tot.no)::BIGINT AS ks_num
+            FROM c, tot
+            ORDER BY abs(cum_old * tot.nn - cum_new * tot.no) DESC, bin
+            LIMIT 1
         """,
         "cluster_top_terms": r"""
             WITH cent AS (

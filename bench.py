@@ -208,6 +208,7 @@ def run_queries() -> dict:
         "snm_join",
         "rrf_fusion",
         "cluster_top_terms",
+        "ks_drift",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

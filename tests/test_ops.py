@@ -2035,3 +2035,35 @@ def test_cluster_top_terms_matches_bruteforce(ray_session):
             ["ctfidf_micro", "word"], ascending=[False, True]
         )
         assert list(zip(sub["word"], sub["ctfidf_micro"])) == items, l
+
+
+# --- ks_drift ----------------------------------------------------------------
+
+
+def test_ks_drift_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data
+
+    from texoo_ray.pipelines.relational import ks_drift
+
+    rng = np.random.RandomState(5)
+    old = rng.randint(0, 12, size=300)
+    new = np.concatenate([rng.randint(0, 12, size=200),
+                          rng.randint(6, 12, size=100)])  # planted shift
+    # brute force over sorted bins
+    bins = np.arange(12)
+    co = np.cumsum([np.sum(old == b) for b in bins])
+    cn = np.cumsum([np.sum(new == b) for b in bins])
+    diff = np.abs(co * len(new) - cn * len(old))
+    i = int(np.argmax(diff))
+    ods = ray.data.from_items([{"bin": int(v)} for v in old],
+                              override_num_blocks=3)
+    nds = ray.data.from_items([{"bin": int(v)} for v in new],
+                              override_num_blocks=2)
+    got = ks_drift(ods, nds).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["bin"], r["cum_old"], r["cum_new"], r["ks_num"]) == (
+        bins[i], co[i], cn[i], diff[i],
+    )
+    assert (r["n_old_total"], r["n_new_total"]) == (len(old), len(new))

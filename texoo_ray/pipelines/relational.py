@@ -900,3 +900,83 @@ def skyline(ds, criteria, chunk: int = 2048):
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
     return pruned.repartition(1).map_batches(local, batch_format="pyarrow")
+
+
+def ks_drift(old, new, bin_col: str = "bin"):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between two
+    snapshots of a binned integer value column: the maximum CDF gap,
+    reported as the EXACT integer numerator
+    ``ks_num = max over bins of |cum_old * n_new - cum_new * n_old|``
+    (the KS statistic is ks_num / (n_old * n_new) — left rational so
+    the result hash-checks without float aggregation order effects;
+    callers divide at the edge). Returns ONE row
+    (bin, cum_old, cum_new, n_old_total, n_new_total, ks_num) at the
+    smallest bin achieving the max — the distribution-shift data
+    contract a training pipeline runs between ingestion snapshots.
+
+    Shape: each side's batches reduce to (bin, count) partials
+    row-locally; ONE groupby(bin) sum yields the bin table (value-domain
+    -sized, never corpus-sized — same budget as the exact-quantile
+    operators); the cumulative scan and argmax run on that one small
+    block. Products stay in int64 for n_old * n_new < 2^63 — snapshot
+    pair sizes beyond ~3e9 x 3e9 rows need the numerator rescaled (bin
+    the counts) or a wider integer, noted here deliberately."""
+
+    def tag(side_old: bool, ds):
+        def f(batch: pa.Table) -> pa.Table:
+            b = np.asarray(batch[bin_col], dtype=np.int64)
+            u, c = np.unique(b, return_counts=True)
+            z = np.zeros(len(u), dtype=np.int64)
+            c = c.astype(np.int64)
+            return pa.table(
+                {
+                    "bin": pa.array(u, pa.int64()),
+                    "n_old": pa.array(c if side_old else z, pa.int64()),
+                    "n_new": pa.array(z if side_old else c, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    t = (
+        tag(True, old)
+        .union(tag(False, new))
+        .groupby("bin")
+        .aggregate(Sum("n_old", alias_name="n_old"), Sum("n_new", alias_name="n_new"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in (
+                        "bin", "cum_old", "cum_new",
+                        "n_old_total", "n_new_total", "ks_num",
+                    )
+                }
+            )
+        b = np.asarray(batch["bin"], dtype=np.int64)
+        no = np.asarray(batch["n_old"], dtype=np.int64)
+        nn = np.asarray(batch["n_new"], dtype=np.int64)
+        order = np.argsort(b, kind="stable")
+        b, no, nn = b[order], no[order], nn[order]
+        cum_o = np.cumsum(no)
+        cum_n = np.cumsum(nn)
+        tot_o, tot_n = int(cum_o[-1]), int(cum_n[-1])
+        diff = np.abs(cum_o * tot_n - cum_n * tot_o)
+        i = int(np.argmax(diff))  # argmax returns the FIRST (smallest bin)
+        return pa.table(
+            {
+                "bin": pa.array([int(b[i])], pa.int64()),
+                "cum_old": pa.array([int(cum_o[i])], pa.int64()),
+                "cum_new": pa.array([int(cum_n[i])], pa.int64()),
+                "n_old_total": pa.array([tot_o], pa.int64()),
+                "n_new_total": pa.array([tot_n], pa.int64()),
+                "ks_num": pa.array([int(diff[i])], pa.int64()),
+            }
+        )
+
+    return t.repartition(1).map_batches(final, batch_format="pyarrow")
