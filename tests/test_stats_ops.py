@@ -1,0 +1,360 @@
+"""Exact-statistic operators: AUC, kappa, grouped OLS, readability,
+PMI collocations, link prediction — brute-force references throughout."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _brute_auc(scores, labels):
+    pos = [s for s, l in zip(scores, labels) if l == 1]
+    neg = [s for s, l in zip(scores, labels) if l == 0]
+    u2 = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                u2 += 2
+            elif p == q:
+                u2 += 1
+    return len(pos), len(neg), u2
+
+
+class TestAucExact:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.evaluate import auc_exact
+
+        rng = np.random.RandomState(7)
+        scores = rng.randint(0, 12, size=400).tolist()
+        labels = [1 if rng.rand() < 0.3 + 0.04 * s else 0 for s in scores]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "score": pa.array(scores, pa.int64()),
+                    "label": pa.array(labels, pa.int64()),
+                }
+            )
+        ).repartition(5)
+        out = auc_exact(ds).to_pandas()
+        npos, nneg, u2 = _brute_auc(scores, labels)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["n_pos"], r["n_neg"], r["u2"]) == (npos, nneg, u2)
+        assert r["auc_den"] == 2 * npos * nneg
+        # the score was built to correlate with the label
+        assert r["u2"] / r["auc_den"] > 0.6
+
+    def test_perfect_and_degenerate(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.evaluate import auc_exact
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "score": pa.array([1, 2, 3, 4], pa.int64()),
+                    "label": pa.array([0, 0, 1, 1], pa.int64()),
+                }
+            )
+        )
+        r = auc_exact(ds).to_pandas().iloc[0]
+        assert r["u2"] == r["auc_den"] == 8  # AUC exactly 1
+        ds1 = ray.data.from_arrow(
+            pa.table(
+                {
+                    "score": pa.array([5, 6], pa.int64()),
+                    "label": pa.array([1, 1], pa.int64()),
+                }
+            )
+        )
+        r1 = auc_exact(ds1).to_pandas().iloc[0]
+        assert r1["auc_den"] == 0 and r1["n_neg"] == 0
+
+
+class TestKappa:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.evaluate import kappa_agreement
+
+        rng = np.random.RandomState(11)
+        a = rng.randint(0, 3, size=300)
+        # b agrees with a ~70% of the time
+        b = np.where(rng.rand(300) < 0.7, a, rng.randint(0, 3, size=300))
+        ds = ray.data.from_arrow(
+            pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        ).repartition(4)
+        r = kappa_agreement(ds).to_pandas().iloc[0]
+        n = 300
+        agree = int((a == b).sum())
+        chance = sum(
+            int((a == k).sum()) * int((b == k).sum()) for k in range(3)
+        )
+        assert r["n"] == n and r["n_agree"] == agree and r["chance"] == chance
+        assert r["kappa_num"] == n * agree - chance
+        assert r["kappa_den"] == n * n - chance
+        # sanity: the planted 70% agreement is well above chance
+        assert 0.3 < r["kappa_num"] / r["kappa_den"] < 0.9
+
+    def test_perfect_agreement(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.evaluate import kappa_agreement
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([0, 1, 0, 1], pa.int64()),
+                    "b": pa.array([0, 1, 0, 1], pa.int64()),
+                }
+            )
+        )
+        r = kappa_agreement(ds).to_pandas().iloc[0]
+        assert r["kappa_num"] == r["kappa_den"] > 0  # kappa == 1
+
+
+class TestGroupRegression:
+    def test_vs_polyfit(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import group_regression
+
+        rng = np.random.RandomState(3)
+        gs, xs, ys = [], [], []
+        truth = {}
+        for g, slope in (("a", 3), ("b", -2)):
+            x = np.arange(50)
+            y = slope * x + 7 + rng.randint(-4, 5, size=50)
+            gs += [g] * 50
+            xs += x.tolist()
+            ys += y.tolist()
+            truth[g] = (x, y)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "g": gs,
+                    "x": pa.array(xs, pa.int64()),
+                    "y": pa.array(ys, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = group_regression(ds, "g", "x", "y").to_pandas().set_index("g")
+        for g, (x, y) in truth.items():
+            r = out.loc[g]
+            n = len(x)
+            assert r["n"] == n
+            assert r["sum_x"] == x.sum() and r["sum_y"] == y.sum()
+            num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+            den = n * int((x * x).sum()) - int(x.sum()) ** 2
+            assert r["slope_num"] == num and r["slope_den"] == den
+            fit = np.polyfit(x, y, 1)[0]
+            assert abs(num / den - fit) < 1e-9
+
+    def test_overflow_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from texoo_ray.pipelines.relational import group_regression
+
+        big = 2**31
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "g": ["a"] * 4,
+                    "x": pa.array([big, big + 1, big + 2, big + 3], pa.int64()),
+                    "y": pa.array([big] * 4, pa.int64()),
+                }
+            )
+        )
+        with pytest.raises(Exception):
+            group_regression(ds, "g", "x", "y").to_pandas()
+
+
+class TestReadability:
+    def test_hand_computed(self, ray_session):
+        from texoo_ray.stages.text_stats import readability
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "The cat sat. It sat!",  # W=5 S=2 Y=5 (one group each)
+                    "",  # W=0 row
+                    "xyz zz",  # no vowels: W=2 S=1(min) Y=2 (min-1 rule)
+                ],
+            }
+        )
+        out = readability(batch).to_pandas().set_index("doc_id")
+        r1 = out.loc[1]
+        assert (r1["n_words"], r1["n_sents"], r1["n_syllables"]) == (5, 2, 5)
+        assert r1["flesch_num"] == 206835 * 2 * 5 - 1015 * 25 - 84600 * 5 * 2
+        assert r1["flesch_den"] == 1000 * 2 * 5
+        # score = 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975
+        assert abs(r1["flesch_num"] / r1["flesch_den"] - 119.6975) < 1e-9
+        r2 = out.loc[2]
+        assert r2["n_words"] == 0 and r2["flesch_den"] == 0
+        r3 = out.loc[3]
+        assert (r3["n_words"], r3["n_sents"], r3["n_syllables"]) == (2, 1, 2)
+
+    def test_vowel_groups(self, ray_session):
+        from texoo_ray.stages.text_stats import readability
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["beautiful day everybody"],
+            }
+        )
+        r = readability(batch).to_pandas().iloc[0]
+        # beautiful: eau-i-u = 3 groups; day: ay = 1; everybody: e-e-y-o-y = 5
+        assert r["n_syllables"] == 9
+
+
+def _brute_pmi(texts, min_count):
+    import re
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    total = 0
+    for t in texts:
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            total += 1
+    out = []
+    for (a, b), n in bi.items():
+        if n >= min_count:
+            pmi = math.floor(
+                math.log((n * total) / (uni[a] * uni[b])) * 1e6 + 0.5
+            )
+            out.append((a, b, n, int(pmi)))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out
+
+
+class TestPmiCollocations:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.lm import pmi_collocations
+
+        texts = (
+            ["the quick brown fox jumps over the lazy dog"] * 4
+            + ["new york city is big", "new york state is big"] * 3
+            + ["machine learning models learn machine learning fast"] * 2
+            + ["odd one out"]
+        )
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+        ).repartition(4)
+        out = pmi_collocations(ds, min_count=3, top_k=10).to_pandas()
+        ref = _brute_pmi(texts, 3)[:10]
+        got = [
+            (r["w1"], r["w2"], r["n"], r["pmi_micro"])
+            for _, r in out.iterrows()
+        ]
+        assert got == ref
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.lm import pmi_collocations
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [""]})
+        )
+        assert pmi_collocations(ds).count() == 0
+
+
+def _brute_link_pred(edges, max_degree, w_scale):
+    from collections import defaultdict
+
+    es = set()
+    for s, d in edges:
+        if s != d:
+            es.add((min(s, d), max(s, d)))
+    nbrs = defaultdict(set)
+    for lo, hi in es:
+        nbrs[lo].add(hi)
+        nbrs[hi].add(lo)
+    cand = defaultdict(lambda: [0, 0])
+    for z, ns in nbrs.items():
+        if len(ns) > max_degree:
+            continue
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                cand[p][0] += 1
+                cand[p][1] += w_scale // len(nbrs[z])
+    out = [
+        (lo, hi, c, ra)
+        for (lo, hi), (c, ra) in cand.items()
+        if (lo, hi) not in es
+    ]
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out
+
+
+class TestLinkPrediction:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.graph import link_prediction
+
+        rng = np.random.RandomState(5)
+        edges = [
+            (int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+            for _ in range(150)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(4)
+        out = link_prediction(ds, top_k=25).to_pandas()
+        ref = _brute_link_pred(edges, 64, 10**9)[:25]
+        got = [
+            (r["lo"], r["hi"], r["n_common"], r["ra_micro"])
+            for _, r in out.iterrows()
+        ]
+        assert got == ref
+
+    def test_degree_cap_and_antijoin(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.graph import link_prediction
+
+        # star: hub 0 joined to 1..9 (deg 9), plus edge (1,2).
+        # With max_degree=3 the hub generates NO wedges; middles 1 and 2
+        # (deg 2) each connect {0, other} -> candidate (0, x) pairs are
+        # real edges (dropped); only wedge left: none beyond those.
+        edges = [(0, i) for i in range(1, 10)] + [(1, 2)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                }
+            )
+        )
+        out = link_prediction(ds, top_k=100, max_degree=3).to_pandas()
+        ref = _brute_link_pred(edges, 3, 10**9)
+        got = [
+            (r["lo"], r["hi"], r["n_common"], r["ra_micro"])
+            for _, r in out.iterrows()
+        ]
+        assert got == ref
+        # and with the cap lifted, the hub's wedges appear
+        out2 = link_prediction(ds, top_k=100, max_degree=64).to_pandas()
+        ref2 = _brute_link_pred(edges, 64, 10**9)
+        assert len(out2) == len(ref2) > len(ref)
+        # an existing edge never appears as a prediction
+        pairs = set(zip(out2["lo"], out2["hi"]))
+        assert (1, 2) not in pairs and (0, 1) not in pairs

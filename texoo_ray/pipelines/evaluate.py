@@ -302,3 +302,149 @@ def chrf_stats(
         return pa.table(cols)
 
     return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def auc_exact(ds, score_col: str = "score", label_col: str = "label"):
+    """Exact ROC-AUC of an integer score against a binary label as the
+    EXACT rational 2U / (2 * n_pos * n_neg), where 2U is the doubled
+    Mann-Whitney U statistic with the standard tie correction (each
+    tied positive/negative pair contributes 1, each strictly ordered
+    pair 2 — so every contribution stays an integer and the result
+    hash-checks without float aggregation order effects). Returns ONE
+    row ``(n_pos, n_neg, u2, auc_den)`` with ``auc_den = 2 * n_pos *
+    n_neg`` (0 when either class is empty; callers divide at the edge).
+
+    The diagnostic a curation pipeline runs on every cheap quality
+    feature: "does this score actually separate the gold classes?"
+    (ranking counterpart of the reference's threshold-classification
+    eval, ClassificationEvaluation.java — this measures the feature at
+    EVERY threshold at once).
+
+    Shape (the :func:`~texoo_ray.pipelines.relational.ks_drift` budget):
+    batches reduce row-locally to per-score (n_pos, n_neg) partials;
+    ONE ``groupby(score)`` sum yields the score-domain-sized table;
+    the cumulative scan runs on that one small block. ``u2`` needs
+    ``2 * n_pos * n_neg < 2**63`` — beyond ~2e9 x 2e9 rows per class,
+    pre-bin the scores and subsample, noted deliberately.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[score_col], dtype=np.int64)
+        lab = np.asarray(batch[label_col], dtype=np.int64)
+        u, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=lab, minlength=len(u))
+        nall = np.bincount(inv, minlength=len(u))
+        return pa.table(
+            {
+                "score": pa.array(u, pa.int64()),
+                "n_pos": pa.array(npos.astype(np.int64), pa.int64()),
+                "n_neg": pa.array(
+                    (nall - npos).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(
+            Sum("n_pos", alias_name="n_pos"),
+            Sum("n_neg", alias_name="n_neg"),
+        )
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = ("n_pos", "n_neg", "u2", "auc_den")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        s = np.asarray(batch["score"], dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        np_ = np.asarray(batch["n_pos"], dtype=np.int64)[order]
+        nn = np.asarray(batch["n_neg"], dtype=np.int64)[order]
+        # negatives strictly below this score (exclusive cumsum)
+        cum_below = np.concatenate([[0], np.cumsum(nn)[:-1]])
+        u2 = int(np.sum(np_ * (2 * cum_below + nn)))
+        tp, tn = int(np_.sum()), int(nn.sum())
+        return pa.table(
+            {
+                "n_pos": pa.array([tp], pa.int64()),
+                "n_neg": pa.array([tn], pa.int64()),
+                "u2": pa.array([u2], pa.int64()),
+                "auc_den": pa.array([2 * tp * tn], pa.int64()),
+            }
+        )
+
+    return t.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def kappa_agreement(ds, col_a: str = "a", col_b: str = "b"):
+    """Cohen's kappa (Cohen 1960) between two integer label columns on
+    the same rows, as the EXACT rational ``kappa_num / kappa_den`` with
+
+        kappa_num = N * n_agree - chance
+        kappa_den = N * N      - chance
+        chance    = sum over labels k of row_k * col_k
+
+    (row_k / col_k are the marginal counts of label k under each
+    annotator). Returns ONE row ``(n, n_agree, chance, kappa_num,
+    kappa_den)``, all int64 — chance-corrected inter-annotator /
+    inter-filter agreement, the standard diagnostic for whether two
+    quality filters (or two annotators, reference
+    MentionAnnotatorEval-style gold vs pred) measure the same thing.
+
+    Shape: per-batch (a, b) pair-count partials, ONE groupby over the
+    label-pair domain (k*k-sized, driver-trivial), final algebra in
+    Python ints on that one block. ``N * N < 2**63`` holds to ~3e9
+    rows; beyond that, sample or rescale — noted deliberately.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[col_a], dtype=np.int64)
+        b = np.asarray(batch[col_b], dtype=np.int64)
+        pairs = np.stack([a, b], axis=1)
+        u, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array(u[:, 0], pa.int64()),
+                "b": pa.array(u[:, 1], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = ("n", "n_agree", "chance", "kappa_num", "kappa_den")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        total = int(n.sum())
+        agree = int(n[a == b].sum())
+        labels = np.union1d(a, b)
+        row = {int(k): 0 for k in labels}
+        col = {int(k): 0 for k in labels}
+        for ai, bi, ni in zip(a.tolist(), b.tolist(), n.tolist()):
+            row[ai] += ni
+            col[bi] += ni
+        chance = sum(row[k] * col[k] for k in row)
+        return pa.table(
+            {
+                "n": pa.array([total], pa.int64()),
+                "n_agree": pa.array([agree], pa.int64()),
+                "chance": pa.array([chance], pa.int64()),
+                "kappa_num": pa.array([total * agree - chance], pa.int64()),
+                "kappa_den": pa.array([total * total - chance], pa.int64()),
+            }
+        )
+
+    return t.repartition(1).map_batches(final, batch_format="pyarrow")

@@ -824,3 +824,253 @@ def kcore(
             since_mat = 0
     deg = degrees(cur, ref)
     return ray.data.from_arrow(empty) if deg is None else deg
+
+
+def link_prediction(
+    edges,
+    top_k: int = 100,
+    max_degree: int = 64,
+    w_scale: int = 10**9,
+    num_partitions: int | None = None,
+):
+    """Common-neighbor link prediction over an undirected graph
+    (directed Dataset[(src, dst)] input; orientation, parallel edges
+    and self-loops normalized away): the ``top_k`` NON-edges ranked by
+    the resource-allocation index (Zhou, Lü & Zhang 2009 — the
+    integer-exact sibling of Adamic-Adar; both downweight hub middles,
+    RA by 1/deg) with common-neighbor counts as the tiebreaker
+    diagnostic. Returns Dataset[(lo, hi, n_common, ra_micro)] ordered
+    by (ra_micro desc, lo, hi) — a total order, so the cut is
+    deterministic and oracle-checkable, with
+
+        ra_micro = sum over common neighbors z of w_scale // deg(z).
+
+    Only middles with ``deg(z) <= max_degree`` generate candidate
+    pairs — the documented partitioning assumption: a hub middle
+    contributes at most ``w_scale/max_degree`` per pair while costing
+    deg² wedges, so the cap bounds total wedge volume at
+    ``2m * max_degree`` (linear in edges, hub-skew-proof) and is
+    mirrored in the SQL oracle. Entity-graph densification /
+    knowledge-graph completion — the "which links are missing" stage
+    after entity resolution builds the graph.
+
+    Shape: canonical edge set (one distinct groupby), node-sized
+    degree aggregate, adjacency x degree hash join, ONE middle-hash
+    bucket exchange emitting triu neighbor pairs per middle run (the
+    triangle_count wedge idiom — no per-node dispatch), then ONE
+    pair-hash bucket exchange where wedge rows and edge-marker rows
+    meet: per bucket the pair's global (count, weight) sums reduce
+    locally and existing edges are dropped (the anti-join), so no
+    candidate row crosses the wire twice. A candidate-sized sort +
+    limit finishes.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _compact, _join_partitions, _norm
+    from ..stages.text_stats import _triu_cached
+
+    P = num_partitions or _join_partitions()
+
+    lohi_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    deg_schema = pa.schema([("id", pa.int64()), ("d", pa.int64())])
+    adj_schema = pa.schema(
+        [("z", pa.int64()), ("nbr", pa.int64())]
+    )
+    pair_schema = pa.schema(
+        [
+            ("bkt", pa.int64()),
+            ("lo", pa.int64()),
+            ("hi", pa.int64()),
+            ("w", pa.int64()),
+            ("is_edge", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("lo", pa.int64()),
+            ("hi", pa.int64()),
+            ("n_common", pa.int64()),
+            ("ra_micro", pa.int64()),
+        ]
+    )
+
+    def _empty():
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def _bkt(x: np.ndarray) -> np.ndarray:
+        h = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+
+    @_norm(lohi_schema)
+    def canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["src"], dtype=np.int64)
+        d = np.asarray(b["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d), pa.int64()),
+                "hi": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    e = _compact(
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lo", "hi"])
+    )
+    if e is None:
+        return _empty()
+
+    @_norm(deg_schema)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b["lo"], dtype=np.int64)
+        hi = np.asarray(b["hi"], dtype=np.int64)
+        u, c = np.unique(np.concatenate([lo, hi]), return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(u, pa.int64()),
+                "d": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg = _compact(
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    @_norm(adj_schema)
+    def both_dirs(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b["lo"], dtype=np.int64)
+        hi = np.asarray(b["hi"], dtype=np.int64)
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "nbr": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    adj = e.map_batches(both_dirs, batch_format="pyarrow")
+    j = adj.join(deg, "inner", P, on=("z",), right_on=("id",))
+
+    mid_schema = pa.schema(
+        [
+            ("bkt", pa.int64()),
+            ("z", pa.int64()),
+            ("nbr", pa.int64()),
+            ("d", pa.int64()),
+        ]
+    )
+
+    @_norm(mid_schema)
+    def capped(b: pa.Table) -> pa.Table:
+        z = np.asarray(b["z"], dtype=np.int64)
+        nbr = np.asarray(b["nbr"], dtype=np.int64)
+        d = np.asarray(b["d"], dtype=np.int64)
+        keep = d <= max_degree
+        z, nbr, d = z[keep], nbr[keep], d[keep]
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(z), pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "nbr": pa.array(nbr, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+            }
+        )
+
+    mids = _compact(j.map_batches(capped, batch_format="pyarrow"))
+    if mids is None:
+        return _empty()
+
+    def wedges(g: pa.Table) -> pa.Table:
+        z = np.asarray(g["z"], dtype=np.int64)
+        nbr = np.asarray(g["nbr"], dtype=np.int64)
+        d = np.asarray(g["d"], dtype=np.int64)
+        order = np.lexsort((nbr, z))
+        z, nbr, d = z[order], nbr[order], d[order]
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        ends = np.r_[starts[1:], len(z)]
+        lo_, hi_, ww = [], [], []
+        for s0, s1 in zip(starts, ends):
+            L = s1 - s0
+            if L < 2:
+                continue
+            i, jx = _triu_cached(L)
+            # adjacency sorted by nbr inside the run, so i < jx already
+            # yields lo < hi
+            lo_.append(nbr[s0 + i])
+            hi_.append(nbr[s0 + jx])
+            ww.append(np.full(len(i), w_scale // int(d[s0]), np.int64))
+        if not lo_:
+            return pair_schema.empty_table()
+        lo = np.concatenate(lo_)
+        hi = np.concatenate(hi_)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(lo * np.int64(31) + hi), pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "w": pa.array(np.concatenate(ww), pa.int64()),
+                "is_edge": pa.array(np.zeros(len(lo), np.int64), pa.int64()),
+            }
+        )
+
+    wedge_ds = mids.groupby("bkt").map_groups(wedges, batch_format="pyarrow")
+
+    @_norm(pair_schema)
+    def edge_marks(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b["lo"], dtype=np.int64)
+        hi = np.asarray(b["hi"], dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(lo * np.int64(31) + hi), pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "w": pa.array(np.zeros(len(lo), np.int64), pa.int64()),
+                "is_edge": pa.array(np.ones(len(lo), np.int64), pa.int64()),
+            }
+        )
+
+    both = wedge_ds.union(e.map_batches(edge_marks, batch_format="pyarrow"))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        lo = np.asarray(g["lo"], dtype=np.int64)
+        hi = np.asarray(g["hi"], dtype=np.int64)
+        w = np.asarray(g["w"], dtype=np.int64)
+        is_edge = np.asarray(g["is_edge"], dtype=np.int64) == 1
+        keys = np.stack([lo, hi], axis=1)
+        kv = keys.view([("a", "<i8"), ("b", "<i8")]).ravel()
+        uniq, inv = np.unique(kv, return_inverse=True)
+        nuniq = len(uniq)
+        # pairs that exist as edges are dropped (the anti-join)
+        edge_pair = np.zeros(nuniq, dtype=bool)
+        edge_pair[inv[is_edge]] = True
+        wedge = ~is_edge
+        n_common = np.bincount(inv[wedge], minlength=nuniq)
+        ra = np.zeros(nuniq, np.int64)
+        np.add.at(ra, inv[wedge], w[wedge])
+        keep = ~edge_pair & (n_common > 0)
+        if not keep.any():
+            return out_schema.empty_table()
+        kept = uniq[keep]
+        return pa.table(
+            {
+                "lo": pa.array(kept["a"], pa.int64()),
+                "hi": pa.array(kept["b"], pa.int64()),
+                "n_common": pa.array(
+                    n_common[keep].astype(np.int64), pa.int64()
+                ),
+                "ra_micro": pa.array(ra[keep], pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("bkt")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .sort(["ra_micro", "lo", "hi"], descending=[True, False, False])
+        .limit(top_k)
+    )

@@ -980,3 +980,86 @@ def ks_drift(old, new, bin_col: str = "bin"):
         )
 
     return t.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def group_regression(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group ordinary-least-squares trend as EXACT integer
+    sufficient statistics: Dataset[(group, n, sum_x, sum_y, sum_xx,
+    sum_xy, slope_num, slope_den)] with
+
+        slope_num = n * sum_xy - sum_x * sum_y
+        slope_den = n * sum_xx - sum_x * sum_x
+
+    (the OLS slope is slope_num / slope_den; the intercept is
+    (sum_y - slope * sum_x) / n — both left rational so the result
+    hash-checks with no float aggregation anywhere). The per-segment
+    trend detector a monitoring pipeline runs over metric streams
+    ("is revenue drifting per priority class?").
+
+    Shape: per-batch per-group partial sums (five int64 counters), ONE
+    group-domain-sized groupby — zero extra shuffle, the same partial+
+    final budget as the corpus counters (SURVEY.md §2.7). The final
+    cross products are computed in PYTHON ints on the group-sized
+    block and bounds-checked: callers scale units (e.g. whole dollars,
+    day indexes) so ``n * sum_xy`` fits int64; a violation raises
+    rather than silently wrapping.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = batch[group_col]
+        x = np.asarray(batch[x_col], dtype=np.int64)
+        y = np.asarray(batch[y_col], dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "g": g.to_pandas(),
+                "n": 1,
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_xy": x * y,
+            }
+        )
+        out = df.groupby("g", sort=False, as_index=False).sum()
+        out = out.rename(columns={"g": group_col})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_xy", alias_name="sum_xy"),
+        )
+    )
+
+    _I64 = 2**63
+
+    def final(batch: pa.Table) -> pa.Table:
+        nums, dens = [], []
+        for n, sx, sy, sxx, sxy in zip(
+            batch["n"].to_pylist(),
+            batch["sum_x"].to_pylist(),
+            batch["sum_y"].to_pylist(),
+            batch["sum_xx"].to_pylist(),
+            batch["sum_xy"].to_pylist(),
+        ):
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            if not (-_I64 <= num < _I64 and -_I64 <= den < _I64):
+                raise OverflowError(
+                    "group_regression: rescale x/y units — slope "
+                    "rational exceeds int64 (num=%d den=%d)" % (num, den)
+                )
+            nums.append(num)
+            dens.append(den)
+        return batch.append_column(
+            "slope_num", pa.array(nums, pa.int64())
+        ).append_column("slope_den", pa.array(dens, pa.int64()))
+
+    return t.map_batches(final, batch_format="pyarrow")

@@ -1119,3 +1119,183 @@ def kn_logprob(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+    model_max: int = 4_000_000,
+):
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990, the standard collocation score):
+    Dataset[(w1, w2, n, pmi_micro)] over the alnum tokenization, with
+
+        pmi_micro = floor(ln((n * N) / (c(w1) * c(w2))) * 1e6 + 0.5)
+
+    where N is the corpus total bigram count and c(w) the unigram
+    count; only bigrams with ``n >= min_count`` are scored (the
+    classic low-count PMI blowup guard), ordered by
+    (pmi_micro desc, w1, w2) — a total order, so the cut is
+    deterministic and oracle-checkable. The float expression is ONE
+    int64→double division + one libm log in the same parse-tree order
+    as the SQL oracle, so scores are bit-equal across engines.
+
+    Shape (the kn_logprob broadcast-model plan — ONE counting
+    aggregate, ONE scoring map, no per-bigram joins): per-batch tagged
+    partials carry word-fingerprint unigram counts (no strings — the
+    scoring lookup is by 128-bit FNV pair), string-keyed bigram
+    counts, and a batch-total row; one groupby reduces all three; the
+    vocab-sized unigram side broadcasts via ``ray.put`` as sorted
+    fingerprint numpy (zero-copy per batch); the min_count-filtered
+    bigram table scores row-locally and a candidate-sized sort+limit
+    finishes. Raises when the unigram model exceeds ``model_max`` or
+    corpus counts overflow the exact-int64 products — at 100 TB apply
+    a count cutoff or shard by language first, noted deliberately.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
+    from .dedup import _compact
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _word_codes(batch, text_col)
+        nd = len(dic)
+        h0 = utf8_hash64(dic, 0).view(np.int64) if nd else np.empty(0, np.int64)
+        h1 = utf8_hash64(dic, 1).view(np.int64) if nd else np.empty(0, np.int64)
+        empty_s = pa.array([""] * nd, pa.string())
+        parts = [
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(nd, np.int64), pa.int64()),
+                    "k0": pa.array(h0, pa.int64()),
+                    "k1": pa.array(h1, pa.int64()),
+                    "w1": empty_s,
+                    "w2": empty_s,
+                    "n": pa.array(
+                        np.bincount(codes, minlength=nd).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+        ]
+        n_bigrams = 0
+        if len(codes) >= 2 and nd:
+            valid = doc_of[:-1] == doc_of[1:]
+            a, b = codes[:-1][valid], codes[1:][valid]
+            n_bigrams = int(len(a))
+            if len(a):
+                V = np.int64(nd)
+                u, mult = np.unique(a * V + b, return_counts=True)
+                ua, ub = u // V, u % V
+                z = np.zeros(len(u), np.int64)
+                parts.append(
+                    pa.table(
+                        {
+                            "kind": pa.array(np.ones(len(u), np.int64), pa.int64()),
+                            "k0": pa.array(z, pa.int64()),
+                            "k1": pa.array(z, pa.int64()),
+                            "w1": dic.take(pa.array(ua, pa.int64())),
+                            "w2": dic.take(pa.array(ub, pa.int64())),
+                            "n": pa.array(mult.astype(np.int64), pa.int64()),
+                        }
+                    )
+                )
+        parts.append(
+            pa.table(
+                {
+                    "kind": pa.array([2], pa.int64()),
+                    "k0": pa.array([0], pa.int64()),
+                    "k1": pa.array([0], pa.int64()),
+                    "w1": pa.array([""], pa.string()),
+                    "w2": pa.array([""], pa.string()),
+                    "n": pa.array([n_bigrams], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(parts).combine_chunks()
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    counts = _compact(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "k0", "k1", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if counts is None:
+        return ray.data.from_arrow(empty)
+
+    def keep_kind(k: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["kind"], k))
+
+        return f
+
+    uni = counts.map_batches(keep_kind(0), batch_format="pyarrow")
+    if uni.count() > model_max:
+        raise ValueError(
+            "PMI unigram model exceeds model_max=%d; apply a count "
+            "cutoff or shard by language first" % model_max
+        )
+    ut = uni.select_columns(["k0", "k1", "n"]).to_pandas()
+    n_total = counts.map_batches(keep_kind(2), batch_format="pyarrow").sum("n")
+    n_total = int(n_total or 0)
+    if n_total == 0:
+        return ray.data.from_arrow(empty)
+    wfp, cu_vals = _fp_sorted(
+        ut["k0"].to_numpy().view(np.uint64),
+        ut["k1"].to_numpy().view(np.uint64),
+        ut["n"].to_numpy().astype(np.int64),
+    )
+    ref = ray.put((wfp, cu_vals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.equal(batch["kind"], 1),
+                pc.greater_equal(batch["n"], min_count),
+            )
+        )
+        wfp, cu_vals = ray.get(ref)
+        w1, w2 = batch["w1"], batch["w2"]
+        n = np.asarray(batch["n"], dtype=np.int64)
+        cu = _fp_lookup(wfp, cu_vals, utf8_hash64(w1, 0), utf8_hash64(w1, 1))
+        cv = _fp_lookup(wfp, cu_vals, utf8_hash64(w2, 0), utf8_hash64(w2, 1))
+        if len(n) and (
+            int(n.max()) > (2**63 - 1) // n_total
+            or int(cu.max()) > (2**63 - 1) // max(int(cv.max()), 1)
+        ):
+            raise OverflowError(
+                "pmi_collocations: counts overflow exact int64 products "
+                "— shard the corpus or apply a count cutoff first"
+            )
+        # SAME parse tree as the SQL oracle: one int64→double division,
+        # one libm log per row
+        pmi = np.floor(
+            np.log((n * n_total).astype(np.float64) / (cu * cv).astype(np.float64))
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": w2,
+                "n": pa.array(n, pa.int64()),
+                "pmi_micro": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+    )

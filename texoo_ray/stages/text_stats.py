@@ -1116,3 +1116,76 @@ def char_entropy(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
             "ent_micro": pa.array(ent[codes], pa.int64()),
         }
     )
+
+
+def readability(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Flesch reading-ease score (Flesch 1948; the classic readability
+    quality signal a curation pipeline buckets documents by) as an EXACT
+    integer rational per document: Dataset[(id, n_words, n_sents,
+    n_syllables, flesch_num, flesch_den)] with
+
+        score      = 206.835 - 1.015 * W/S - 84.6 * Y/W
+        flesch_num = 206835 * S * W - 1015 * W * W - 84600 * Y * S
+        flesch_den = 1000 * S * W
+
+    so no float ever crosses the engine boundary (the doc_quality /
+    gopher_quality discipline; generalizes the reference's surface
+    letter/char-class features, SurfaceEncoder.java:60-82, to a
+    document-level readability counter).
+
+    Counter definitions — all non-overlapping RE2 match counts, so the
+    DuckDB mirror is bit-identical (both engines embed RE2):
+      * W (words)     = ``\\S+`` matches,
+      * S (sentences) = ``[.!?]+`` runs, floored at 1,
+      * Y (syllables) = ``[aeiouyAEIOUY]+`` vowel groups PLUS one per
+        word containing no vowel letter (the standard min-1-syllable-
+        per-word correction).
+
+    W = 0 yields the (0, 1, 0, 0, 0) row — undefined score, den 0 is
+    never emitted. Row-local and fully vectorized (the only per-word
+    pass is the same Arrow flatten + regex match gopher_quality uses);
+    int64 products hold to W ~ 3e6 words per document.
+    """
+    text = pc.fill_null(batch[text_col], "")
+    n_words = _count_re(text, r"\S+")
+    n_sents_raw = _count_re(text, r"[.!?]+")
+    n_vowel_groups = _count_re(text, r"[aeiouyAEIOUY]+")
+
+    # words with no vowel letter (each still counts one syllable)
+    toks = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    no_vowel = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, "[aeiouyAEIOUY]")),
+    )
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(np.asarray(no_vowel, dtype=np.int64))])
+    n_no_vowel = cum[off[1:]] - cum[off[:-1]]
+
+    def _np(a):
+        return (
+            a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        ).to_numpy(zero_copy_only=False)
+
+    W = _np(n_words)
+    S = np.maximum(_np(n_sents_raw), 1)
+    Y = _np(n_vowel_groups) + n_no_vowel
+    num = 206835 * S * W - 1015 * W * W - 84600 * Y * S
+    den = 1000 * S * W
+    empty = W == 0
+    num[empty] = 0
+    den[empty] = 0
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(W, pa.int64()),
+            "n_sents": pa.array(S, pa.int64()),
+            "n_syllables": pa.array(Y, pa.int64()),
+            "flesch_num": pa.array(num, pa.int64()),
+            "flesch_den": pa.array(den, pa.int64()),
+        }
+    )
