@@ -358,3 +358,141 @@ class TestLinkPrediction:
         # an existing edge never appears as a prediction
         pairs = set(zip(out2["lo"], out2["hi"]))
         assert (1, 2) not in pairs and (0, 1) not in pairs
+
+
+def _brute_ari(pred, gold):
+    from collections import Counter
+
+    conf = Counter(zip(pred, gold))
+    n = len(pred)
+    row, col = Counter(pred), Counter(gold)
+    c2 = lambda v: v * (v - 1) // 2
+    sij = sum(c2(v) for v in conf.values())
+    sa = sum(c2(v) for v in row.values())
+    sb = sum(c2(v) for v in col.values())
+    cn2 = c2(n)
+    purity = sum(
+        max(v for (p2, _), v in conf.items() if p2 == p) for p in row
+    )
+    return (
+        n, sij, sa, sb, purity,
+        2 * (cn2 * sij - sa * sb),
+        cn2 * (sa + sb) - 2 * sa * sb,
+    )
+
+
+class TestClusteringEval:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.evaluate import clustering_eval
+
+        rng = np.random.RandomState(9)
+        gold = rng.randint(0, 4, size=500)
+        # pred mostly mirrors gold with relabeled ids + 20% noise
+        pred = np.where(
+            rng.rand(500) < 0.8, (gold + 7) * 3, rng.randint(0, 12, size=500)
+        )
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "pred": pa.array(pred, pa.int64()),
+                    "gold": pa.array(gold, pa.int64()),
+                }
+            )
+        ).repartition(4)
+        r = clustering_eval(ds).to_pandas().iloc[0]
+        n, sij, sa, sb, pur, num, den = _brute_ari(pred.tolist(), gold.tolist())
+        assert (
+            r["n"], r["sum_comb"], r["comb_a"], r["comb_b"], r["purity_num"],
+            r["ari_num"], r["ari_den"],
+        ) == (n, sij, sa, sb, pur, num, den)
+        assert 0.3 < r["ari_num"] / r["ari_den"] < 0.95
+
+    def test_perfect_clustering(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.evaluate import clustering_eval
+
+        gold = [0, 0, 1, 1, 2, 2]
+        pred = [5, 5, 9, 9, 7, 7]  # same partition, different ids
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "pred": pa.array(pred, pa.int64()),
+                    "gold": pa.array(gold, pa.int64()),
+                }
+            )
+        )
+        r = clustering_eval(ds).to_pandas().iloc[0]
+        assert r["ari_num"] == r["ari_den"] > 0  # ARI exactly 1
+        assert r["purity_num"] == 6
+
+
+class TestHostGini:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import host_gini
+
+        # 3 hosts with 1 / 3 / 6 docs (canonicalization collapses case)
+        urls = (
+            ["http://A.com/x"]
+            + ["http://b.com/%d" % i for i in range(3)]
+            + ["HTTP://B.ORG:80/%d" % i for i in range(6)]
+        )
+        ds = ray.data.from_arrow(pa.table({"url": urls})).repartition(3)
+        r = host_gini(ds).to_pandas().iloc[0]
+        x = sorted([1, 3, 6])
+        n, tot = 3, 10
+        num = 2 * sum((i + 1) * v for i, v in enumerate(x)) - (n + 1) * tot
+        assert (r["n_hosts"], r["total_docs"]) == (n, tot)
+        assert r["gini_num"] == num and r["gini_den"] == n * tot
+        # uniform distribution -> Gini 0
+        ds2 = ray.data.from_arrow(
+            pa.table({"url": ["http://h%d.com/" % i for i in range(5)]})
+        )
+        r2 = host_gini(ds2).to_pandas().iloc[0]
+        assert r2["gini_num"] == 0
+
+
+class TestTermBurstiness:
+    def test_vs_brute_force(self, ray_session):
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import term_burstiness
+
+        texts = [
+            "alpha alpha alpha beta",
+            "beta gamma",
+            "alpha alpha beta gamma gamma",
+            "",
+            "delta beta",
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+        ).repartition(3)
+        out = term_burstiness(ds, vocab_size=3).to_pandas()
+        N = 5
+        stats = {}
+        for t in texts:
+            for w, c in Counter(re.findall(r"[a-z0-9]+", t.lower())).items():
+                df, sc, sc2 = stats.get(w, (0, 0, 0))
+                stats[w] = (df + 1, sc + c, sc2 + c * c)
+        ref = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+        assert len(out) == 3
+        for (w, (df, sc, sc2)), (_, r) in zip(ref, out.iterrows()):
+            assert r["word"] == w and r["df"] == df
+            assert r["sum_c"] == sc and r["sum_c2"] == sc2
+            assert r["vmr_num"] == N * sc2 - sc * sc
+            assert r["vmr_den"] == N * sc
+        # beta appears once in 4 docs (near-Poisson), alpha is bursty:
+        beta = out[out["word"] == "beta"].iloc[0]
+        alpha = out[out["word"] == "alpha"].iloc[0]
+        assert (
+            alpha["vmr_num"] / alpha["vmr_den"]
+            > beta["vmr_num"] / beta["vmr_den"]
+        )

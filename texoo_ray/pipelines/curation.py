@@ -1044,3 +1044,69 @@ def domain_block(ds, blocked, url_col: str = "url", id_col: str = "doc_id"):
         ).filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def host_gini(ds, url_col: str = "url"):
+    """Gini coefficient of the per-canonical-host document distribution
+    as an EXACT integer rational — the crawl-concentration diagnostic
+    that tells a web-curation pipeline whether :func:`host_cap` is even
+    needed (G ~ 0: balanced crawl; G -> 1: a few hosts dominate).
+    Returns ONE row ``(n_hosts, total_docs, gini_num, gini_den)`` with
+
+        gini_num = 2 * sum(i * x_i) - (n + 1) * sum(x)   (x ascending,
+        gini_den = n * sum(x)                             i 1-based)
+
+    the standard sorted-cumulative form; ties make the i*x_i sum
+    order-invariant, so the result hash-checks.
+
+    Shape: one stateless map extracts canonical hosts
+    (:func:`..core.url.host_array`, vectorized per batch-distinct URL),
+    per-batch host-count partials, ONE host-domain-sized groupby, and
+    the rank/sum scan on that one small block (the ks_drift budget —
+    host tables are millions of rows at web scale, never corpus-sized).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..core.url import host_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = host_array(batch[url_col])
+        enc = hosts.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        return pa.table(
+            {
+                "host": enc.dictionary,
+                "cnt": pa.array(
+                    np.bincount(codes, minlength=len(enc.dictionary)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = ("n_hosts", "total_docs", "gini_num", "gini_den")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        x = np.sort(np.asarray(batch["cnt"], dtype=np.int64))
+        n = len(x)
+        tot = int(x.sum())
+        i = np.arange(1, n + 1, dtype=np.int64)
+        gini_num = 2 * int((i * x).sum()) - (n + 1) * tot
+        return pa.table(
+            {
+                "n_hosts": pa.array([n], pa.int64()),
+                "total_docs": pa.array([tot], pa.int64()),
+                "gini_num": pa.array([gini_num], pa.int64()),
+                "gini_den": pa.array([n * tot], pa.int64()),
+            }
+        )
+
+    return t.repartition(1).map_batches(final, batch_format="pyarrow")

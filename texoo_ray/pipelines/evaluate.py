@@ -448,3 +448,88 @@ def kappa_agreement(ds, col_a: str = "a", col_b: str = "b"):
         )
 
     return t.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def clustering_eval(ds, pred_col: str = "pred", gold_col: str = "gold"):
+    """Exact clustering-quality metrics of a predicted labeling against
+    gold classes, from the pair-counting contingency table (Hubert &
+    Arabie 1985 Adjusted Rand Index + cluster purity), all EXACT
+    integers: ONE row ``(n, sum_comb, comb_a, comb_b, purity_num,
+    ari_num, ari_den)`` with
+
+        sum_comb = sum over cells of C(n_ij, 2)
+        comb_a/b = sum over pred / gold marginals of C(., 2)
+        ari      = ari_num / ari_den  (the standard ARI, multiplied
+                   through by 2*C(n,2) so both sides stay integers)
+        purity   = purity_num / n  (sum over pred clusters of the
+                   majority gold count)
+
+    The "did k-means find the real classes?" gate over an embedding
+    corpus — the unsupervised sibling of ner_eval's P/R/F1.
+
+    Shape: per-batch (pred, gold) pair-count partials, ONE
+    label-pair-domain groupby (k*k'-sized, driver-trivial), final
+    algebra in Python ints on that one block, bounds-checked:
+    ``C(n,2) * comb`` products exceed int64 near n ~ 5e4 — beyond
+    that, evaluate on a deterministic sample (ARI is a pair statistic;
+    subsampling is the standard practice), raised rather than wrapped.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch[pred_col], dtype=np.int64)
+        g = np.asarray(batch[gold_col], dtype=np.int64)
+        u, counts = np.unique(np.stack([p, g], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "p": pa.array(u[:, 0], pa.int64()),
+                "g": pa.array(u[:, 1], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p", "g"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    _I64 = 2**63
+
+    def final(batch: pa.Table) -> pa.Table:
+        cols = (
+            "n", "sum_comb", "comb_a", "comb_b",
+            "purity_num", "ari_num", "ari_den",
+        )
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        p = batch["p"].to_pylist()
+        g = batch["g"].to_pylist()
+        n = batch["n"].to_pylist()
+        total = sum(n)
+        row, col, best = {}, {}, {}
+        sum_comb = 0
+        for pi, gi, ni in zip(p, g, n):
+            row[pi] = row.get(pi, 0) + ni
+            col[gi] = col.get(gi, 0) + ni
+            best[pi] = max(best.get(pi, 0), ni)
+            sum_comb += ni * (ni - 1) // 2
+        comb_a = sum(v * (v - 1) // 2 for v in row.values())
+        comb_b = sum(v * (v - 1) // 2 for v in col.values())
+        purity = sum(best.values())
+        c2 = total * (total - 1) // 2
+        ari_num = 2 * (c2 * sum_comb - comb_a * comb_b)
+        ari_den = c2 * (comb_a + comb_b) - 2 * comb_a * comb_b
+        if not (-_I64 <= ari_num < _I64 and -_I64 <= ari_den < _I64):
+            raise OverflowError(
+                "clustering_eval: ARI rational exceeds int64 — evaluate "
+                "on a deterministic sample (pair statistics subsample "
+                "cleanly)"
+            )
+        vals = (total, sum_comb, comb_a, comb_b, purity, ari_num, ari_den)
+        return pa.table(
+            {c: pa.array([v], pa.int64()) for c, v in zip(cols, vals)}
+        )
+
+    return t.repartition(1).map_batches(final, batch_format="pyarrow")

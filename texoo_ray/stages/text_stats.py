@@ -1189,3 +1189,118 @@ def readability(
             "flesch_den": pa.array(den, pa.int64()),
         }
     )
+
+
+def term_burstiness(
+    ds,
+    vocab_size: int = 100,
+    text_col: str = "text",
+):
+    """Term burstiness for the ``vocab_size`` highest-document-frequency
+    words: the variance-to-mean ratio (dispersion index) of each word's
+    per-document count over ALL documents (zeros included) as an EXACT
+    integer rational — Church & Gale 1995's content-word signal (VMR ~ 1:
+    Poisson-scattered function word; VMR >> 1: bursty topical word).
+    Returns Dataset[(word, df, sum_c, sum_c2, vmr_num, vmr_den)] ordered
+    by (df desc, word), with
+
+        vmr_num = N * sum_c2 - sum_c * sum_c
+        vmr_den = N * sum_c            (N = total documents)
+
+    Shape: per-batch (doc, word)-distinct partials reduce each word to
+    three int64 counters (df, sum of counts, sum of squared counts) plus
+    one batch-total row; ONE vocab-sized groupby, a vocab-sized
+    sort+limit cut (df-desc with the word tiebreak — deterministic,
+    oracle-checkable), and the rational on the cut table in Python ints
+    with an int64 bounds check (N * sum_c2 wraps near 1e12 docs x hot
+    words; cut the vocab or subsample first, raised not wrapped).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        nd = len(dic)
+        tables = []
+        if nd:
+            pair = doc_of * np.int64(nd) + codes
+            u, c = np.unique(pair, return_counts=True)
+            w = (u % nd).astype(np.int64)
+            c = c.astype(np.int64)
+            # reduce the (doc, word) pairs to per-word counters
+            order = np.argsort(w, kind="stable")
+            w, c = w[order], c[order]
+            starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+            ends = np.r_[starts[1:], len(w)]
+            cum = np.concatenate([[0], np.cumsum(c)])
+            cum2 = np.concatenate([[0], np.cumsum(c * c)])
+            tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(len(starts), np.int64), pa.int64()),
+                        "word": dic.take(pa.array(w[starts], pa.int64())),
+                        "df": pa.array(ends - starts, pa.int64()),
+                        "sum_c": pa.array(cum[ends] - cum[starts], pa.int64()),
+                        "sum_c2": pa.array(cum2[ends] - cum2[starts], pa.int64()),
+                    }
+                )
+            )
+        tables.append(
+            pa.table(
+                {
+                    "kind": pa.array([0], pa.int64()),
+                    "word": pa.array([""], pa.string()),
+                    "df": pa.array([batch.num_rows], pa.int64()),
+                    "sum_c": pa.array([0], pa.int64()),
+                    "sum_c2": pa.array([0], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(tables).combine_chunks()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "word"])
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("sum_c", alias_name="sum_c"),
+            Sum("sum_c2", alias_name="sum_c2"),
+        )
+    ).materialize()
+
+    total_row = agg.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
+    ).sum("df")
+    N = int(total_row or 0)
+
+    top = (
+        agg.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 1)), batch_format="pyarrow"
+        )
+        .select_columns(["word", "df", "sum_c", "sum_c2"])
+        .sort(["df", "word"], descending=[True, False])
+        .limit(vocab_size)
+    )
+
+    _I64 = 2**63
+
+    def final(batch: pa.Table) -> pa.Table:
+        nums, dens = [], []
+        for sc, sc2 in zip(
+            batch["sum_c"].to_pylist(), batch["sum_c2"].to_pylist()
+        ):
+            num = N * sc2 - sc * sc
+            den = N * sc
+            if not (0 <= num < _I64 and 0 <= den < _I64):
+                raise OverflowError(
+                    "term_burstiness: counters exceed int64 — cut the "
+                    "vocab or subsample (num=%d den=%d)" % (num, den)
+                )
+            nums.append(num)
+            dens.append(den)
+        return batch.append_column(
+            "vmr_num", pa.array(nums, pa.int64())
+        ).append_column("vmr_den", pa.array(dens, pa.int64()))
+
+    return top.map_batches(final, batch_format="pyarrow")
