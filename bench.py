@@ -209,6 +209,16 @@ def run_queries() -> dict:
         "rrf_fusion",
         "cluster_top_terms",
         "ks_drift",
+        # round-4 exact-statistics family
+        "feature_auc",
+        "filter_kappa",
+        "price_trend",
+        "readability",
+        "pmi_top50",
+        "link_prediction",
+        "clustering_eval",
+        "host_gini",
+        "term_burstiness",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
