@@ -4021,6 +4021,31 @@ def _q_term_burstiness(sf_dir: str):
     return term_burstiness(ds, vocab_size=40)
 
 
+def _q_mixture_weights(sf_dir: str):
+    """Temperature-scaled source-mixture weights (pipelines/curation.py
+    ::mixture_weights, alpha=0.5 — the mT5/XLM-R multilingual sampling
+    rule): per-source n_docs^alpha in integer micros, unnormalized so
+    no float sum crosses the engine boundary. One source-domain
+    aggregate; feeds source_mixture's resampler."""
+    from texoo_ray.pipelines.curation import mixture_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_weights(ds, alpha=0.5)
+
+
+def _q_distinct_ngrams(sf_dir: str):
+    """Distinct-1/distinct-2 diversity counters per document
+    (stages/text_stats.py::distinct_ngram_ratio — Li et al. 2016):
+    total and distinct word uni/bigram counts, the repetition /
+    mode-collapse diagnostic. Row-local, zero shuffle."""
+    from texoo_ray.stages.text_stats import distinct_ngram_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        distinct_ngram_ratio, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's per-round correctness snapshot holds
     # the FIRST ~50 entries in dict order (observed: CORRECTNESS_r03 ==
@@ -4111,6 +4136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_eval": _q_clustering_eval,
         "host_gini": _q_host_gini,
         "term_burstiness": _q_term_burstiness,
+        "mixture_weights": _q_mixture_weights,
+        "distinct_ngrams": _q_distinct_ngrams,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -4866,6 +4893,32 @@ def oracle_sql() -> dict[str, str]:
                    (nd.n * sum_c2 - sum_c * sum_c)::BIGINT AS vmr_num,
                    (nd.n * sum_c)::BIGINT AS vmr_den
             FROM top, nd ORDER BY df DESC, word
+        """,
+        "mixture_weights": """
+            WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY source)
+            SELECT source, n_docs,
+                   CAST(floor(exp(0.5 * ln(n_docs)) * 1000000 + 0.5)
+                        AS BIGINT) AS pow_micro
+            FROM c ORDER BY source
+        """,
+        "distinct_ngrams": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents),
+            uni AS (SELECT doc_id, len(arr)::BIGINT AS t1,
+                           len(list_distinct(arr))::BIGINT AS d1
+                    FROM w),
+            ll AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM w),
+            bg AS (SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g FROM ll),
+            bi AS (SELECT doc_id, count(*)::BIGINT AS t2,
+                          count(DISTINCT g)::BIGINT AS d2
+                   FROM bg GROUP BY doc_id)
+            SELECT u.doc_id, u.t1, u.d1,
+                   coalesce(b.t2, 0)::BIGINT AS t2,
+                   coalesce(b.d2, 0)::BIGINT AS d2
+            FROM uni u LEFT JOIN bi b USING (doc_id) ORDER BY u.doc_id
         """,
         "price_trend": """
             WITH s AS (

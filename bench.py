@@ -219,6 +219,8 @@ def run_queries() -> dict:
         "clustering_eval",
         "host_gini",
         "term_burstiness",
+        "mixture_weights",
+        "distinct_ngrams",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

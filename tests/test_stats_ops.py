@@ -496,3 +496,55 @@ class TestTermBurstiness:
             alpha["vmr_num"] / alpha["vmr_den"]
             > beta["vmr_num"] / beta["vmr_den"]
         )
+
+
+class TestMixtureWeights:
+    def test_vs_math(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.curation import mixture_weights
+
+        srcs = ["a"] * 16 + ["b"] * 4 + ["c"] * 1
+        ds = ray.data.from_arrow(pa.table({"source": srcs})).repartition(3)
+        out = mixture_weights(ds, alpha=0.5).to_pandas().set_index("source")
+        for s, n in (("a", 16), ("b", 4), ("c", 1)):
+            assert out.loc[s, "n_docs"] == n
+            assert out.loc[s, "pow_micro"] == math.floor(
+                math.exp(0.5 * math.log(n)) * 1e6 + 0.5
+            )
+        # alpha=0.5 compresses the 16:4:1 ratio to 4:2:1
+        assert out.loc["a", "pow_micro"] == 4_000_000
+        assert out.loc["b", "pow_micro"] == 2_000_000
+        assert out.loc["c", "pow_micro"] == 1_000_000
+        # alpha=1 reproduces raw counts; alpha=0 flattens
+        o1 = mixture_weights(ds, alpha=1.0).to_pandas().set_index("source")
+        assert o1.loc["a", "pow_micro"] == 16_000_000
+        o0 = mixture_weights(ds, alpha=0.0).to_pandas().set_index("source")
+        assert set(o0["pow_micro"]) == {1_000_000}
+
+
+class TestDistinctNgramRatio:
+    def test_vs_brute_force(self, ray_session):
+        import re
+
+        from texoo_ray.stages.text_stats import distinct_ngram_ratio
+
+        texts = [
+            "the cat the cat the cat",   # heavy repetition
+            "one two three four five",   # fully diverse
+            "",                          # empty
+            "solo",                      # single word: no bigrams
+        ]
+        batch = pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()), "text": texts}
+        )
+        out = distinct_ngram_ratio(batch).to_pandas().set_index("doc_id")
+        for i, t in enumerate(texts):
+            ws = re.findall(r"[a-z0-9]+", t.lower())
+            bgs = list(zip(ws, ws[1:]))
+            r = out.loc[i]
+            assert r["t1"] == len(ws) and r["d1"] == len(set(ws))
+            assert r["t2"] == len(bgs) and r["d2"] == len(set(bgs))
+        # the repetitive doc scores far below the diverse one
+        rep, div = out.loc[0], out.loc[1]
+        assert rep["d2"] / rep["t2"] < 0.5 and div["d2"] / div["t2"] == 1.0

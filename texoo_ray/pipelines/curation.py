@@ -1110,3 +1110,67 @@ def host_gini(ds, url_col: str = "url"):
         )
 
     return t.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def mixture_weights(ds, source_col: str = "source", alpha: float = 0.5):
+    """Temperature-scaled source-mixture weights — the standard
+    multilingual / multi-source sampling rule (mT5 §3.2, XLM-R: sample
+    source s with probability proportional to p_s^alpha, alpha < 1
+    upweights the tail): Dataset[(source, n_docs, pow_micro)] ordered
+    by source, with
+
+        pow_micro = floor(exp(alpha * ln(n_docs)) * 1e6 + 0.5)
+
+    i.e. n_docs^alpha in integer micros, evaluated exp/ln so the parse
+    tree is ONE libm ln + ONE libm exp in the same order as the SQL
+    oracle (the kn_score / cluster_top_terms IEEE discipline). Weights
+    are UNNORMALIZED on purpose: the normalizing sum over sources is
+    the only float-order-dependent step, so it stays at the edge
+    (callers divide by the micro sum — source domains are
+    driver-trivial).
+
+    Shape: per-batch source-count partials, ONE source-domain-sized
+    groupby, a row-local scalar map. Feeds :func:`source_mixture`'s
+    resampler with principled rates instead of hand-set ones.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = pc.fill_null(batch[source_col], "").dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n_docs": pa.array(
+                    np.bincount(codes, minlength=len(enc.dictionary)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    a = float(alpha)
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_docs"], dtype=np.int64)
+        p = np.floor(
+            np.exp(a * np.log(n.astype(np.float64))) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(n, pa.int64()),
+                "pow_micro": pa.array(p, pa.int64()),
+            }
+        )
+
+    return t.map_batches(final, batch_format="pyarrow").sort("source")
