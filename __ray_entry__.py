@@ -4046,6 +4046,51 @@ def _q_distinct_ngrams(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Hampel / MAD outlier gate over cents-quantized event values
+    (pipelines/analytics.py::mad_outliers): |x - median| > 5 * MAD with
+    both medians exact percentile_disc(0.5) inverted driver-side from
+    ONE value-domain histogram — the robust data-contract rule whose
+    threshold the outliers themselves cannot inflate. Two corpus scans,
+    one histogram exchange. Oracle: quantile_disc in SQL (same
+    smallest-value-with-cum>=ceil(n/2) element for q=0.5)."""
+    from texoo_ray.pipelines.analytics import mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            np.asarray(batch["value"], dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "value_cents": pa.array(x, pa.int64()),
+            }
+        )
+
+    return mad_outliers(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "value_cents",
+        id_col="event_id",
+        k=5,
+    )
+
+
+def _q_log_odds(sf_dir: str):
+    """Fightin'-Words log-odds with informative Dirichlet prior
+    (stages/text_stats.py::log_odds_terms — Monroe, Colaresi & Quinn
+    2008): the top-40 English-marker terms vs French, delta in integer
+    micros with the divisions and lns in the same parse-tree order as
+    the SQL. Vocab-sized groupby + candidate-sized sort."""
+    from texoo_ray.stages.text_stats import log_odds_terms
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    return log_odds_terms(
+        ds, "lang", "en", "fr", min_count=5, top_k=40
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's per-round correctness snapshot holds
     # the FIRST ~50 entries in dict order (observed: CORRECTNESS_r03 ==
@@ -4138,6 +4183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": _q_term_burstiness,
         "mixture_weights": _q_mixture_weights,
         "distinct_ngrams": _q_distinct_ngrams,
+        "mad_outliers": _q_mad_outliers,
+        "log_odds_terms": _q_log_odds,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -4919,6 +4966,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.t2, 0)::BIGINT AS t2,
                    coalesce(b.d2, 0)::BIGINT AS d2
             FROM uni u LEFT JOIN bi b USING (doc_id) ORDER BY u.doc_id
+        """,
+        "mad_outliers": """
+            WITH v AS (
+              SELECT event_id,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+              FROM events),
+            med AS (SELECT quantile_disc(value_cents, 0.5)::BIGINT AS m FROM v),
+            mad AS (SELECT quantile_disc(abs(v.value_cents - med.m), 0.5)::BIGINT AS d
+                    FROM v, med)
+            SELECT v.event_id, v.value_cents,
+                   abs(v.value_cents - med.m)::BIGINT AS dev
+            FROM v, med, mad
+            WHERE abs(v.value_cents - med.m) > 5 * mad.d
+            ORDER BY v.event_id
+        """,
+        "log_odds_terms": """
+            WITH w AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
+              FROM documents WHERE lang IN ('en', 'fr')),
+            c AS (SELECT wd AS word,
+                         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+                         sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+                  FROM w GROUP BY wd),
+            tot AS (SELECT sum(cnt_a)::BIGINT AS na, sum(cnt_b)::BIGINT AS nb FROM c)
+            SELECT word, cnt_a, cnt_b,
+                   CAST(floor((ln((cnt_a + cnt_a + cnt_b)
+                                  / (na + (na + nb) - cnt_a - (cnt_a + cnt_b)))
+                             - ln((cnt_b + cnt_a + cnt_b)
+                                  / (nb + (na + nb) - cnt_b - (cnt_a + cnt_b))))
+                              * 1000000 + 0.5) AS BIGINT) AS delta_micro
+            FROM c, tot
+            WHERE cnt_a + cnt_b >= 5
+            ORDER BY delta_micro DESC, word LIMIT 40
         """,
         "price_trend": """
             WITH s AS (

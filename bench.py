@@ -221,6 +221,8 @@ def run_queries() -> dict:
         "term_burstiness",
         "mixture_weights",
         "distinct_ngrams",
+        "mad_outliers",
+        "log_odds_terms",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

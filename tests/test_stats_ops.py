@@ -548,3 +548,113 @@ class TestDistinctNgramRatio:
         # the repetitive doc scores far below the diverse one
         rep, div = out.loc[0], out.loc[1]
         assert rep["d2"] / rep["t2"] < 0.5 and div["d2"] / div["t2"] == 1.0
+
+
+class TestMadOutliers:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import mad_outliers
+
+        # bulk around 100 +- 3, with two gross outliers
+        vals = [100, 101, 99, 102, 98, 100, 103, 97, 100, 500, -300]
+        ids = list(range(len(vals)))
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "v": pa.array(vals, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = mad_outliers(ds, "v", k=5).to_pandas()
+        sv = sorted(vals)
+        med = sv[(len(vals) + 1) // 2 - 1]  # percentile_disc(0.5)
+        devs = sorted(abs(x - med) for x in vals)
+        mad = devs[(len(vals) + 1) // 2 - 1]
+        ref = [
+            (i, x, abs(x - med))
+            for i, x in zip(ids, vals)
+            if abs(x - med) > 5 * mad
+        ]
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref
+        assert {x for _, x, _ in got} == {500, -300}
+
+    def test_no_outliers_and_ties(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import mad_outliers
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(6), pa.int64()),
+                    "v": pa.array([5, 5, 5, 5, 5, 5], pa.int64()),
+                }
+            )
+        )
+        assert mad_outliers(ds, "v", k=3).count() == 0
+        # MAD = 0 (over half the mass at the median): ANY deviation is
+        # an outlier — the classic Hampel degenerate case
+        ds2 = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(6), pa.int64()),
+                    "v": pa.array([5, 5, 5, 6, 6, 6], pa.int64()),
+                }
+            )
+        )
+        out = mad_outliers(ds2, "v", k=3).to_pandas()
+        assert list(out["v"]) == [6, 6, 6]
+
+
+class TestLogOddsTerms:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import log_odds_terms
+
+        docs_a = ["taxes economy taxes budget growth"] * 5 + [
+            "common words appear here often"
+        ] * 5
+        docs_b = ["climate planet climate energy future"] * 5 + [
+            "common words appear here often"
+        ] * 5
+        texts = docs_a + docs_b
+        sides = ["L"] * 10 + ["R"] * 10
+        ds = ray.data.from_arrow(
+            pa.table({"text": texts, "side": sides})
+        ).repartition(4)
+        out = log_odds_terms(
+            ds, "side", "L", "R", min_count=3, top_k=10
+        ).to_pandas()
+
+        ca, cb = Counter(), Counter()
+        for t, s in zip(texts, sides):
+            (ca if s == "L" else cb).update(re.findall(r"[a-z0-9]+", t))
+        na, nb = sum(ca.values()), sum(cb.values())
+        a0 = na + nb
+        ref = []
+        for w in set(ca) | set(cb):
+            aw = ca[w] + cb[w]
+            if aw < 3:
+                continue
+            ra = (ca[w] + aw) / (na + a0 - ca[w] - aw)
+            rb = (cb[w] + aw) / (nb + a0 - cb[w] - aw)
+            ref.append(
+                (
+                    w, ca[w], cb[w],
+                    math.floor((math.log(ra) - math.log(rb)) * 1e6 + 0.5),
+                )
+            )
+        ref.sort(key=lambda r: (-r[3], r[0]))
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref[:10]
+        # side-A markers rank top, shared words sit in the middle
+        assert got[0][0] in {"taxes", "economy", "budget", "growth"}
+        assert all(g[3] > 0 for g in got[:2])

@@ -8,6 +8,7 @@ SQL oracles.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -717,3 +718,82 @@ def window_dedup(
         .groupby("bucket")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+def mad_outliers(ds, value_col: str, id_col: str = "event_id", k: int = 5):
+    """Median-absolute-deviation outlier detection (the Hampel filter —
+    the robust data-contract outlier gate; unlike mean/stddev rules it
+    doesn't let the outliers inflate their own threshold): flag rows
+    where ``|x - median| > k * MAD`` with MAD = median of
+    ``|x - median|``, both medians exact percentile_disc(0.5) over the
+    int64 value domain. Returns Dataset[(id, value, dev)] of the
+    outliers, sorted by id.
+
+    Shape: ONE value-domain histogram aggregate (the grouped_quantiles
+    budget — only (value, count) rows leave the cluster, never data
+    rows); BOTH medians invert driver-side from that single histogram
+    (the deviation histogram is a value transform of the value
+    histogram, so no second corpus pass); then one row-local filter
+    map. Two corpus scans total, one exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "dev": pa.array([], pa.int64()),
+        }
+    )
+    if len(hist) == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    v = hist["v"].to_numpy()
+    n = hist["n"].to_numpy()
+    total = int(n.sum())
+
+    def _disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        # percentile_disc(0.5): smallest value with cum >= ceil(n/2)
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(counts[order])
+        tgt = (total + 1) // 2
+        return int(vals[order][np.searchsorted(cum, tgt)])
+
+    med = _disc_median(v, n)
+    mad = _disc_median(np.abs(v - med), n)
+    cut = k * mad
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[value_col], dtype=np.int64)
+        dev = np.abs(x - med)
+        keep = dev > cut
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(batch[id_col], dtype=np.int64)[keep], pa.int64()
+                ),
+                value_col: pa.array(x[keep], pa.int64()),
+                "dev": pa.array(dev[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)
