@@ -4091,6 +4091,19 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_source_kl(sf_dir: str):
+    """Per-source KL divergence from the pooled corpus unigram
+    distribution (stages/text_stats.py::source_kl — the which-source-
+    drifted curation diagnostic, DSIR's importance ratio lifted to
+    corpus level): exact int64 micro-nat accumulation, ONE
+    (source x word)-fingerprint aggregate + broadcast word-total model,
+    zero corpus shuffle."""
+    from texoo_ray.stages.text_stats import source_kl
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    return source_kl(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's per-round correctness snapshot holds
     # the FIRST ~50 entries in dict order (observed: CORRECTNESS_r03 ==
@@ -4185,6 +4198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngrams": _q_distinct_ngrams,
         "mad_outliers": _q_mad_outliers,
         "log_odds_terms": _q_log_odds,
+        "source_kl": _q_source_kl,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5000,6 +5014,23 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "source_kl": """
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
+              FROM documents),
+            c AS (SELECT source, wd, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2),
+            st AS (SELECT source, sum(cnt)::BIGINT AS ns FROM c GROUP BY source),
+            wt AS (SELECT wd, sum(cnt)::BIGINT AS cw FROM c GROUP BY wd),
+            tot AS (SELECT sum(cnt)::BIGINT AS n FROM c)
+            SELECT c.source, count(*)::BIGINT AS n_terms, st.ns AS n_tokens,
+                   sum(c.cnt * CAST(floor(ln((c.cnt / st.ns) / (wt.cw / tot.n))
+                                          * 1000000 + 0.5) AS BIGINT))::BIGINT
+                     AS kl_micro
+            FROM c JOIN st USING (source) JOIN wt USING (wd), tot
+            GROUP BY c.source, st.ns
+            ORDER BY c.source
         """,
         "price_trend": """
             WITH s AS (

@@ -223,6 +223,7 @@ def run_queries() -> dict:
         "distinct_ngrams",
         "mad_outliers",
         "log_odds_terms",
+        "source_kl",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -658,3 +658,62 @@ class TestLogOddsTerms:
         # side-A markers rank top, shared words sit in the middle
         assert got[0][0] in {"taxes", "economy", "budget", "growth"}
         assert all(g[3] > 0 for g in got[:2])
+
+
+class TestSourceKL:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter, defaultdict
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import source_kl
+
+        texts = (
+            ["alpha beta gamma delta"] * 4
+            + ["alpha alpha alpha beta"] * 3
+            + ["epsilon zeta epsilon zeta zeta"] * 3
+        )
+        srcs = ["web"] * 4 + ["chat"] * 3 + ["code"] * 3
+        ds = ray.data.from_arrow(
+            pa.table({"text": texts, "source": srcs})
+        ).repartition(4)
+        out = source_kl(ds).to_pandas()
+
+        per_src = defaultdict(Counter)
+        for t, s in zip(texts, srcs):
+            per_src[s].update(re.findall(r"[a-z0-9]+", t.lower()))
+        corpus = Counter()
+        for c in per_src.values():
+            corpus.update(c)
+        n = sum(corpus.values())
+        ref = []
+        for s in sorted(per_src):
+            c = per_src[s]
+            ns = sum(c.values())
+            kl = sum(
+                cnt
+                * math.floor(
+                    math.log((cnt / ns) / (corpus[w] / n)) * 1e6 + 0.5
+                )
+                for w, cnt in c.items()
+            )
+            ref.append((s, len(c), ns, kl))
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref
+        # the identical-distribution check: a source matching the
+        # corpus mix has small positive KL, a skewed one large
+        by_src = {r[0]: r[3] / (r[2] * 1e6) for r in got}
+        assert by_src["code"] > by_src["web"]
+        assert all(v >= -1e-6 for v in by_src.values())
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import source_kl
+
+        ds = ray.data.from_arrow(
+            pa.table({"text": ["", "   "], "source": ["a", "b"]})
+        )
+        assert source_kl(ds).count() == 0

@@ -1473,3 +1473,177 @@ def log_odds_terms(
         .sort(["delta_micro", "word"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def source_kl(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    model_max: int = 4_000_000,
+):
+    """Per-source KL divergence (micro-nats, exact integer
+    accumulation) between each source's unigram distribution and the
+    pooled corpus distribution — the "which source drifted" corpus
+    diagnostic (the corpus-level analogue of DSIR's importance ratios,
+    Xie et al. 2023). For source s with word count c_sw, source total
+    n_s, corpus word total c_w and corpus total N:
+
+        kl_micro(s) = sum_w c_sw * floor(ln((c_sw/n_s) / (c_w/N)) * 1e6 + 0.5)
+
+    Rounding each per-word log-ratio to integer micro-nats BEFORE the
+    weighted sum keeps the aggregation pure int64 — order-independent
+    and bit-equal to the SQL oracle — while the two int64→double
+    divisions + one libm ln sit in the same parse-tree order as the
+    SQL. True KL = kl_micro / (n_s * 1e6), left rational. Returns
+    Dataset[(source, n_terms, n_tokens, kl_micro)] sorted by source.
+
+    Shape (the kn_logprob/pmi broadcast-model plan): ONE
+    (source × word-fingerprint) counting aggregate — only (source,
+    word, count) rows ever cross the wire, never corpus rows; the
+    vocab-sized word-total side reduces from that materialized
+    aggregate and broadcasts via ``ray.put`` as sorted 128-bit FNV
+    numpy (``model_max`` guard — at 100 TB apply a count cutoff or
+    shard by language first); source totals are a source-domain
+    collect; then ONE scoring map with per-batch per-source int64
+    partial sums and a source-domain groupby. Raises on int64
+    overflow of c_sw * delta_micro (bounds-checked per batch).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
+    from .dedup import _compact
+    from .lm import _fp_lookup, _fp_sorted
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.fill_null(batch[group_col], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = src.dictionary_encode()
+        scodes = np.asarray(senc.indices, dtype=np.int64)
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        nd = len(dic)
+        if nd == 0 or len(codes) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "k0": pa.array([], pa.int64()),
+                    "k1": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        key = scodes[doc_of] * np.int64(nd) + codes
+        u, cnt = np.unique(key, return_counts=True)
+        us, uw = u // nd, u % nd
+        h0 = utf8_hash64(dic, 0).view(np.int64)
+        h1 = utf8_hash64(dic, 1).view(np.int64)
+        return pa.table(
+            {
+                group_col: pc.cast(
+                    senc.dictionary.take(pa.array(us, pa.int64())),
+                    pa.string(),
+                ),
+                "k0": pa.array(h0[uw], pa.int64()),
+                "k1": pa.array(h1[uw], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n_terms": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "kl_micro": pa.array([], pa.int64()),
+        }
+    )
+    agg = _compact(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "k0", "k1"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if agg is None:
+        return ray.data.from_arrow(empty)
+
+    wt = (
+        agg.groupby(["k0", "k1"])
+        .aggregate(Sum("n", alias_name="cw"))
+        .to_pandas()
+    )
+    if len(wt) > model_max:
+        raise ValueError(
+            "source_kl word model exceeds model_max=%d; apply a count "
+            "cutoff or shard by language first" % model_max
+        )
+    st = agg.groupby(group_col).aggregate(Sum("n", alias_name="ns")).to_pandas()
+    ns_of = dict(zip(st[group_col], st["ns"].astype(np.int64)))
+    n_total = int(st["ns"].sum())
+    wfp, cw_vals = _fp_sorted(
+        wt["k0"].to_numpy().view(np.uint64),
+        wt["k1"].to_numpy().view(np.uint64),
+        wt["cw"].to_numpy().astype(np.int64),
+    )
+    ref = ray.put((wfp, cw_vals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        wfp, cw_vals = ray.get(ref)
+        cnt = np.asarray(batch["n"], dtype=np.int64)
+        cw = _fp_lookup(
+            wfp,
+            cw_vals,
+            np.asarray(batch["k0"], dtype=np.int64).view(np.uint64),
+            np.asarray(batch["k1"], dtype=np.int64).view(np.uint64),
+        )
+        src = batch[group_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = src.dictionary_encode()
+        scodes = np.asarray(senc.indices, dtype=np.int64)
+        sdic = senc.dictionary
+        ns = np.array(
+            [ns_of[s] for s in sdic.to_pylist()], dtype=np.int64
+        )[scodes]
+        # SAME parse tree as the SQL oracle: (cnt/ns) / (cw/N), one ln
+        delta = np.floor(
+            np.log(
+                (cnt.astype(np.float64) / ns.astype(np.float64))
+                / (cw.astype(np.float64) / np.float64(n_total))
+            )
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        if len(cnt) and float(
+            np.max(cnt.astype(np.float64) * np.abs(delta).astype(np.float64))
+        ) > float(2**62):
+            raise OverflowError(
+                "source_kl: c_sw * delta_micro overflows exact int64 — "
+                "shard the corpus or apply a count cutoff first"
+            )
+        nsrc = len(sdic)
+        kl = np.zeros(nsrc, np.int64)
+        np.add.at(kl, scodes, cnt * delta)
+        tok = np.zeros(nsrc, np.int64)
+        np.add.at(tok, scodes, cnt)
+        terms = np.bincount(scodes, minlength=nsrc).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pc.cast(sdic, pa.string()),
+                "n_terms": pa.array(terms, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "kl_micro": pa.array(kl, pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_terms", alias_name="n_terms"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("kl_micro", alias_name="kl_micro"),
+        )
+        .sort(group_col)
+    )
