@@ -4091,6 +4091,22 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_preference_pairs(sf_dir: str):
+    """DPO preference-pair construction over the transcripts corpus
+    (pipelines/conversations.py::preference_pairs): best-vs-worst
+    assistant turn per conversation by the deterministic
+    1000*distinct_words + words quality proxy, SQL row_number tie
+    rules, pairs emitted only on strict score difference. One
+    (conv, turn, score) projection + one conv-bucket exchange —
+    transcript text never shuffles."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import preference_pairs
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    return preference_pairs(ds)
+
+
 def _q_source_kl(sf_dir: str):
     """Per-source KL divergence from the pooled corpus unigram
     distribution (stages/text_stats.py::source_kl — the which-source-
@@ -4199,6 +4215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "log_odds_terms": _q_log_odds,
         "source_kl": _q_source_kl,
+        "preference_pairs": _q_preference_pairs,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5014,6 +5031,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "preference_pairs": """
+            WITH a AS (
+              SELECT conv_id, turn_idx,
+                     (1000 * len(list_distinct(
+                        regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')))
+                      + len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+                     )::BIGINT AS score
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')
+              WHERE role = 'assistant'),
+            c AS (SELECT conv_id, turn_idx, score,
+                         row_number() OVER (PARTITION BY conv_id
+                                            ORDER BY score DESC, turn_idx) AS rc,
+                         row_number() OVER (PARTITION BY conv_id
+                                            ORDER BY score ASC, turn_idx) AS rr
+                  FROM a),
+            ch AS (SELECT conv_id, turn_idx AS chosen_idx,
+                          score AS chosen_score FROM c WHERE rc = 1),
+            rj AS (SELECT conv_id, turn_idx AS rejected_idx,
+                          score AS rejected_score FROM c WHERE rr = 1)
+            SELECT conv_id, chosen_idx, rejected_idx,
+                   chosen_score, rejected_score
+            FROM ch JOIN rj USING (conv_id)
+            WHERE chosen_score > rejected_score
+            ORDER BY conv_id
         """,
         "source_kl": """
             WITH w AS (

@@ -224,6 +224,7 @@ def run_queries() -> dict:
         "mad_outliers",
         "log_odds_terms",
         "source_kl",
+        "preference_pairs",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -122,3 +122,86 @@ def test_context_windows_k_window_and_cap(ray_session):
         for r in context_windows(ds, k=2, max_turns_per_group=4).take_all()
     }
     assert set(got_cap) == {1, 3}
+
+
+class TestPreferencePairs:
+    def test_vs_brute_force(self, ray_session):
+        import re
+
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import preference_pairs
+
+        rows = [
+            # conv a: two assistant turns, clear winner
+            ("a", 0, "user", "hi"),
+            ("a", 1, "assistant", "short"),
+            ("a", 2, "user", "more?"),
+            ("a", 3, "assistant", "a much longer detailed answer here"),
+            # conv b: tie on score -> no pair
+            ("b", 0, "assistant", "same same"),
+            ("b", 1, "assistant", "same same"),
+            # conv c: single assistant turn -> no pair
+            ("c", 0, "assistant", "only one"),
+            # conv d: tie-break — equal best scores, earliest turn wins
+            ("d", 0, "assistant", "alpha beta"),
+            ("d", 1, "assistant", "gamma delta"),
+            ("d", 2, "assistant", "x"),
+        ]
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = preference_pairs(ds).to_pandas()
+
+        def score(t):
+            w = re.findall(r"[a-z0-9]+", t.lower())
+            return 1000 * len(set(w)) + len(w)
+
+        # conv a: chosen = turn 3, rejected = turn 1
+        # conv b: equal scores -> dropped; conv c: chosen == rejected -> dropped
+        # conv d: turns 0 and 1 tie at the top -> chosen = 0; rejected = 2
+        assert list(out["conv_id"]) == ["a", "d"]
+        a = out.iloc[0]
+        assert (a["chosen_idx"], a["rejected_idx"]) == (3, 1)
+        assert a["chosen_score"] == score("a much longer detailed answer here")
+        assert a["rejected_score"] == score("short")
+        d = out.iloc[1]
+        assert (d["chosen_idx"], d["rejected_idx"]) == (0, 2)
+        # dtype preserved from the input turn column
+        assert out["chosen_idx"].dtype == "int32"
+
+    def test_score_col_and_empty(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import preference_pairs
+
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(["x", "x"], pa.string()),
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": pa.array(["assistant", "assistant"], pa.string()),
+                "text": pa.array(["", ""], pa.string()),
+                "s": pa.array([7, 3], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        out = preference_pairs(ds, score_col="s").to_pandas()
+        assert len(out) == 1 and out.iloc[0]["chosen_idx"] == 0
+        # no qualifying role rows at all
+        ds2 = ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array(["x"], pa.string()),
+                    "turn_idx": pa.array([0], pa.int32()),
+                    "role": pa.array(["user"], pa.string()),
+                    "text": pa.array(["hi"], pa.string()),
+                }
+            )
+        )
+        assert preference_pairs(ds2).count() == 0
