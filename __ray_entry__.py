@@ -4091,6 +4091,18 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_event_paths3(sf_dir: str):
+    """Top-25 most frequent consecutive 3-step event-type paths per
+    user (pipelines/analytics.py::event_paths3 — second-order funnel
+    discovery, the sequence-mining extension of event_transitions):
+    one user-bucket exchange, block-local lexsort + two shifted
+    compares, type-triple-sized global aggregate."""
+    from texoo_ray.pipelines.analytics import event_paths3
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return event_paths3(ds, top_k=25)
+
+
 def _q_preference_pairs(sf_dir: str):
     """DPO preference-pair construction over the transcripts corpus
     (pipelines/conversations.py::preference_pairs): best-vs-worst
@@ -4216,6 +4228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_odds_terms": _q_log_odds,
         "source_kl": _q_source_kl,
         "preference_pairs": _q_preference_pairs,
+        "event_paths3": _q_event_paths3,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5031,6 +5044,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "event_paths3": """
+            WITH s AS (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, count(*)::BIGINT AS n
+            FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 25
         """,
         "preference_pairs": """
             WITH a AS (

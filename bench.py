@@ -225,6 +225,7 @@ def run_queries() -> dict:
         "log_odds_terms",
         "source_kl",
         "preference_pairs",
+        "event_paths3",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -717,3 +717,51 @@ class TestSourceKL:
             pa.table({"text": ["", "   "], "source": ["a", "b"]})
         )
         assert source_kl(ds).count() == 0
+
+
+class TestEventPaths3:
+    def test_vs_brute_force(self, ray_session):
+        from collections import Counter
+
+        import pandas as pd
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import event_paths3
+
+        rows = [
+            # user 1: a -> b -> c -> b (two triples; b/c share ts,
+            # event_id breaks the tie)
+            {"user_id": 1, "event_type": "a", "ts": 100, "event_id": 1},
+            {"user_id": 1, "event_type": "c", "ts": 200, "event_id": 3},
+            {"user_id": 1, "event_type": "b", "ts": 200, "event_id": 2},
+            {"user_id": 1, "event_type": "b", "ts": 300, "event_id": 4},
+            # user 2: only two events -> no triple crosses users
+            {"user_id": 2, "event_type": "a", "ts": 50, "event_id": 5},
+            {"user_id": 2, "event_type": "b", "ts": 60, "event_id": 6},
+            # user 3: a,a,a twice over -> (a,a,a) x2
+            {"user_id": 3, "event_type": "a", "ts": 10, "event_id": 7},
+            {"user_id": 3, "event_type": "a", "ts": 20, "event_id": 8},
+            {"user_id": 3, "event_type": "a", "ts": 30, "event_id": 9},
+            {"user_id": 3, "event_type": "a", "ts": 40, "event_id": 10},
+        ]
+        for r in rows:
+            r["ts"] = pd.Timestamp(r["ts"], unit="s")
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+        out = event_paths3(ds, top_k=10, n_buckets=4).to_pandas()
+
+        ref = Counter()
+        by_user = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            by_user.setdefault(r["user_id"], []).append(r["event_type"])
+        for seq in by_user.values():
+            for i in range(len(seq) - 2):
+                ref[tuple(seq[i : i + 3])] += 1
+        exp = sorted(
+            ((n, t) for t, n in ref.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        got = [
+            ((r.t1, r.t2, r.t3), r.n) for r in out.itertuples(index=False)
+        ]
+        assert got == [(t, n) for n, t in exp]
+        assert ref[("a", "a", "a")] == 2

@@ -797,3 +797,71 @@ def mad_outliers(ds, value_col: str, id_col: str = "event_id", k: int = 5):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)
+
+
+def event_paths3(ds, top_k: int = 25, n_buckets: int = 64):
+    """Top-``top_k`` most frequent consecutive 3-step event-type paths
+    over per-user event streams (the sequence-mining extension of
+    :func:`event_transitions` — second-order funnel discovery): for
+    every user, order events by (ts, event_id) and count each
+    consecutive (t1, t2, t3) triple; return Dataset[(t1, t2, t3, n)]
+    ordered by (n desc, t1, t2, t3) — a total order, so the cut is
+    deterministic and oracle-checkable.
+
+    Shape: the ONE user-bucket hash exchange co-locates each user's
+    events; inside a bucket the scan is a lexsort + two shifted
+    compares (windows never cross the user boundary), and each bucket
+    emits at most |event_types|^3 partial rows, so the global groupby
+    is type-triple-sized regardless of corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(group["ts"].cast(pa.int64()), dtype=np.int64)
+        eid = np.asarray(group["event_id"], dtype=np.int64)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(u) < 3:
+            return empty
+        order = np.lexsort((eid, ts, u))
+        u, codes = u[order], codes[order]
+        m = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        if not m.any():
+            return empty
+        a, b, c = codes[:-2][m], codes[1:-1][m], codes[2:][m]
+        D = np.int64(len(dic))
+        trip, cnt = np.unique((a * D + b) * D + c, return_counts=True)
+        return pa.table(
+            {
+                "t1": dic.take(pa.array(trip // (D * D))),
+                "t2": dic.take(pa.array((trip // D) % D)),
+                "t3": dic.take(pa.array(trip % D)),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _user_buckets(
+            ds.select_columns(["user_id", "event_type", "ts", "event_id"]),
+            n_buckets,
+        )
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(top_k)
+    )
