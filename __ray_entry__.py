@@ -4091,6 +4091,18 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency slope over the documents vocabulary
+    (stages/text_stats.py::zipf_fit — the one-number corpus-health
+    power-law diagnostic): int64 micro-rounded OLS sufficient
+    statistics + Python-int/HUGEINT-exact slope micros. ONE vocab
+    aggregate, top-500 cut, one-block regression."""
+    from texoo_ray.stages.text_stats import zipf_fit
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return zipf_fit(ds, top_v=500)
+
+
 def _q_event_paths3(sf_dir: str):
     """Top-25 most frequent consecutive 3-step event-type paths per
     user (pipelines/analytics.py::event_paths3 — second-order funnel
@@ -4229,6 +4241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _q_source_kl,
         "preference_pairs": _q_preference_pairs,
         "event_paths3": _q_event_paths3,
+        "zipf_fit": _q_zipf_fit,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5044,6 +5057,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "zipf_fit": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
+              FROM documents),
+            c AS (SELECT wd, count(*)::BIGINT AS cnt FROM w GROUP BY wd),
+            top AS (SELECT cnt,
+                           row_number() OVER (ORDER BY cnt DESC, wd) AS rnk
+                    FROM c ORDER BY cnt DESC, wd LIMIT 500),
+            m AS (SELECT CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS x,
+                         CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT) AS y
+                  FROM top),
+            s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+                         sum(y)::BIGINT AS sum_y, sum(x * x)::BIGINT AS sum_xx,
+                         sum(x * y)::BIGINT AS sum_xy
+                  FROM m)
+            SELECT n AS n_terms, sum_x, sum_y, sum_xx, sum_xy,
+                   CAST(floor(
+                     (CAST(n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_y AS DOUBLE)
+                      / CAST(n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS slope_micro
+            FROM s
         """,
         "event_paths3": """
             WITH s AS (

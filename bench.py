@@ -226,6 +226,7 @@ def run_queries() -> dict:
         "source_kl",
         "preference_pairs",
         "event_paths3",
+        "zipf_fit",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -765,3 +765,49 @@ class TestEventPaths3:
         ]
         assert got == [(t, n) for n, t in exp]
         assert ref[("a", "a", "a")] == 2
+
+
+class TestZipfFit:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import zipf_fit
+
+        # an approximately Zipfian corpus: word_i appears ~ 60 // i times
+        words = []
+        for i in range(1, 13):
+            words += [f"w{i:02d}"] * (60 // i)
+        text = " ".join(words)
+        ds = ray.data.from_arrow(
+            pa.table({"text": [text[: len(text) // 2], text[len(text) // 2 :]]})
+        ).repartition(2)
+        out = zipf_fit(ds, top_v=10).to_pandas()
+
+        c = Counter(re.findall(r"[a-z0-9]+", text.lower()))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        n = len(top)
+        xs = [math.floor(math.log(r) * 1e6 + 0.5) for r in range(1, n + 1)]
+        ys = [math.floor(math.log(cnt) * 1e6 + 0.5) for _, cnt in top]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = out.iloc[0]
+        assert (r["n_terms"], r["sum_x"], r["sum_y"]) == (n, sx, sy)
+        assert (r["sum_xx"], r["sum_xy"]) == (sxx, sxy)
+        assert r["slope_micro"] == math.floor(float(num) / float(den) * 1e6 + 0.5)
+        # a 1/i corpus fits slope ~ -1
+        assert -1_300_000 < r["slope_micro"] < -700_000
+
+    def test_degenerate(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import zipf_fit
+
+        ds = ray.data.from_arrow(pa.table({"text": ["solo"]}))
+        r = zipf_fit(ds).to_pandas().iloc[0]
+        assert r["n_terms"] == 0 and r["slope_micro"] == 0

@@ -1647,3 +1647,102 @@ def source_kl(
         )
         .sort(group_col)
     )
+
+
+def zipf_fit(ds, top_v: int = 500, text_col: str = "text"):
+    """Zipf rank-frequency fit over the corpus vocabulary (Zipf 1949;
+    natural text has ln(freq) ~ -1 * ln(rank) + c — a corrupted or
+    machine-generated corpus drifts off the power law, making the
+    fitted slope a one-number corpus-health diagnostic). OLS of
+    y = floor(ln(count)*1e6+0.5) on x = floor(ln(rank)*1e6+0.5) over
+    the ``top_v`` most frequent terms (rank = row_number by
+    (count desc, word) — a total order). Returns a one-row Dataset
+    [(n_terms, sum_x, sum_y, sum_xx, sum_xy, slope_micro)]: the int64
+    sufficient statistics plus the slope in integer micros, where the
+    final rational (which exceeds int64) is formed in Python ints and
+    divided double-vs-double exactly as the SQL oracle's HUGEINT ->
+    DOUBLE cast.
+
+    Shape: ONE vocab-sized counting aggregate (word, count) — the only
+    exchange; a candidate-sized sort+limit; then the regression runs
+    on the ``top_v``-row block driver-side (the host_gini one-block
+    budget). Per-term micro rounding BEFORE the sums keeps every
+    distributed quantity int64-exact.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        nd = len(dic)
+        if nd == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "word": dic,
+                "cnt": pa.array(
+                    np.bincount(codes, minlength=nd).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(top_v)
+        .to_pandas()
+    )
+    n = len(top)
+    empty = pa.table(
+        {
+            "n_terms": pa.array([0], pa.int64()),
+            "sum_x": pa.array([0], pa.int64()),
+            "sum_y": pa.array([0], pa.int64()),
+            "sum_xx": pa.array([0], pa.int64()),
+            "sum_xy": pa.array([0], pa.int64()),
+            "slope_micro": pa.array([0], pa.int64()),
+        }
+    )
+    if n < 2:
+        return ray.data.from_arrow(empty)
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    cnt = top["cnt"].to_numpy().astype(np.float64)
+    # SAME parse tree as the SQL oracle: ln(v) * 1e6 + 0.5, floor
+    x = np.floor(np.log(rank) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cnt) * 1e6 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    if max(abs(sxx), abs(sxy)) > 2**62:
+        raise OverflowError(
+            "zipf_fit sufficient statistics overflow int64 — lower top_v"
+        )
+    num = n * sxy - sx * sy  # Python ints: exceeds int64 by design
+    den = n * sxx - sx * sx
+    slope_micro = (
+        0 if den == 0 else math.floor((float(num) / float(den)) * 1e6 + 0.5)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_terms": pa.array([n], pa.int64()),
+                "sum_x": pa.array([sx], pa.int64()),
+                "sum_y": pa.array([sy], pa.int64()),
+                "sum_xx": pa.array([sxx], pa.int64()),
+                "sum_xy": pa.array([sxy], pa.int64()),
+                "slope_micro": pa.array([slope_micro], pa.int64()),
+            }
+        )
+    )
