@@ -4091,6 +4091,34 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_rolling_median(sf_dir: str):
+    """Centered rolling median despiker over per-user event values
+    (pipelines/analytics.py::rolling_median, w=2 — the median-filter
+    smoothing primitive, rolling sibling of mad_outliers): exact
+    lower-middle discrete median per SQL ROWS frame, one user-bucket
+    exchange + block-local shifted-gather matrix sort."""
+    from texoo_ray.pipelines.analytics import rolling_median
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            np.asarray(batch["value"], dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "value_cents": pa.array(x, pa.int64()),
+            }
+        )
+
+    return rolling_median(
+        ds.map_batches(cents, batch_format="pyarrow"), "value_cents", w=2
+    )
+
+
 def _q_zipf_fit(sf_dir: str):
     """Zipf rank-frequency slope over the documents vocabulary
     (stages/text_stats.py::zipf_fit — the one-number corpus-health
@@ -4242,6 +4270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": _q_preference_pairs,
         "event_paths3": _q_event_paths3,
         "zipf_fit": _q_zipf_fit,
+        "rolling_median": _q_rolling_median,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5057,6 +5086,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "rolling_median": """
+            WITH v AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+              FROM events)
+            SELECT event_id, value_cents,
+                   quantile_disc(value_cents, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)::BIGINT AS med
+            FROM v ORDER BY event_id
         """,
         "zipf_fit": """
             WITH w AS (

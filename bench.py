@@ -227,6 +227,7 @@ def run_queries() -> dict:
         "preference_pairs",
         "event_paths3",
         "zipf_fit",
+        "rolling_median",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -811,3 +811,46 @@ class TestZipfFit:
         ds = ray.data.from_arrow(pa.table({"text": ["solo"]}))
         r = zipf_fit(ds).to_pandas().iloc[0]
         assert r["n_terms"] == 0 and r["slope_micro"] == 0
+
+
+class TestRollingMedian:
+    def test_vs_brute_force(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import rolling_median
+
+        rows = []
+        eid = 0
+        vals = {1: [10, 20, 30, 400, 50, 60], 2: [7], 3: [1, 1000]}
+        for uid, xs in vals.items():
+            for t, x in enumerate(xs):
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "event_id": eid,
+                        "ts": pd.Timestamp(t * 10, unit="s"),
+                        "v": x,
+                    }
+                )
+                eid += 1
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+        out = rolling_median(ds, "v", w=2, n_buckets=4).to_pandas()
+
+        def disc(window):
+            s = sorted(window)
+            return s[(len(s) + 1) // 2 - 1]
+
+        ref = []
+        base = 0
+        for uid, xs in vals.items():
+            for i in range(len(xs)):
+                lo, hi = max(0, i - 2), min(len(xs), i + 3)
+                ref.append((base + i, xs[i], disc(xs[lo:hi])))
+            base += len(xs)
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref
+        # the spike at 400 is flattened to the window median 50
+        assert got[3] == (3, 400, 50)
+        # singleton user: median is itself; pair: lower-middle element
+        assert got[6] == (6, 7, 7) and got[7] == (7, 1, 1)
