@@ -4091,6 +4091,18 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_textrank(sf_dir: str):
+    """TextRank keyword extraction (stages/text_stats.py::
+    textrank_keywords — Mihalcea & Tarau 2004): exact-integer 2-round
+    PageRank over the distinct symmetric word-adjacency graph
+    (len>=3 alnum tokens), top-30 by (pr desc, word). One tagged
+    corpus pass; everything downstream is vocab-sized."""
+    from texoo_ray.stages.text_stats import textrank_keywords
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return textrank_keywords(ds, top_k=30, min_len=3, iterations=2)
+
+
 def _q_rolling_median(sf_dir: str):
     """Centered rolling median despiker over per-user event values
     (pipelines/analytics.py::rolling_median, w=2 — the median-filter
@@ -4271,6 +4283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths3": _q_event_paths3,
         "zipf_fit": _q_zipf_fit,
         "rolling_median": _q_rolling_median,
+        "textrank_keywords": _q_textrank,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5086,6 +5099,41 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "textrank_keywords": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 t -> len(t) >= 3) AS arr
+              FROM documents),
+            ll AS (SELECT arr, unnest(range(1, len(arr))) AS i FROM w),
+            p0 AS (SELECT arr[i] AS a, arr[i + 1] AS b FROM ll
+                   WHERE arr[i] <> arr[i + 1]),
+            edges AS (SELECT DISTINCT src, dst FROM (
+                        SELECT a AS src, b AS dst FROM p0
+                        UNION ALL SELECT b, a FROM p0)),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            deg AS (SELECT src AS id, count(*)::BIGINT AS outdeg
+                    FROM edges GROUP BY src),
+            pr0 AS (SELECT id, 1000000::BIGINT AS pr FROM nodes),
+            c1 AS (SELECT e.dst AS id,
+                          sum(p.pr * 85 // (100 * d.outdeg))::BIGINT AS s
+                   FROM edges e
+                   JOIN pr0 p ON p.id = e.src
+                   JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            pr1 AS (SELECT n.id, (150000 + coalesce(c.s, 0))::BIGINT AS pr
+                    FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+            c2 AS (SELECT e.dst AS id,
+                          sum(p.pr * 85 // (100 * d.outdeg))::BIGINT AS s
+                   FROM edges e
+                   JOIN pr1 p ON p.id = e.src
+                   JOIN deg d ON d.id = e.src
+                   GROUP BY e.dst),
+            pr2 AS (SELECT n.id, (150000 + coalesce(c.s, 0))::BIGINT AS pr
+                    FROM nodes n LEFT JOIN c2 c ON c.id = n.id)
+            SELECT id AS word, pr FROM pr2
+            ORDER BY pr DESC, word LIMIT 30
         """,
         "rolling_median": """
             WITH v AS (

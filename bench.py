@@ -228,6 +228,7 @@ def run_queries() -> dict:
         "event_paths3",
         "zipf_fit",
         "rolling_median",
+        "textrank_keywords",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -854,3 +854,72 @@ class TestRollingMedian:
         assert got[3] == (3, 400, 50)
         # singleton user: median is itself; pair: lower-middle element
         assert got[6] == (6, 7, 7) and got[7] == (7, 1, 1)
+
+
+class TestTextrankKeywords:
+    def test_vs_brute_force(self, ray_session):
+        import re
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import textrank_keywords
+
+        texts = [
+            "ray data pipelines stream arrow batches",
+            "arrow batches flow through ray data",
+            "data pipelines need arrow and ray",
+            "tiny of it is dropped here",  # short words filtered out
+        ]
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(2)
+        out = textrank_keywords(ds, top_k=5, min_len=3, iterations=2).to_pandas()
+
+        # brute-force reference: same filtered adjacency, distinct
+        # symmetric edges, exact integer 2-round trajectory
+        edges = set()
+        for t in texts:
+            ws = [w for w in re.findall(r"[a-z0-9]+", t.lower()) if len(w) >= 3]
+            for a, b in zip(ws, ws[1:]):
+                if a != b:
+                    edges.add((a, b))
+                    edges.add((b, a))
+        nodes = {a for a, _ in edges}
+        deg = {v: sum(1 for a, _ in edges if a == v) for v in nodes}
+        pr = {v: 1_000_000 for v in nodes}
+        for _ in range(2):
+            nxt = {v: 150_000 for v in nodes}
+            for a, b in edges:
+                nxt[b] += pr[a] * 85 // (100 * deg[a])
+            pr = nxt
+        exp = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = [(r.word, r.pr) for r in out.itertuples(index=False)]
+        assert got == exp
+        # hub words of the planted corpus rank at the top
+        assert got[0][0] in {"ray", "data", "arrow", "batches", "pipelines"}
+        # filtered short words never appear
+        assert all(len(w) >= 3 for w, _ in got)
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import textrank_keywords
+
+        ds = ray.data.from_arrow(pa.table({"text": ["a of it", ""]}))
+        assert textrank_keywords(ds).count() == 0
+
+    def test_path_equivalence(self, ray_session):
+        """Driver-local and distributed trajectories produce identical
+        ranks (the bpe/kcore local-loop precedent)."""
+        import ray.data
+
+        from texoo_ray.stages.text_stats import textrank_keywords
+
+        texts = [
+            "graph ranks words from edges",
+            "edges link words and words link graph nodes",
+            "nodes carry ranks through graph edges",
+        ]
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(2)
+        local = textrank_keywords(ds, top_k=50).to_pandas()
+        dist = textrank_keywords(ds, top_k=50, local_threshold=0).to_pandas()
+        assert local.values.tolist() == dist.values.tolist()
+        assert len(local) > 3

@@ -1746,3 +1746,200 @@ def zipf_fit(ds, top_v: int = 500, text_col: str = "text"):
             }
         )
     )
+
+
+def textrank_keywords(
+    ds,
+    top_k: int = 30,
+    min_len: int = 3,
+    iterations: int = 2,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    local_threshold: int = 2_000_000,
+):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus-level word co-occurrence graph — distinct
+    symmetric adjacency pairs of alnum tokens with ``len >= min_len``
+    (adjacency computed AFTER the length filter, windows never cross
+    document boundaries, self-loops dropped) — run for ``iterations``
+    exact-integer rounds (pipelines/graph.py::pagerank micro-rank
+    floor-division trajectory, bit-equal to unrolled SQL CTEs).
+    Returns Dataset[(word, pr)] ordered by (pr desc, word), top
+    ``top_k`` — a total order, deterministic and oracle-checkable.
+    Reference analogue: TeXoo's keyword/heading surface features
+    (core/features.py family) lifted to a corpus-global ranking.
+
+    Shape: ONE tagged corpus pass emits per-batch-distinct edge rows
+    (node ids = 64-bit FNV of the word — collision odds ~2^-64·|V|²,
+    the engine-side id space; the oracle ranks the words themselves)
+    plus (id, word) vocab rows; one groupby dedupes both; pagerank
+    runs vocab-sized joins per round; one vocab-sized inner join maps
+    ids back to words and a candidate-sized sort+limit finishes. The
+    corpus text never shuffles — only distinct pairs do.
+
+    When the deduped (edges + vocab) table is at most
+    ``local_threshold`` rows, the trajectory runs driver-local in one
+    vectorized numpy loop over the already-materialized aggregate
+    instead of ~6 sequential vocab-sized Ray jobs (the bpe/kcore
+    local-loop precedent — each tiny job costs ~1 s of launch; a
+    path-equivalence test pins both branches to the same ranks). The
+    distributed branch is the over-threshold path.
+    """
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..core.strhash import utf8_hash64
+    from .dedup import _compact
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+            }
+        )
+        nd = len(dic)
+        if nd == 0:
+            return empty
+        ok_code = np.asarray(
+            pc.greater_equal(pc.utf8_length(dic), min_len), dtype=bool
+        )
+        keep = ok_code[codes]
+        doc_of, codes = doc_of[keep], codes[keep]
+        kept_codes = np.flatnonzero(ok_code)
+        if len(kept_codes) == 0:
+            return empty
+        h = utf8_hash64(dic).view(np.int64)
+        tables = [
+            pa.table(
+                {
+                    "kind": pa.array(
+                        np.zeros(len(kept_codes), np.int64), pa.int64()
+                    ),
+                    "src": pa.array(h[kept_codes], pa.int64()),
+                    "dst": pa.array(
+                        np.zeros(len(kept_codes), np.int64), pa.int64()
+                    ),
+                    "word": dic.take(pa.array(kept_codes, pa.int64())),
+                }
+            )
+        ]
+        if len(codes) >= 2:
+            same = doc_of[1:] == doc_of[:-1]
+            a, b = codes[:-1][same], codes[1:][same]
+            ne = a != b
+            a, b = a[ne], b[ne]
+            if len(a):
+                src = np.concatenate([h[a], h[b]])
+                dst = np.concatenate([h[b], h[a]])
+                m = np.empty((len(src), 2), np.int64)
+                m[:, 0], m[:, 1] = src, dst
+                mu = np.unique(m.view([("a", "<i8"), ("b", "<i8")]).ravel())
+                tables.append(
+                    pa.table(
+                        {
+                            "kind": pa.array(
+                                np.ones(len(mu), np.int64), pa.int64()
+                            ),
+                            "src": pa.array(mu["a"], pa.int64()),
+                            "dst": pa.array(mu["b"], pa.int64()),
+                            "word": pa.array([""] * len(mu), pa.string()),
+                        }
+                    )
+                )
+        return pa.concat_tables(tables).combine_chunks()
+
+    tagged = _compact(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "src", "dst", "word"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["kind", "src", "dst", "word"])
+    )
+    empty_out = pa.table(
+        {"word": pa.array([], pa.string()), "pr": pa.array([], pa.int64())}
+    )
+    if tagged is None:
+        return ray.data.from_arrow(empty_out)
+
+    if tagged.count() <= local_threshold:
+        # driver-local trajectory over the materialized aggregate —
+        # identical integer ops to graph.pagerank, proven by the
+        # path-equivalence test
+        df = tagged.to_pandas()
+        if len(df) == 0 or "kind" not in df.columns:
+            return ray.data.from_arrow(empty_out)
+        e = df[df["kind"] == 1]
+        v = df[df["kind"] == 0]
+        if len(e) == 0 or len(v) == 0:
+            return ray.data.from_arrow(empty_out)
+        src = e["src"].to_numpy(np.int64)
+        dst = e["dst"].to_numpy(np.int64)
+        uniq = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(uniq, src)
+        di = np.searchsorted(uniq, dst)
+        n = len(uniq)
+        outdeg = np.bincount(si, minlength=n).astype(np.int64)
+        scale, dn, dd = 1_000_000, 85, 100
+        base = scale * (dd - dn) // dd
+        prv = np.full(n, scale, np.int64)
+        for _ in range(iterations):
+            share = prv[si] * dn // (dd * np.maximum(outdeg[si], 1))
+            nxt = np.full(n, base, np.int64)
+            np.add.at(nxt, di, share)
+            prv = nxt
+        vid = v["src"].to_numpy(np.int64)
+        pos = np.searchsorted(uniq, vid)
+        ok = (pos < n) & (uniq[np.clip(pos, 0, n - 1)] == vid)
+        words = v["word"].to_numpy()[ok].astype(str)
+        ranks = prv[pos[ok]]
+        order = np.lexsort((words, -ranks))[:top_k]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "word": pa.array(words[order], pa.string()),
+                    "pr": pa.array(ranks[order], pa.int64()),
+                }
+            )
+        )
+
+    def keep_kind(k: int, cols):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["kind"], k))
+            return t.select(list(cols))
+
+        return f
+
+    edges = _compact(
+        tagged.map_batches(keep_kind(1, ["src", "dst"]), batch_format="pyarrow")
+    )
+    if edges is None:
+        return ray.data.from_arrow(empty_out)
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], 0))
+        return pa.table({"id": t["src"], "word": t["word"]})
+
+    vocab = _compact(tagged.map_batches(vocab_rows, batch_format="pyarrow"))
+
+    from ..pipelines.graph import pagerank
+
+    pr = _compact(
+        pagerank(edges, iterations=iterations, num_partitions=num_partitions)
+    )
+    if pr is None or vocab is None:
+        return ray.data.from_arrow(empty_out)
+    P = max(2, min(8, 1 + vocab.count() // 100_000))
+    joined = pr.join(vocab, "inner", P, on=("id",))
+    return (
+        joined.map_batches(
+            lambda b: pa.table({"word": b["word"], "pr": b["pr"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["pr", "word"], descending=[True, False])
+        .limit(top_k)
+    )
