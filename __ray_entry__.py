@@ -4091,6 +4091,19 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_tool_chains(sf_dir: str):
+    """Per-conversation tool-call chain stats over the transcripts
+    corpus (pipelines/conversations.py::tool_chains): tool-turn count,
+    longest consecutive tool run (islands-and-gaps), distinct tools.
+    One conv-bucket exchange, block-local run-boundary reduction."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import tool_chains
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    return tool_chains(ds)
+
+
 def _q_textrank(sf_dir: str):
     """TextRank keyword extraction (stages/text_stats.py::
     textrank_keywords — Mihalcea & Tarau 2004): exact-integer 2-round
@@ -4284,6 +4297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "rolling_median": _q_rolling_median,
         "textrank_keywords": _q_textrank,
+        "tool_chains": _q_tool_chains,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5099,6 +5113,32 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "tool_chains": """
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, tool
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            r AS (SELECT conv_id, role,
+                         row_number() OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx)
+                         - row_number() OVER (PARTITION BY conv_id, role
+                                              ORDER BY turn_idx) AS grp
+                  FROM t),
+            runs AS (SELECT conv_id, count(*)::BIGINT AS len
+                     FROM r WHERE role = 'tool' GROUP BY conv_id, grp),
+            mx AS (SELECT conv_id, max(len)::BIGINT AS max_tool_run
+                   FROM runs GROUP BY conv_id),
+            agg AS (SELECT conv_id,
+                           sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT
+                             AS n_tool_turns,
+                           count(DISTINCT CASE WHEN role = 'tool' THEN tool END)::BIGINT
+                             AS n_distinct_tools
+                    FROM t GROUP BY conv_id)
+            SELECT a.conv_id, a.n_tool_turns,
+                   coalesce(m.max_tool_run, 0)::BIGINT AS max_tool_run,
+                   a.n_distinct_tools
+            FROM agg a LEFT JOIN mx m USING (conv_id)
+            ORDER BY a.conv_id
         """,
         "textrank_keywords": """
             WITH w AS (

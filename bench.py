@@ -229,6 +229,7 @@ def run_queries() -> dict:
         "zipf_fit",
         "rolling_median",
         "textrank_keywords",
+        "tool_chains",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -205,3 +205,42 @@ class TestPreferencePairs:
             )
         )
         assert preference_pairs(ds2).count() == 0
+
+
+class TestToolChains:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import tool_chains
+
+        rows = [
+            # conv a: tool runs of length 2 then 1, two distinct tools
+            ("a", 0, "user", ""),
+            ("a", 1, "tool", "search"),
+            ("a", 2, "tool", "search"),
+            ("a", 3, "assistant", ""),
+            ("a", 4, "tool", "calc"),
+            # conv b: no tool turns at all
+            ("b", 0, "user", ""),
+            ("b", 1, "assistant", ""),
+            # conv c: one long run, same tool repeated
+            ("c", 0, "tool", "calc"),
+            ("c", 1, "tool", "calc"),
+            ("c", 2, "tool", "calc"),
+        ]
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = tool_chains(ds, n_buckets=4).to_pandas()
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == [
+            ("a", 3, 2, 2),
+            ("b", 0, 0, 0),
+            ("c", 3, 3, 1),
+        ]

@@ -600,3 +600,94 @@ def preference_pairs(
         .map_groups(scan, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+def tool_chains(ds, n_buckets: int = 64):
+    """Per-conversation tool-call chain statistics over agent
+    transcripts: total tool turns, the longest consecutive run of
+    tool turns (turn order = turn_idx — the islands-and-gaps measure
+    of how deeply the agent chains tool calls), and the number of
+    distinct tools invoked. Returns Dataset[(conv_id, n_tool_turns,
+    max_tool_run, n_distinct_tools)] for every conversation (zeros
+    when no tool turns), sorted by conv_id.
+
+    Shape: ONE conv-bucket hash exchange on a (conv, turn, role,
+    tool) projection; block-local lexsort + run-boundary flatnonzero
+    + np.maximum.at per-conversation reduction — no per-conversation
+    dispatch (the _conv_segments idiom). The SQL mirror is the
+    classic row_number-difference islands query.
+    """
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "is_tool": pc.equal(
+                    pc.fill_null(batch["role"], ""), "tool"
+                ),
+                "tool": pc.fill_null(batch["tool"], ""),
+            }
+        )
+
+    def scan(group: pa.Table) -> pa.Table:
+        conv = group["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        n = len(conv)
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": conv.slice(0, 0),
+                    "n_tool_turns": pa.array([], pa.int64()),
+                    "max_tool_run": pa.array([], pa.int64()),
+                    "n_distinct_tools": pa.array([], pa.int64()),
+                }
+            )
+        enc = conv.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary
+        ncv = len(dic)
+        turn = np.asarray(group["turn_idx"]).astype(np.int64)
+        ist = np.asarray(group["is_tool"], dtype=bool)
+        order = np.lexsort((turn, codes))
+        c, t = codes[order], ist[order]
+        n_tool = np.zeros(ncv, np.int64)
+        np.add.at(n_tool, c[t], 1)
+        # runs: boundaries where conv or tool-flag changes
+        new_run = np.ones(n, bool)
+        new_run[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        rc, rt = c[starts], t[starts]
+        max_run = np.zeros(ncv, np.int64)
+        if rt.any():
+            np.maximum.at(max_run, rc[rt], lengths[rt])
+        # distinct tools among tool turns
+        tool = group["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        tenc = tool.dictionary_encode()
+        tcodes = np.asarray(tenc.indices, dtype=np.int64)
+        T = np.int64(max(len(tenc.dictionary), 1))
+        nd = np.zeros(ncv, np.int64)
+        sel = np.flatnonzero(ist)
+        if len(sel):
+            uniq = np.unique(codes[sel] * T + tcodes[sel])
+            np.add.at(nd, uniq // T, 1)
+        return pa.table(
+            {
+                "conv_id": pc.cast(dic, pa.string()),
+                "n_tool_turns": pa.array(n_tool, pa.int64()),
+                "max_tool_run": pa.array(max_run, pa.int64()),
+                "n_distinct_tools": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return (
+        _conv_buckets(ds.map_batches(project, batch_format="pyarrow"), n_buckets)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .sort("conv_id")
+    )
