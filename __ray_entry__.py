@@ -4091,6 +4091,18 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence mining over lineitem
+    (pipelines/relational.py::basket_pairs): top-50 part pairs by
+    shared-order count with exact cosine affinity micros. One
+    basket-bucket exchange + shifted same-basket pair generation,
+    pair-domain groupby, broadcast item counts."""
+    from texoo_ray.pipelines.relational import basket_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return basket_pairs(ds, top_k=50)
+
+
 def _q_tool_chains(sf_dir: str):
     """Per-conversation tool-call chain stats over the transcripts
     corpus (pipelines/conversations.py::tool_chains): tool-turn count,
@@ -4298,6 +4310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _q_rolling_median,
         "textrank_keywords": _q_textrank,
         "tool_chains": _q_tool_chains,
+        "basket_pairs": _q_basket_pairs,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5113,6 +5126,19 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "basket_pairs": """
+            WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            pairs AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS co
+                      FROM bp x JOIN bp y ON x.o = y.o AND x.p < y.p
+                      GROUP BY x.p, y.p),
+            ic AS (SELECT p, count(*)::BIGINT AS nb FROM bp GROUP BY p)
+            SELECT a, b, co, ca.nb AS n_a, cb.nb AS n_b,
+                   CAST(floor(co / sqrt((ca.nb * cb.nb)::DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS cosine_micro
+            FROM pairs JOIN ic ca ON ca.p = a JOIN ic cb ON cb.p = b
+            ORDER BY co DESC, a, b LIMIT 50
         """,
         "tool_chains": """
             WITH t AS (

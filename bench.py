@@ -230,6 +230,7 @@ def run_queries() -> dict:
         "rolling_median",
         "textrank_keywords",
         "tool_chains",
+        "basket_pairs",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -319,3 +319,55 @@ def test_global_rank_matches_sql_rank_semantics(ray_session):
     # rank() = 1 + count strictly smaller; ties share
     want = [1 + sum(1 for x in vals if x < v) for v in vals]
     assert out["rnk"].tolist() == want
+
+
+class TestBasketPairs:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.pipelines.relational import basket_pairs
+
+        baskets = {
+            1: [10, 20, 30],
+            2: [20, 30],
+            3: [10, 20, 30, 40],
+            4: [40],
+            5: [20, 30, 20],  # duplicate item collapses
+        }
+        o, p = [], []
+        for k, items in baskets.items():
+            for it in items:
+                o.append(k)
+                p.append(it)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(o, pa.int64()),
+                    "l_partkey": pa.array(p, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = basket_pairs(ds, top_k=10, n_buckets=4).to_pandas()
+
+        co = Counter()
+        nb = Counter()
+        for items in baskets.values():
+            s = sorted(set(items))
+            nb.update(s)
+            for i in range(len(s)):
+                for j in range(i + 1, len(s)):
+                    co[(s[i], s[j])] += 1
+        ref = []
+        for (a, b), c in co.items():
+            cos = math.floor(
+                c / math.sqrt(float(nb[a] * nb[b])) * 1e6 + 0.5
+            )
+            ref.append((a, b, c, nb[a], nb[b], cos))
+        ref.sort(key=lambda r: (-r[2], r[0], r[1]))
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref[:10]
+        # (20, 30) share baskets 1, 2, 3 and 5 and top the list
+        assert got[0][:3] == (20, 30, 4)

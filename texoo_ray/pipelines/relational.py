@@ -1063,3 +1063,174 @@ def group_regression(ds, group_col: str, x_col: str, y_col: str):
         ).append_column("slope_den", pa.array(dens, pa.int64()))
 
     return t.map_batches(final, batch_format="pyarrow")
+
+
+def basket_pairs(
+    ds,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_k: int = 50,
+    n_buckets: int = 64,
+):
+    """Market-basket co-occurrence mining (Agrawal & Srikant 1994's
+    frequent-pair core, plus exact cosine affinity): the ``top_k``
+    item pairs most often appearing in the same basket, with
+
+        cosine_micro = floor(co / sqrt(n_a * n_b) * 1e6 + 0.5)
+
+    where ``co`` is the number of shared baskets and ``n_a`` the
+    item's basket count — the int64→double division / sqrt in the SQL
+    oracle's parse-tree order. Returns Dataset[(a, b, co, n_a, n_b,
+    cosine_micro)] with a < b, ordered by (co desc, a, b) — a total
+    order. The recommender-style item-item similarity primitive.
+
+    Shape: ONE basket-hash bucket exchange of the (basket, item)
+    projection co-locates each basket; block-local distinct via one
+    structured unique, then pairs generate by shifted same-basket
+    compares over the sorted rows (max-basket-size passes, each fully
+    vectorized — TPC-H baskets hold <=7 lines, and the shift count is
+    data-bounded per block); per-batch pair pre-combine caps the
+    global groupby at the distinct-pair domain. Item basket-counts
+    ride the same tagged aggregate; the small item side broadcasts
+    driver-side for the scoring map. Skew note: a single basket of B
+    items emits B(B-1)/2 pairs — cap upstream if baskets are
+    unbounded (documented, TPC-H's are bounded at 7).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch[basket_col], dtype=np.int64)
+        b = (o * np.int64(2654435761)) % np.int64(n_buckets)
+        return pa.table(
+            {
+                "o": pa.array(o, pa.int64()),
+                "p": pa.array(
+                    np.asarray(batch[item_col], dtype=np.int64), pa.int64()
+                ),
+                "bucket": pa.array(np.abs(b), pa.int64()),
+            }
+        )
+
+    K2 = [("a", "<i8"), ("b", "<i8")]
+
+    def scan(group: pa.Table) -> pa.Table:
+        o = np.asarray(group["o"], dtype=np.int64)
+        p = np.asarray(group["p"], dtype=np.int64)
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(o) == 0:
+            return empty
+        m = np.empty((len(o), 2), np.int64)
+        m[:, 0], m[:, 1] = o, p
+        mu = np.unique(m.view(K2).ravel())  # distinct, sorted by (o, p)
+        oo, pp = mu["a"], mu["b"]
+        tables = []
+        # per-item basket counts
+        up, cnt = np.unique(pp, return_counts=True)
+        tables.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(len(up), np.int64), pa.int64()),
+                    "a": pa.array(up, pa.int64()),
+                    "b": pa.array(np.zeros(len(up), np.int64), pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+        )
+        # within-basket pairs via shifted same-basket compares
+        n = len(oo)
+        pa_list, pb_list = [], []
+        d = 1
+        while d < n:
+            same = oo[d:] == oo[:-d]
+            if not same.any():
+                break
+            pa_list.append(pp[:-d][same])
+            pb_list.append(pp[d:][same])
+            d += 1
+        if pa_list:
+            aa = np.concatenate(pa_list)
+            bb = np.concatenate(pb_list)
+            pm = np.empty((len(aa), 2), np.int64)
+            pm[:, 0], pm[:, 1] = aa, bb
+            pu, pcnt = np.unique(pm.view(K2).ravel(), return_counts=True)
+            tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(len(pu), np.int64), pa.int64()),
+                        "a": pa.array(pu["a"], pa.int64()),
+                        "b": pa.array(pu["b"], pa.int64()),
+                        "n": pa.array(pcnt.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables).combine_chunks()
+
+    from ..stages.dedup import _compact
+
+    agg = _compact(
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    empty_out = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "co": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "cosine_micro": pa.array([], pa.int64()),
+        }
+    )
+    if agg is None:
+        return ray.data.from_arrow(empty_out)
+    import ray
+
+    items = agg.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    ids = items["a"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], items["n"].to_numpy(np.int64)[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        sids, scnt = ray.get(ref)
+        t = batch.filter(pc.equal(batch["kind"], 1))
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        co = np.asarray(t["n"], dtype=np.int64)
+        na = scnt[np.searchsorted(sids, a)]
+        nb = scnt[np.searchsorted(sids, b)]
+        # SAME parse tree as the SQL oracle: int->double divide by sqrt
+        cos = np.floor(
+            co.astype(np.float64)
+            / np.sqrt((na * nb).astype(np.float64))
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "co": pa.array(co, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "cosine_micro": pa.array(cos, pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["co", "a", "b"], descending=[True, False, False])
+        .limit(top_k)
+    )
