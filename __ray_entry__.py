@@ -4091,6 +4091,25 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_js_drift(sf_dir: str):
+    """Jensen-Shannon vocabulary drift between the even- and odd-id
+    snapshot halves of the documents corpus (stages/text_stats.py::
+    js_divergence — the textual sibling of the rational KS drift):
+    exact int64 micro-nat accumulation, ONE word-fingerprint aggregate,
+    no strings leave the batch."""
+    from texoo_ray.stages.text_stats import js_divergence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        side = np.asarray(batch["doc_id"], dtype=np.int64) % 2
+        return pa.table(
+            {"text": batch["text"], "side": pa.array(side, pa.int64())}
+        )
+
+    return js_divergence(ds.map_batches(tag, batch_format="pyarrow"))
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket co-occurrence mining over lineitem
     (pipelines/relational.py::basket_pairs): top-50 part pairs by
@@ -4311,6 +4330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank,
         "tool_chains": _q_tool_chains,
         "basket_pairs": _q_basket_pairs,
+        "js_drift": _q_js_drift,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5126,6 +5146,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "js_drift": """
+            WITH w AS (
+              SELECT doc_id % 2 AS side,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
+              FROM documents),
+            c AS (SELECT wd,
+                         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+                         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+                  FROM w GROUP BY wd),
+            tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c)
+            SELECT tot.na AS n_old, tot.nb AS n_new,
+                   sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS terms_old,
+                   sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS terms_new,
+                   sum(CASE WHEN ca > 0 THEN ca * CAST(floor(
+                       ln((ca / tot.na) / ((ca / tot.na + cb / tot.nb) / 2))
+                       * 1000000 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+                     AS js_old_micro,
+                   sum(CASE WHEN cb > 0 THEN cb * CAST(floor(
+                       ln((cb / tot.nb) / ((ca / tot.na + cb / tot.nb) / 2))
+                       * 1000000 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+                     AS js_new_micro
+            FROM c, tot GROUP BY tot.na, tot.nb
         """,
         "basket_pairs": """
             WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -231,6 +231,7 @@ def run_queries() -> dict:
         "textrank_keywords",
         "tool_chains",
         "basket_pairs",
+        "js_drift",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -923,3 +923,63 @@ class TestTextrankKeywords:
         dist = textrank_keywords(ds, top_k=50, local_threshold=0).to_pandas()
         assert local.values.tolist() == dist.values.tolist()
         assert len(local) > 3
+
+
+class TestJsDivergence:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import js_divergence
+
+        old = ["alpha beta gamma", "alpha beta", "gamma delta"]
+        new = ["alpha epsilon", "epsilon zeta zeta", "alpha beta"]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "text": old + new,
+                    "side": pa.array([0] * 3 + [1] * 3, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        r = js_divergence(ds).to_pandas().iloc[0]
+
+        ca, cb = Counter(), Counter()
+        for t in old:
+            ca.update(re.findall(r"[a-z0-9]+", t))
+        for t in new:
+            cb.update(re.findall(r"[a-z0-9]+", t))
+        na, nb = sum(ca.values()), sum(cb.values())
+        jsp = jsq = 0
+        for w in set(ca) | set(cb):
+            p, q = ca[w] / na, cb[w] / nb
+            m = (p + q) / 2.0
+            if ca[w] > 0:
+                jsp += ca[w] * math.floor(math.log(p / m) * 1e6 + 0.5)
+            if cb[w] > 0:
+                jsq += cb[w] * math.floor(math.log(q / m) * 1e6 + 0.5)
+        assert (r["n_old"], r["n_new"]) == (na, nb)
+        assert (r["terms_old"], r["terms_new"]) == (len(ca), len(cb))
+        assert (r["js_old_micro"], r["js_new_micro"]) == (jsp, jsq)
+        js = (jsp / na + jsq / nb) / 2e6
+        assert 0.0 <= js <= math.log(2) + 1e-9
+
+    def test_identical_sides(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import js_divergence
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "text": ["same words here", "same words here"],
+                    "side": pa.array([0, 1], pa.int64()),
+                }
+            )
+        )
+        r = js_divergence(ds).to_pandas().iloc[0]
+        # identical distributions: every ln(p/m) = ln(1) = 0
+        assert r["js_old_micro"] == 0 and r["js_new_micro"] == 0

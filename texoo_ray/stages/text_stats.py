@@ -1943,3 +1943,140 @@ def textrank_keywords(
         .sort(["pr", "word"], descending=[True, False])
         .limit(top_k)
     )
+
+
+def js_divergence(ds, side_col: str = "side", text_col: str = "text"):
+    """Jensen-Shannon divergence between the unigram distributions of
+    two corpus snapshots (Lin 1991 — the symmetric, bounded drift
+    measure; the textual sibling of the exact-rational KS drift):
+    rows tagged ``side_col`` in {0, 1}. With p_w = c0_w/n0,
+    q_w = c1_w/n1, m_w = (p_w + q_w)/2, reports
+
+        js_old_micro = sum_{w: c0>0} c0_w * floor(ln(p_w / m_w)*1e6 + 0.5)
+        js_new_micro = sum_{w: c1>0} c1_w * floor(ln(q_w / m_w)*1e6 + 0.5)
+
+    so JS = (js_old/n0 + js_new/n1) / (2·1e6), left rational. Per-word
+    micro rounding BEFORE the count-weighted sums keeps the
+    aggregation pure order-independent int64, and the division/ln
+    chain sits in the SQL oracle's parse-tree order. Returns a
+    one-row Dataset[(n_old, n_new, terms_old, terms_new,
+    js_old_micro, js_new_micro)].
+
+    Shape: ONE (word-fingerprint × side-pair) counting aggregate —
+    no word STRINGS ever leave the batch (the output is corpus-level,
+    so 128-bit FNV keys suffice; the dsir/kn fingerprint precedent);
+    scalar totals off the materialized aggregate; ONE scoring map
+    emits per-block int64 partial sums and a final tiny Sum. Raises
+    on int64 overflow of count * micro (bounds-checked per batch).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        side = np.asarray(batch[side_col], dtype=np.int64)
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        nd = len(dic)
+        empty = pa.table(
+            {
+                "k0": pa.array([], pa.int64()),
+                "k1": pa.array([], pa.int64()),
+                "c0": pa.array([], pa.int64()),
+                "c1": pa.array([], pa.int64()),
+            }
+        )
+        if nd == 0 or len(codes) == 0:
+            return empty
+        s_tok = side[doc_of]
+        c0 = np.bincount(codes[s_tok == 0], minlength=nd).astype(np.int64)
+        c1 = np.bincount(codes[s_tok == 1], minlength=nd).astype(np.int64)
+        keep = (c0 > 0) | (c1 > 0)
+        if not keep.any():
+            return empty
+        idx = np.flatnonzero(keep)
+        h0 = utf8_hash64(dic, 0).view(np.int64)
+        h1 = utf8_hash64(dic, 1).view(np.int64)
+        return pa.table(
+            {
+                "k0": pa.array(h0[idx], pa.int64()),
+                "k1": pa.array(h1[idx], pa.int64()),
+                "c0": pa.array(c0[idx], pa.int64()),
+                "c1": pa.array(c1[idx], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["k0", "k1"])
+        .aggregate(Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1"))
+    ).materialize()
+
+    n0 = int(agg.sum("c0") or 0)
+    n1 = int(agg.sum("c1") or 0)
+    if n0 == 0 or n1 == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_old": pa.array([n0], pa.int64()),
+                    "n_new": pa.array([n1], pa.int64()),
+                    "terms_old": pa.array([0], pa.int64()),
+                    "terms_new": pa.array([0], pa.int64()),
+                    "js_old_micro": pa.array([0], pa.int64()),
+                    "js_new_micro": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c0 = np.asarray(batch["c0"], dtype=np.int64)
+        c1 = np.asarray(batch["c1"], dtype=np.int64)
+        # SAME parse tree as the SQL oracle
+        p = c0.astype(np.float64) / np.float64(n0)
+        q = c1.astype(np.float64) / np.float64(n1)
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dp = np.floor(np.log(p / m) * 1e6 + 0.5)
+            dq = np.floor(np.log(q / m) * 1e6 + 0.5)
+        tp = np.where(c0 > 0, dp, 0.0)
+        tq = np.where(c1 > 0, dq, 0.0)
+        if len(c0) and (
+            float(np.max(c0 * np.abs(tp))) > 2**62
+            or float(np.max(c1 * np.abs(tq))) > 2**62
+        ):
+            raise OverflowError(
+                "js_divergence: count * micro overflows exact int64 — "
+                "shard the corpus first"
+            )
+        return pa.table(
+            {
+                "terms_old": pa.array([int((c0 > 0).sum())], pa.int64()),
+                "terms_new": pa.array([int((c1 > 0).sum())], pa.int64()),
+                "js_old_micro": pa.array(
+                    [int((c0 * tp.astype(np.int64)).sum())], pa.int64()
+                ),
+                "js_new_micro": pa.array(
+                    [int((c1 * tq.astype(np.int64)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = agg.map_batches(score, batch_format="pyarrow").to_pandas()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_old": pa.array([n0], pa.int64()),
+                "n_new": pa.array([n1], pa.int64()),
+                "terms_old": pa.array([int(parts["terms_old"].sum())], pa.int64()),
+                "terms_new": pa.array([int(parts["terms_new"].sum())], pa.int64()),
+                "js_old_micro": pa.array(
+                    [int(parts["js_old_micro"].sum())], pa.int64()
+                ),
+                "js_new_micro": pa.array(
+                    [int(parts["js_new_micro"].sum())], pa.int64()
+                ),
+            }
+        )
+    )
