@@ -4091,6 +4091,36 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_grouped_mad(sf_dir: str):
+    """Per-event-type Hampel gate over cents-quantized values
+    (pipelines/analytics.py::grouped_mad_outliers): each type gets its
+    own exact median/MAD threshold from ONE grouped histogram — a
+    high-variance type no longer hides a low-variance type's spikes.
+    Same two-scan budget as the global gate."""
+    from texoo_ray.pipelines.analytics import grouped_mad_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            np.asarray(batch["value"], dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(x, pa.int64()),
+            }
+        )
+
+    return grouped_mad_outliers(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "value_cents",
+        k=5,
+    )
+
+
 def _q_js_drift(sf_dir: str):
     """Jensen-Shannon vocabulary drift between the even- and odd-id
     snapshot halves of the documents corpus (stages/text_stats.py::
@@ -4331,6 +4361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_chains": _q_tool_chains,
         "basket_pairs": _q_basket_pairs,
         "js_drift": _q_js_drift,
+        "grouped_mad": _q_grouped_mad,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5146,6 +5177,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "grouped_mad": """
+            WITH v AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+              FROM events),
+            med AS (SELECT event_type,
+                           quantile_disc(value_cents, 0.5)::BIGINT AS m
+                    FROM v GROUP BY event_type),
+            mad AS (SELECT v.event_type,
+                           quantile_disc(abs(v.value_cents - med.m), 0.5)::BIGINT AS d
+                    FROM v JOIN med USING (event_type)
+                    GROUP BY v.event_type)
+            SELECT v.event_id, v.event_type, v.value_cents,
+                   abs(v.value_cents - med.m)::BIGINT AS dev
+            FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE abs(v.value_cents - med.m) > 5 * mad.d
+            ORDER BY v.event_id
         """,
         "js_drift": """
             WITH w AS (

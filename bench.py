@@ -232,6 +232,7 @@ def run_queries() -> dict:
         "tool_chains",
         "basket_pairs",
         "js_drift",
+        "grouped_mad",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

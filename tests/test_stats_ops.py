@@ -983,3 +983,48 @@ class TestJsDivergence:
         r = js_divergence(ds).to_pandas().iloc[0]
         # identical distributions: every ln(p/m) = ln(1) = 0
         assert r["js_old_micro"] == 0 and r["js_new_micro"] == 0
+
+
+class TestGroupedMadOutliers:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import grouped_mad_outliers
+
+        # group a: tight around 100 with a spike; group b: wide spread
+        # where 180 is NORMAL (the global gate would flag it)
+        ga = [100, 101, 99, 102, 98, 100, 500]
+        gb = [0, 50, 100, 150, 180, 200, -2000]
+        vals = ga + gb
+        grps = ["a"] * len(ga) + ["b"] * len(gb)
+        ids = list(range(len(vals)))
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "g": pa.array(grps, pa.string()),
+                    "v": pa.array(vals, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = grouped_mad_outliers(ds, "g", "v", k=5).to_pandas()
+
+        def disc(xs):
+            s = sorted(xs)
+            return s[(len(s) + 1) // 2 - 1]
+
+        ref = []
+        for g, xs in (("a", ga), ("b", gb)):
+            m = disc(xs)
+            cut = 5 * disc([abs(x - m) for x in xs])
+            base = 0 if g == "a" else len(ga)
+            for i, x in enumerate(xs):
+                if abs(x - m) > cut:
+                    ref.append((base + i, g, x, abs(x - m)))
+        ref.sort()
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref
+        flagged = {(g, x) for _, g, x, _ in got}
+        assert ("a", 500) in flagged and ("b", -2000) in flagged
+        # 180 is normal within group b's wide spread
+        assert ("b", 180) not in flagged

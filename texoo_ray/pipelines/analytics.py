@@ -941,3 +941,114 @@ def rolling_median(
         .map_groups(scan, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+def grouped_mad_outliers(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+    k: int = 5,
+):
+    """Per-group Hampel / MAD outlier gate (the grouped form of
+    :func:`mad_outliers` — each group gets its OWN robust threshold,
+    so a high-variance group doesn't flag a low-variance group's
+    normal rows): flag rows where ``|x - median_g| > k * MAD_g``,
+    both per-group medians exact percentile_disc(0.5). Returns
+    Dataset[(id, group, value, dev)] of the outliers, sorted by id.
+
+    Shape: ONE (group × value-domain) histogram aggregate (the
+    grouped_quantiles budget — bounded for integer domains); BOTH
+    per-group medians invert driver-side from that single histogram;
+    per-group thresholds broadcast in the filter closure
+    (group-domain-sized) for one row-local filter map. Two corpus
+    scans, one exchange — identical budget to the global gate.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        nd = len(enc.dictionary)
+        key = codes * np.int64(2**32) + (v - np.int64(-(2**31)))
+        # value domain must fit 32 bits for the packed key
+        if len(v) and (v.min() < -(2**31) or v.max() >= 2**31):
+            raise OverflowError(
+                "grouped_mad_outliers: value outside 32-bit domain — "
+                "bucket first"
+            )
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(
+                    pa.array(u // np.int64(2**32), pa.int64())
+                ),
+                "v": pa.array(
+                    (u % np.int64(2**32)) + np.int64(-(2**31)), pa.int64()
+                ),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            value_col: pa.array([], pa.int64()),
+            "dev": pa.array([], pa.int64()),
+        }
+    )
+    if len(hist) == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    def _disc(vals: np.ndarray, counts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(counts[order])
+        tgt = (int(cum[-1]) + 1) // 2
+        return int(vals[order][np.searchsorted(cum, tgt)])
+
+    med_of, cut_of = {}, {}
+    for grp, sub in hist.groupby(group_col, sort=False):
+        v = sub["v"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        m = _disc(v, n)
+        med_of[grp] = m
+        cut_of[grp] = k * _disc(np.abs(v - m), n)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary.to_pylist()
+        med = np.array([med_of[s] for s in dic], np.int64)[codes]
+        cut = np.array([cut_of[s] for s in dic], np.int64)[codes]
+        x = np.asarray(batch[value_col], dtype=np.int64)
+        dev = np.abs(x - med)
+        keep = dev > cut
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(batch[id_col], dtype=np.int64)[keep],
+                    pa.int64(),
+                ),
+                group_col: pc.cast(g, pa.string()).filter(pa.array(keep)),
+                value_col: pa.array(x[keep], pa.int64()),
+                "dev": pa.array(dev[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)
