@@ -4091,6 +4091,18 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_entropy_rate(sf_dir: str):
+    """Bigram conditional entropy of the documents corpus in exact
+    micro-nats (stages/text_stats.py::entropy_rate — Shannon's
+    predictability estimate; templated/generated text scores low).
+    One fingerprint-keyed tagged aggregate + broadcast context model,
+    zero corpus shuffle, no strings leave the batch."""
+    from texoo_ray.stages.text_stats import entropy_rate
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return entropy_rate(ds)
+
+
 def _q_grouped_mad(sf_dir: str):
     """Per-event-type Hampel gate over cents-quantized values
     (pipelines/analytics.py::grouped_mad_outliers): each type gets its
@@ -4362,6 +4374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _q_basket_pairs,
         "js_drift": _q_js_drift,
         "grouped_mad": _q_grouped_mad,
+        "entropy_rate": _q_entropy_rate,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5177,6 +5190,22 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "entropy_rate": """
+            WITH w AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents),
+            ll AS (SELECT arr, unnest(range(1, len(arr))) AS i FROM w),
+            bg AS (SELECT arr[i] AS a, arr[i + 1] AS b FROM ll),
+            cb AS (SELECT a, b, count(*)::BIGINT AS n FROM bg GROUP BY a, b),
+            cc AS (SELECT a, sum(n)::BIGINT AS cn FROM cb GROUP BY a),
+            tot AS (SELECT sum(n)::BIGINT AS n FROM cb)
+            SELECT tot.n AS n_bigrams,
+                   count(*)::BIGINT AS n_distinct_bigrams,
+                   (SELECT count(*) FROM cc)::BIGINT AS n_contexts,
+                   (-sum(cb.n * CAST(floor(ln(cb.n / cc.cn) * 1000000 + 0.5)
+                                     AS BIGINT)))::BIGINT AS h_micro
+            FROM cb JOIN cc USING (a), tot GROUP BY tot.n
         """,
         "grouped_mad": """
             WITH v AS (

@@ -233,6 +233,7 @@ def run_queries() -> dict:
         "basket_pairs",
         "js_drift",
         "grouped_mad",
+        "entropy_rate",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1028,3 +1028,50 @@ class TestGroupedMadOutliers:
         assert ("a", 500) in flagged and ("b", -2000) in flagged
         # 180 is normal within group b's wide spread
         assert ("b", 180) not in flagged
+
+
+class TestEntropyRate:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.stages.text_stats import entropy_rate
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "a cat and a dog",
+        ]
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(2)
+        r = entropy_rate(ds).to_pandas().iloc[0]
+
+        cb, cc = Counter(), Counter()
+        for t in texts:
+            ws = re.findall(r"[a-z0-9]+", t.lower())
+            for a, b in zip(ws, ws[1:]):
+                cb[(a, b)] += 1
+                cc[a] += 1
+        h = -sum(
+            n * math.floor(math.log(n / cc[a]) * 1e6 + 0.5)
+            for (a, _), n in cb.items()
+        )
+        assert r["n_bigrams"] == sum(cb.values())
+        assert r["n_distinct_bigrams"] == len(cb)
+        assert r["n_contexts"] == len(cc)
+        assert r["h_micro"] == h
+        assert h > 0
+
+    def test_deterministic_text_scores_zero(self, ray_session):
+        import ray.data
+
+        from texoo_ray.stages.text_stats import entropy_rate
+
+        # every context has exactly one successor -> H = 0
+        ds = ray.data.from_arrow(
+            pa.table({"text": ["alpha beta gamma", "alpha beta gamma"]})
+        )
+        r = entropy_rate(ds).to_pandas().iloc[0]
+        assert r["h_micro"] == 0 and r["n_bigrams"] == 4

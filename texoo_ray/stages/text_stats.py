@@ -2080,3 +2080,168 @@ def js_divergence(ds, side_col: str = "side", text_col: str = "text"):
             }
         )
     )
+
+
+def entropy_rate(ds, text_col: str = "text", model_max: int = 4_000_000):
+    """Bigram conditional entropy H(w2 | w1) of the corpus in exact
+    integer micro-nats (Shannon 1951's printed-English entropy
+    estimate, the corpus-predictability diagnostic — templated or
+    machine-generated text scores far lower than natural prose):
+
+        h_micro = -sum_{(a,b)} c(a,b) * floor(ln(c(a,b) / c(a·)) * 1e6 + 0.5)
+
+    with c(a·) the context total, so H = h_micro / (N·1e6) nats per
+    token, left rational. Per-bigram micro rounding BEFORE the
+    count-weighted sum keeps the aggregation order-independent int64;
+    the int64→double division + ln sit in the SQL oracle's parse-tree
+    order. Returns one-row Dataset[(n_bigrams, n_distinct_bigrams,
+    n_contexts, h_micro)].
+
+    Shape (the kn/pmi fingerprint plan, strings never leave the
+    batch): per-batch tagged partials carry bigram counts keyed by
+    the CONTEXT fp pair + the successor fp pair (4 int64 key columns,
+    so the context key survives the groupby) and context totals; ONE
+    groupby reduces both; the vocab-sized context side broadcasts via
+    ``ray.put`` (``model_max`` guard); ONE scoring map emits
+    per-block int64 partials. Overflow bounds-checked per batch.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
+    from .lm import _fp_lookup, _fp_sorted
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_of, codes, dic = _doc_word_codes(
+            batch[text_col], nonword="[^a-z0-9]+"
+        )
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "a0": pa.array([], pa.int64()),
+                "a1": pa.array([], pa.int64()),
+                "b0": pa.array([], pa.int64()),
+                "b1": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        nd = len(dic)
+        if nd == 0 or len(codes) < 2:
+            return empty
+        valid = doc_of[1:] == doc_of[:-1]
+        a, b = codes[:-1][valid], codes[1:][valid]
+        if len(a) == 0:
+            return empty
+        h0 = utf8_hash64(dic, 0).view(np.int64)
+        h1 = utf8_hash64(dic, 1).view(np.int64)
+        V = np.int64(nd)
+        u, mult = np.unique(a * V + b, return_counts=True)
+        ua, ub = u // V, u % V
+        ctx, cmult = np.unique(a, return_counts=True)
+        z = np.zeros(len(ctx), np.int64)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(len(ctx), np.int64), pa.int64()),
+                        "a0": pa.array(h0[ctx], pa.int64()),
+                        "a1": pa.array(h1[ctx], pa.int64()),
+                        "b0": pa.array(z, pa.int64()),
+                        "b1": pa.array(z, pa.int64()),
+                        "n": pa.array(cmult.astype(np.int64), pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(len(u), np.int64), pa.int64()),
+                        "a0": pa.array(h0[ua], pa.int64()),
+                        "a1": pa.array(h1[ua], pa.int64()),
+                        "b0": pa.array(h0[ub], pa.int64()),
+                        "b1": pa.array(h1[ub], pa.int64()),
+                        "n": pa.array(mult.astype(np.int64), pa.int64()),
+                    }
+                ),
+            ]
+        ).combine_chunks()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "a0", "a1", "b0", "b1"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).materialize()
+
+    one_row_empty = pa.table(
+        {
+            "n_bigrams": pa.array([0], pa.int64()),
+            "n_distinct_bigrams": pa.array([0], pa.int64()),
+            "n_contexts": pa.array([0], pa.int64()),
+            "h_micro": pa.array([0], pa.int64()),
+        }
+    )
+
+    def keep_kind(k: int):
+        def f(batch: pa.Table) -> pa.Table:
+            if "kind" not in batch.column_names:
+                return batch
+            return batch.filter(pc.equal(batch["kind"], k))
+
+        return f
+
+    ctx = agg.map_batches(keep_kind(0), batch_format="pyarrow").to_pandas()
+    if len(ctx) == 0:
+        return ray.data.from_arrow(one_row_empty)
+    if len(ctx) > model_max:
+        raise ValueError(
+            "entropy_rate context model exceeds model_max=%d; shard by "
+            "language first" % model_max
+        )
+    wfp, cn_vals = _fp_sorted(
+        ctx["a0"].to_numpy().view(np.uint64),
+        ctx["a1"].to_numpy().view(np.uint64),
+        ctx["n"].to_numpy().astype(np.int64),
+    )
+    ref = ray.put((wfp, cn_vals))
+    n_total = int(ctx["n"].sum())
+    n_contexts = len(ctx)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wfp, cn_vals = ray.get(ref)
+        t = batch.filter(pc.equal(batch["kind"], 1))
+        cb = np.asarray(t["n"], dtype=np.int64)
+        cn = _fp_lookup(
+            wfp,
+            cn_vals,
+            np.asarray(t["a0"], dtype=np.int64).view(np.uint64),
+            np.asarray(t["a1"], dtype=np.int64).view(np.uint64),
+        )
+        # SAME parse tree as the SQL oracle: one division, one ln
+        delta = np.floor(
+            np.log(cb.astype(np.float64) / cn.astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        if len(cb) and float(
+            np.max(cb.astype(np.float64) * np.abs(delta).astype(np.float64))
+        ) > float(2**62):
+            raise OverflowError(
+                "entropy_rate: count * micro overflows exact int64"
+            )
+        return pa.table(
+            {
+                "nb": pa.array([int(len(cb))], pa.int64()),
+                "h": pa.array([-int((cb * delta).sum())], pa.int64()),
+            }
+        )
+
+    parts = agg.map_batches(score, batch_format="pyarrow").to_pandas()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_bigrams": pa.array([n_total], pa.int64()),
+                "n_distinct_bigrams": pa.array(
+                    [int(parts["nb"].sum())], pa.int64()
+                ),
+                "n_contexts": pa.array([n_contexts], pa.int64()),
+                "h_micro": pa.array([int(parts["h"].sum())], pa.int64()),
+            }
+        )
+    )
