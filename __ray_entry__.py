@@ -4091,6 +4091,18 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_association_rules(sf_dir: str):
+    """Directed association rules over co-purchased parts
+    (pipelines/relational.py::association_rules): confidence + lift in
+    integer micros, min_support=2, top-50 by confidence. Shares the
+    basket_pairs tagged aggregate; the unordered pair domain expands
+    to both rule directions only in the scoring map."""
+    from texoo_ray.pipelines.relational import association_rules
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return association_rules(ds, min_support=2, top_k=50)
+
+
 def _q_entropy_rate(sf_dir: str):
     """Bigram conditional entropy of the documents corpus in exact
     micro-nats (stages/text_stats.py::entropy_rate — Shannon's
@@ -4375,6 +4387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_drift": _q_js_drift,
         "grouped_mad": _q_grouped_mad,
         "entropy_rate": _q_entropy_rate,
+        "association_rules": _q_association_rules,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5190,6 +5203,23 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "association_rules": """
+            WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            tot AS (SELECT count(DISTINCT o)::BIGINT AS n FROM bp),
+            pairs0 AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS co
+                       FROM bp x JOIN bp y ON x.o = y.o AND x.p <> y.p
+                       GROUP BY x.p, y.p),
+            ic AS (SELECT p, count(*)::BIGINT AS cnt FROM bp GROUP BY p)
+            SELECT a, b, co, ca.cnt AS n_a, cb.cnt AS n_b,
+                   CAST(floor(co / ca.cnt * 1000000 + 0.5) AS BIGINT)
+                     AS conf_micro,
+                   CAST(floor((co * tot.n) / (ca.cnt * cb.cnt)
+                              * 1000000 + 0.5) AS BIGINT) AS lift_micro
+            FROM pairs0 JOIN ic ca ON ca.p = a JOIN ic cb ON cb.p = b, tot
+            WHERE co >= 2
+            ORDER BY conf_micro DESC, a, b LIMIT 50
         """,
         "entropy_rate": """
             WITH w AS (

@@ -234,6 +234,7 @@ def run_queries() -> dict:
         "js_drift",
         "grouped_mad",
         "entropy_rate",
+        "association_rules",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -371,3 +371,64 @@ class TestBasketPairs:
         assert got == ref[:10]
         # (20, 30) share baskets 1, 2, 3 and 5 and top the list
         assert got[0][:3] == (20, 30, 4)
+
+
+class TestAssociationRules:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.pipelines.relational import association_rules
+
+        baskets = {
+            1: [10, 20],
+            2: [10, 20, 30],
+            3: [10, 20],
+            4: [10, 40],
+            5: [20, 30],
+            6: [30, 40],
+        }
+        o, p = [], []
+        for k, items in baskets.items():
+            for it in items:
+                o.append(k)
+                p.append(it)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(o, pa.int64()),
+                    "l_partkey": pa.array(p, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = association_rules(
+            ds, min_support=2, top_k=20, n_buckets=4
+        ).to_pandas()
+
+        co = Counter()
+        nb = Counter()
+        for items in baskets.values():
+            s = sorted(set(items))
+            nb.update(s)
+            for i in range(len(s)):
+                for j in range(i + 1, len(s)):
+                    co[(s[i], s[j])] += 1
+        N = len(baskets)
+        ref = []
+        for (x, y), c in co.items():
+            if c < 2:
+                continue
+            for a, b in ((x, y), (y, x)):
+                conf = math.floor(c / nb[a] * 1e6 + 0.5)
+                lift = math.floor(c * N / (nb[a] * nb[b]) * 1e6 + 0.5)
+                ref.append((a, b, c, nb[a], nb[b], conf, lift))
+        ref.sort(key=lambda r: (-r[5], r[0], r[1]))
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref[:20]
+        # 10 -> 20 has confidence 3/4; 20 -> 10 has 3/4 as well
+        top = {(r[0], r[1]): (r[5], r[6]) for r in got}
+        assert top[(10, 20)][0] == 750000
+        # lift of the 10<->20 rule: 3 * 6 / (4 * 4) = 1.125
+        assert top[(10, 20)][1] == 1125000

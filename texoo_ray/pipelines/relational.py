@@ -1065,38 +1065,15 @@ def group_regression(ds, group_col: str, x_col: str, y_col: str):
     return t.map_batches(final, batch_format="pyarrow")
 
 
-def basket_pairs(
-    ds,
-    basket_col: str = "l_orderkey",
-    item_col: str = "l_partkey",
-    top_k: int = 50,
-    n_buckets: int = 64,
-):
-    """Market-basket co-occurrence mining (Agrawal & Srikant 1994's
-    frequent-pair core, plus exact cosine affinity): the ``top_k``
-    item pairs most often appearing in the same basket, with
-
-        cosine_micro = floor(co / sqrt(n_a * n_b) * 1e6 + 0.5)
-
-    where ``co`` is the number of shared baskets and ``n_a`` the
-    item's basket count — the int64→double division / sqrt in the SQL
-    oracle's parse-tree order. Returns Dataset[(a, b, co, n_a, n_b,
-    cosine_micro)] with a < b, ordered by (co desc, a, b) — a total
-    order. The recommender-style item-item similarity primitive.
-
-    Shape: ONE basket-hash bucket exchange of the (basket, item)
-    projection co-locates each basket; block-local distinct via one
-    structured unique, then pairs generate by shifted same-basket
-    compares over the sorted rows (max-basket-size passes, each fully
-    vectorized — TPC-H baskets hold <=7 lines, and the shift count is
-    data-bounded per block); per-batch pair pre-combine caps the
-    global groupby at the distinct-pair domain. Item basket-counts
-    ride the same tagged aggregate; the small item side broadcasts
-    driver-side for the scoring map. Skew note: a single basket of B
-    items emits B(B-1)/2 pairs — cap upstream if baskets are
-    unbounded (documented, TPC-H's are bounded at 7).
-    """
-    import ray.data
+def _basket_tagged_agg(ds, basket_col: str, item_col: str, n_buckets: int):
+    """Shared front half of :func:`basket_pairs` /
+    :func:`association_rules`: ONE basket-hash bucket exchange of the
+    (basket, item) projection, block-local structured-unique distinct
+    + shifted same-basket pair generation, then a tagged pair-domain
+    groupby. Row kinds: 0 = per-item basket count, 1 = unordered pair
+    (a < b) co-basket count, 2 = distinct-basket count (buckets are
+    disjoint in baskets, so the per-bucket counts sum exactly).
+    Returns the compacted aggregate Dataset or None when empty."""
     from ray.data.aggregate import Sum
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1132,7 +1109,6 @@ def basket_pairs(
         mu = np.unique(m.view(K2).ravel())  # distinct, sorted by (o, p)
         oo, pp = mu["a"], mu["b"]
         tables = []
-        # per-item basket counts
         up, cnt = np.unique(pp, return_counts=True)
         tables.append(
             pa.table(
@@ -1144,7 +1120,17 @@ def basket_pairs(
                 }
             )
         )
-        # within-basket pairs via shifted same-basket compares
+        n_baskets = int(len(np.unique(oo)))
+        tables.append(
+            pa.table(
+                {
+                    "kind": pa.array([2], pa.int64()),
+                    "a": pa.array([0], pa.int64()),
+                    "b": pa.array([0], pa.int64()),
+                    "n": pa.array([n_baskets], pa.int64()),
+                }
+            )
+        )
         n = len(oo)
         pa_list, pb_list = [], []
         d = 1
@@ -1175,13 +1161,49 @@ def basket_pairs(
 
     from ..stages.dedup import _compact
 
-    agg = _compact(
+    return _compact(
         ds.map_batches(project, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(scan, batch_format="pyarrow")
         .groupby(["kind", "a", "b"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def basket_pairs(
+    ds,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_k: int = 50,
+    n_buckets: int = 64,
+):
+    """Market-basket co-occurrence mining (Agrawal & Srikant 1994's
+    frequent-pair core, plus exact cosine affinity): the ``top_k``
+    item pairs most often appearing in the same basket, with
+
+        cosine_micro = floor(co / sqrt(n_a * n_b) * 1e6 + 0.5)
+
+    where ``co`` is the number of shared baskets and ``n_a`` the
+    item's basket count — the int64→double division / sqrt in the SQL
+    oracle's parse-tree order. Returns Dataset[(a, b, co, n_a, n_b,
+    cosine_micro)] with a < b, ordered by (co desc, a, b) — a total
+    order. The recommender-style item-item similarity primitive.
+
+    Shape: ONE basket-hash bucket exchange of the (basket, item)
+    projection co-locates each basket; block-local distinct via one
+    structured unique, then pairs generate by shifted same-basket
+    compares over the sorted rows (max-basket-size passes, each fully
+    vectorized — TPC-H baskets hold <=7 lines, and the shift count is
+    data-bounded per block); per-batch pair pre-combine caps the
+    global groupby at the distinct-pair domain. Item basket-counts
+    ride the same tagged aggregate; the small item side broadcasts
+    driver-side for the scoring map. Skew note: a single basket of B
+    items emits B(B-1)/2 pairs — cap upstream if baskets are
+    unbounded (documented, TPC-H's are bounded at 7).
+    """
+    import ray.data
+
+    agg = _basket_tagged_agg(ds, basket_col, item_col, n_buckets)
     empty_out = pa.table(
         {
             "a": pa.array([], pa.int64()),
@@ -1232,5 +1254,113 @@ def basket_pairs(
     return (
         agg.map_batches(score, batch_format="pyarrow")
         .sort(["co", "a", "b"], descending=[True, False, False])
+        .limit(top_k)
+    )
+
+
+def association_rules(
+    ds,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    top_k: int = 50,
+    n_buckets: int = 64,
+):
+    """Association-rule mining (Agrawal & Srikant 1994): directed
+    rules a -> b with
+
+        conf_micro = floor(co / n_a * 1e6 + 0.5)
+        lift_micro = floor((co * N_baskets) / (n_a * n_b) * 1e6 + 0.5)
+
+    over pairs with ``co >= min_support`` shared baskets, ordered by
+    (conf_micro desc, a, b) — a total order — top ``top_k``. Both
+    divisions are int64→double in the SQL oracle's parse-tree order;
+    the int64 cross products are bounds-checked. Returns
+    Dataset[(a, b, co, n_a, n_b, conf_micro, lift_micro)].
+
+    Shape: the :func:`_basket_tagged_agg` front half (ONE bucket
+    exchange + pair-domain groupby — the unordered a<b pairs expand
+    to both directions only in the scoring map, so the exchange never
+    doubles); item counts and the exact distinct-basket total ride
+    the same tagged aggregate; scoring is row-local against the
+    broadcast item side.
+    """
+    import ray
+    import ray.data
+
+    agg = _basket_tagged_agg(ds, basket_col, item_col, n_buckets)
+    empty_out = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "co": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "conf_micro": pa.array([], pa.int64()),
+            "lift_micro": pa.array([], pa.int64()),
+        }
+    )
+    if agg is None:
+        return ray.data.from_arrow(empty_out)
+
+    side = agg.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    items = side[side["kind"] == 0]
+    n_baskets = int(side[side["kind"] == 2]["n"].sum())
+    ids = items["a"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], items["n"].to_numpy(np.int64)[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        sids, scnt = ray.get(ref)
+        t = batch.filter(
+            pc.and_(
+                pc.equal(batch["kind"], 1),
+                pc.greater_equal(batch["n"], min_support),
+            )
+        )
+        lo = np.asarray(t["a"], dtype=np.int64)
+        hi = np.asarray(t["b"], dtype=np.int64)
+        cu = np.asarray(t["n"], dtype=np.int64)
+        # expand the unordered pair to both rule directions
+        a = np.concatenate([lo, hi])
+        b = np.concatenate([hi, lo])
+        co = np.concatenate([cu, cu])
+        na = scnt[np.searchsorted(sids, a)]
+        nb = scnt[np.searchsorted(sids, b)]
+        if len(co) and (
+            float(co.max()) * float(n_baskets) > float(2**62)
+            or float(na.max()) * float(nb.max()) > float(2**62)
+        ):
+            raise OverflowError(
+                "association_rules: int64 cross product overflow — "
+                "shard the basket domain first"
+            )
+        # SAME parse trees as the SQL oracle
+        conf = np.floor(
+            co.astype(np.float64) / na.astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        lift = np.floor(
+            (co * np.int64(n_baskets)).astype(np.float64)
+            / (na * nb).astype(np.float64)
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "co": pa.array(co, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "conf_micro": pa.array(conf, pa.int64()),
+                "lift_micro": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["conf_micro", "a", "b"], descending=[True, False, False])
         .limit(top_k)
     )
