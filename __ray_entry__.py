@@ -4091,6 +4091,44 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_collapse_retries(sf_dir: str):
+    """Adjacent-duplicate turn collapse over the transcripts corpus
+    with PLANTED retries (every 5th turn re-emitted at the next slot
+    in a doubled turn-index space — identically planted in the SQL
+    mirror): pipelines/conversations.py::collapse_retries drops each
+    planted copy, keeping the first of every run."""
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import collapse_retries
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["turn_idx"]).astype(np.int64)
+        base = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "t2": pa.array(t * 2, pa.int64()),
+                "role": batch["role"],
+                "text": batch["text"],
+            }
+        )
+        sel = pa.array(t % 5 == 0)
+        dup = pa.table(
+            {
+                "conv_id": batch["conv_id"].filter(sel),
+                "t2": pa.array(t[t % 5 == 0] * 2 + 1, pa.int64()),
+                "role": batch["role"].filter(sel),
+                "text": batch["text"].filter(sel),
+            }
+        )
+        return pa.concat_tables([base, dup]).combine_chunks()
+
+    return collapse_retries(
+        ds.map_batches(plant, batch_format="pyarrow"), turn_col="t2"
+    )
+
+
 def _q_association_rules(sf_dir: str):
     """Directed association rules over co-purchased parts
     (pipelines/relational.py::association_rules): confidence + lift in
@@ -4388,6 +4426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mad": _q_grouped_mad,
         "entropy_rate": _q_entropy_rate,
         "association_rules": _q_association_rules,
+        "collapse_retries": _q_collapse_retries,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5203,6 +5242,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "collapse_retries": """
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            planted AS (
+              SELECT conv_id, (turn_idx * 2)::BIGINT AS t2, role, text FROM t
+              UNION ALL
+              SELECT conv_id, (turn_idx * 2 + 1)::BIGINT, role, text FROM t
+              WHERE turn_idx % 5 = 0),
+            l AS (SELECT conv_id, t2, role, text,
+                         lag(role) OVER w AS pr,
+                         lag(coalesce(text, '')) OVER w AS pt
+                  FROM planted
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY t2))
+            SELECT conv_id, t2, role, text
+            FROM l
+            WHERE pr IS NULL OR pr <> role OR pt <> coalesce(text, '')
+            ORDER BY conv_id, t2
         """,
         "association_rules": """
             WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

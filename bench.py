@@ -235,6 +235,7 @@ def run_queries() -> dict:
         "grouped_mad",
         "entropy_rate",
         "association_rules",
+        "collapse_retries",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -244,3 +244,36 @@ class TestToolChains:
             ("b", 0, 0, 0),
             ("c", 3, 3, 1),
         ]
+
+
+class TestCollapseRetries:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import collapse_retries
+
+        rows = [
+            ("a", 0, "user", "hi"),
+            ("a", 1, "user", "hi"),        # retry -> dropped
+            ("a", 2, "assistant", "hello"),
+            ("a", 3, "assistant", "hello"),  # retry -> dropped
+            ("a", 4, "assistant", "hello again"),
+            ("a", 5, "user", "hello again"),  # same text, new role -> kept
+            ("b", 0, "user", "hi"),        # conv boundary -> kept
+            ("b", 1, "user", None),        # null text
+            ("b", 2, "user", ""),          # null == '' -> dropped
+        ]
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = collapse_retries(ds, n_buckets=4).to_pandas()
+        kept = list(zip(out["conv_id"], out["turn_idx"]))
+        assert kept == [
+            ("a", 0), ("a", 2), ("a", 4), ("a", 5), ("b", 0), ("b", 1),
+        ]

@@ -691,3 +691,63 @@ def tool_chains(ds, n_buckets: int = 64):
         .map_groups(scan, batch_format="pyarrow")
         .sort("conv_id")
     )
+
+
+def collapse_retries(
+    ds,
+    id_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Adjacent-duplicate turn collapse (retry/echo dedup — the
+    transcript-cleaning pass that drops a turn when the IMMEDIATELY
+    preceding turn of the conversation carries the same (role, text);
+    client retries and duplicated webhook deliveries produce exactly
+    this shape): keeps the first of each run. Null text compares as
+    ''. Returns the kept turns Dataset[(conv_id, turn_col, role,
+    text)] sorted by (conv_id, turn_col) — the lag()-expressible
+    contract, mirroring SQL exactly.
+
+    Shape: ONE conv-bucket hash exchange; block-local sort_by +
+    shifted Arrow-kernel equality on (conv, role, text) — no Python
+    row loop, no per-conversation dispatch. The only data movement is
+    the turns table once.
+    """
+    import pyarrow.compute as pc
+
+    def scan(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [(id_col, "ascending"), (turn_col, "ascending")]
+        )
+        n = group.num_rows
+        cols = [id_col, turn_col, role_col, text_col]
+        if n == 0:
+            return group.select(cols)
+        conv = group[id_col].combine_chunks()
+        role = pc.fill_null(group[role_col], "").combine_chunks()
+        text = pc.fill_null(group[text_col], "").combine_chunks()
+        if n == 1:
+            return group.select(cols)
+        same = pc.and_(
+            pc.and_(
+                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                pc.equal(role.slice(1), role.slice(0, n - 1)),
+            ),
+            pc.equal(text.slice(1), text.slice(0, n - 1)),
+        )
+        keep = np.ones(n, bool)
+        keep[1:] = ~np.asarray(same, dtype=bool)
+        return group.select(cols).filter(pa.array(keep))
+
+    return (
+        _conv_buckets(
+            ds.select_columns([id_col, turn_col, role_col, text_col]),
+            n_buckets,
+            id_col=id_col,
+        )
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .sort([id_col, turn_col])
+    )
