@@ -4091,6 +4091,33 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_code_detect(sf_dir: str):
+    """Code-vs-prose detection over documents with PLANTED code (a
+    snippet appended to every 9th doc, identically planted in SQL):
+    stages/text_stats.py::code_signals — RE2 symbol/indent counts
+    identical across engines, integer threshold rule, row-local."""
+    import pyarrow.compute as pc
+
+    from texoo_ray.stages.text_stats import code_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    snip = "\nif (x == 1) {\n    y = 2;\n}\n    z();"
+
+    def plant(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            np.asarray(batch["doc_id"], dtype=np.int64) % 9 == 0
+        )
+        t = pc.fill_null(batch["text"], "")
+        planted = pc.if_else(
+            mask, pc.binary_join_element_wise(t, snip, ""), t
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": planted})
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        code_signals, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def _q_collapse_retries(sf_dir: str):
     """Adjacent-duplicate turn collapse over the transcripts corpus
     with PLANTED retries (every 5th turn re-emitted at the next slot
@@ -4427,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_rate": _q_entropy_rate,
         "association_rules": _q_association_rules,
         "collapse_retries": _q_collapse_retries,
+        "code_detect": _q_code_detect,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5242,6 +5270,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "code_detect": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN coalesce(text, '')
+                               || e'\nif (x == 1) {\n    y = 2;\n}\n    z();'
+                          ELSE coalesce(text, '') END AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id, length(t)::BIGINT AS n_chars,
+                     len(regexp_extract_all(t, '[{}()\[\];=<>]'))::BIGINT
+                       AS n_symbols,
+                     (len(regexp_extract_all(t, e'\n')) + 1)::BIGINT AS n_lines,
+                     len(regexp_extract_all(t, e'\n(    |\t)'))::BIGINT
+                       AS indent_lines
+              FROM d)
+            SELECT doc_id, n_chars, n_symbols, n_lines, indent_lines,
+                   (CASE WHEN n_chars > 0
+                              AND (100 * n_symbols >= 3 * n_chars
+                                   OR 4 * indent_lines >= n_lines)
+                         THEN 1 ELSE 0 END)::BIGINT AS is_code
+            FROM s ORDER BY doc_id
         """,
         "collapse_retries": """
             WITH t AS (

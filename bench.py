@@ -236,6 +236,7 @@ def run_queries() -> dict:
         "entropy_rate",
         "association_rules",
         "collapse_retries",
+        "code_detect",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1075,3 +1075,34 @@ class TestEntropyRate:
         )
         r = entropy_rate(ds).to_pandas().iloc[0]
         assert r["h_micro"] == 0 and r["n_bigrams"] == 4
+
+
+class TestCodeSignals:
+    def test_hand_computed(self, ray_session):
+        from texoo_ray.stages.text_stats import code_signals
+
+        code = "if (x == 1) {\n    y = 2;\n}\n    z();"
+        prose = "a perfectly ordinary sentence about nothing much at all"
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [code, prose, ""],
+            }
+        )
+        out = code_signals(batch).to_pandas().set_index("doc_id")
+        c = out.loc[1]
+        assert (c["n_symbols"], c["n_lines"], c["indent_lines"]) == (11, 4, 2)
+        assert c["is_code"] == 1
+        p = out.loc[2]
+        assert p["n_symbols"] == 0 and p["is_code"] == 0
+        assert out.loc[3]["is_code"] == 0  # empty never code
+
+    def test_indent_rule_alone(self, ray_session):
+        from texoo_ray.stages.text_stats import code_signals
+
+        # no symbols at all, but half the lines indented
+        t = "def f\n    pass\nend\n    more"
+        out = code_signals(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [t]})
+        ).to_pandas()
+        assert out.iloc[0]["is_code"] == 1

@@ -2245,3 +2245,44 @@ def entropy_rate(ds, text_col: str = "text", model_max: int = 4_000_000):
             }
         )
     )
+
+
+_CODE_SYMBOLS = r"[{}()\[\];=<>]"
+_CODE_INDENT = r"\n(    |\t)"
+
+
+def code_signals(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic code-vs-prose signals per document (the
+    code-filtering primitive of corpus curation — both the "route code
+    to the code pipeline" and the "keep code out of the prose mix"
+    direction): symbol density and indented-line share, both RE2
+    counts identical in Arrow and DuckDB, with the integer rule
+
+        is_code = n_chars > 0 AND (100*n_symbols >= 3*n_chars
+                                   OR 4*indent_lines >= n_lines)
+
+    (3% structural-symbol density or a quarter of lines indented).
+    Returns (doc_id, n_chars, n_symbols, n_lines, indent_lines,
+    is_code) with is_code as int64 0/1 — row-local, zero shuffle.
+    """
+    t = pc.fill_null(batch[text_col], "")
+    nch = pc.cast(pc.utf8_length(t), pa.int64())
+    nsym = pc.cast(pc.count_substring_regex(t, _CODE_SYMBOLS), pa.int64())
+    nnl = pc.cast(pc.count_substring_regex(t, "\n"), pa.int64())
+    nlines = pc.add(nnl, 1)
+    ind = pc.cast(pc.count_substring_regex(t, _CODE_INDENT), pa.int64())
+    nch_np = np.asarray(nch)
+    rule = (100 * np.asarray(nsym) >= 3 * nch_np) | (
+        4 * np.asarray(ind) >= np.asarray(nlines)
+    )
+    is_code = (rule & (nch_np > 0)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": nch,
+            "n_symbols": nsym,
+            "n_lines": nlines,
+            "indent_lines": ind,
+            "is_code": pa.array(is_code, pa.int64()),
+        }
+    )
