@@ -4091,6 +4091,61 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_corr_matrix(sf_dir: str):
+    """Exact Pearson correlation matrix over quantized lineitem
+    numerics (pipelines/relational.py::corr_pairs): int64 sufficient
+    statistics + HUGEINT-exact r micros — which numeric fields are
+    redundant. One pass, pair-domain groupby."""
+    from texoo_ray.pipelines.relational import corr_pairs
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(batch["l_quantity"], dtype=np.float64))
+        usd = np.floor(
+            np.asarray(batch["l_extendedprice"], dtype=np.float64) + 0.5
+        )
+        bp = np.floor(
+            np.asarray(batch["l_discount"], dtype=np.float64) * 100 + 0.5
+        )
+        return pa.table(
+            {
+                "disc_bp": pa.array(bp.astype(np.int64), pa.int64()),
+                "price_usd": pa.array(usd.astype(np.int64), pa.int64()),
+                "qty": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return corr_pairs(
+        ds.map_batches(quant, batch_format="pyarrow"),
+        ["disc_bp", "price_usd", "qty"],
+    )
+
+
+def _q_cat_mi(sf_dir: str):
+    """Exact mutual information between documents.lang and
+    documents.source in integer micro-nats (pipelines/relational.py::
+    categorical_mi) — the metadata-redundancy diagnostic. One
+    contingency aggregate."""
+    from texoo_ray.pipelines.relational import categorical_mi
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return categorical_mi(ds, "lang", "source")
+
+
+def _q_benford(sf_dir: str):
+    """Benford first-digit profile of o_totalprice
+    (pipelines/relational.py::benford_profile): leading digit by
+    integer decimal-string truncation (no float log10), expected
+    log-law share in micros. 9-row aggregate, numeric-QA primitive."""
+    from texoo_ray.pipelines.relational import benford_profile
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford_profile(ds, "o_totalprice")
+
+
 def _q_code_detect(sf_dir: str):
     """Code-vs-prose detection over documents with PLANTED code (a
     snippet appended to every 9th doc, identically planted in SQL):
@@ -4455,6 +4510,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": _q_association_rules,
         "collapse_retries": _q_collapse_retries,
         "code_detect": _q_code_detect,
+        "corr_matrix": _q_corr_matrix,
+        "cat_mi": _q_cat_mi,
+        "benford": _q_benford,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5270,6 +5328,66 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "corr_matrix": """
+            WITH s AS (
+              SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS bp,
+                     CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS usd,
+                     CAST(floor(l_quantity) AS BIGINT) AS q
+              FROM lineitem),
+            p AS (
+              SELECT 'disc_bp' AS x_col, 'price_usd' AS y_col, bp AS x, usd AS y
+              FROM s
+              UNION ALL SELECT 'disc_bp', 'qty', bp, q FROM s
+              UNION ALL SELECT 'price_usd', 'qty', usd, q FROM s),
+            a AS (SELECT x_col, y_col, count(*)::BIGINT AS n,
+                         sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                         sum(x * x)::BIGINT AS sum_xx,
+                         sum(y * y)::BIGINT AS sum_yy,
+                         sum(x * y)::BIGINT AS sum_xy
+                  FROM p GROUP BY x_col, y_col)
+            SELECT x_col, y_col, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+                   CASE WHEN (n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x) = 0
+                          OR (n::HUGEINT * sum_yy - sum_y::HUGEINT * sum_y) = 0
+                        THEN 0
+                        ELSE CAST(floor(
+                          CAST(n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_y
+                               AS DOUBLE)
+                          / sqrt(
+                            CAST(n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x
+                                 AS DOUBLE)
+                            * CAST(n::HUGEINT * sum_yy - sum_y::HUGEINT * sum_y
+                                   AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) END AS r_micro
+            FROM a ORDER BY x_col, y_col
+        """,
+        "cat_mi": """
+            WITH c AS (SELECT lang AS x, source AS y, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1, 2),
+            cx AS (SELECT x, sum(n)::BIGINT AS nx FROM c GROUP BY x),
+            cy AS (SELECT y, sum(n)::BIGINT AS ny FROM c GROUP BY y),
+            tot AS (SELECT sum(n)::BIGINT AS n FROM c)
+            SELECT tot.n AS n_rows,
+                   (SELECT count(*) FROM cx)::BIGINT AS n_x,
+                   (SELECT count(*) FROM cy)::BIGINT AS n_y,
+                   count(*)::BIGINT AS n_cells,
+                   sum(c.n * CAST(floor(ln((c.n / cx.nx) / (cy.ny / tot.n))
+                                        * 1000000 + 0.5) AS BIGINT))::BIGINT
+                     AS mi_micro
+            FROM c JOIN cx USING (x) JOIN cy USING (y), tot
+            GROUP BY tot.n
+        """,
+        "benford": """
+            WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS x
+                       FROM orders
+                       WHERE floor(o_totalprice) >= 1),
+            d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                  FROM v)
+            SELECT digit, count(*)::BIGINT AS n_obs,
+                   CAST(floor(ln((digit + 1) / digit) / ln(10)
+                              * 1000000 + 0.5) AS BIGINT) AS benford_micro
+            FROM d GROUP BY digit ORDER BY digit
         """,
         "code_detect": r"""
             WITH d AS (

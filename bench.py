@@ -237,6 +237,9 @@ def run_queries() -> dict:
         "association_rules",
         "collapse_retries",
         "code_detect",
+        "corr_matrix",
+        "cat_mi",
+        "benford",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

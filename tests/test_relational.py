@@ -432,3 +432,131 @@ class TestAssociationRules:
         assert top[(10, 20)][0] == 750000
         # lift of the 10<->20 rule: 3 * 6 / (4 * 4) = 1.125
         assert top[(10, 20)][1] == 1125000
+
+
+class TestCorrPairs:
+    def test_vs_numpy(self, ray_session):
+        import math
+
+        import ray.data
+
+        from texoo_ray.pipelines.relational import corr_pairs
+
+        rng = np.random.RandomState(5)
+        x = rng.randint(0, 100, 200)
+        y = 3 * x + rng.randint(-20, 21, 200)  # strong positive corr
+        z = rng.randint(0, 100, 200)  # independent
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "x": pa.array(x, pa.int64()),
+                    "y": pa.array(y, pa.int64()),
+                    "z": pa.array(z, pa.int64()),
+                }
+            )
+        ).repartition(4)
+        out = (
+            corr_pairs(ds, ["x", "y", "z"])
+            .to_pandas()
+            .set_index(["x_col", "y_col"])
+        )
+        assert len(out) == 3
+        for (a, b), arr in {
+            ("x", "y"): (x, y),
+            ("x", "z"): (x, z),
+            ("y", "z"): (y, z),
+        }.items():
+            u, v = arr
+            r = out.loc[(a, b)]
+            n = len(u)
+            num = n * int((u * v).sum()) - int(u.sum()) * int(v.sum())
+            denx = n * int((u * u).sum()) - int(u.sum()) ** 2
+            deny = n * int((v * v).sum()) - int(v.sum()) ** 2
+            exp = math.floor(
+                float(num) / math.sqrt(float(denx) * float(deny)) * 1e6 + 0.5
+            )
+            assert r["r_micro"] == exp
+            ref = np.corrcoef(u, v)[0, 1]
+            assert abs(r["r_micro"] / 1e6 - ref) < 1e-5
+        assert out.loc[("x", "y")]["r_micro"] > 900_000
+        assert abs(out.loc[("x", "z")]["r_micro"]) < 200_000
+
+
+class TestCategoricalMI:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.pipelines.relational import categorical_mi
+
+        # y is a deterministic function of x in half the rows
+        rng = np.random.RandomState(9)
+        xs = rng.choice(["a", "b", "c"], 300).tolist()
+        ys = [
+            x.upper() if i % 2 == 0 else rng.choice(["P", "Q"])
+            for i, x in enumerate(xs)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"x": xs, "y": ys})
+        ).repartition(4)
+        r = categorical_mi(ds, "x", "y").to_pandas().iloc[0]
+
+        cxy, cx, cy = Counter(zip(xs, ys)), Counter(xs), Counter(ys)
+        n = len(xs)
+        mi = sum(
+            c
+            * math.floor(
+                math.log((c / cx[a]) / (cy[b] / n)) * 1e6 + 0.5
+            )
+            for (a, b), c in cxy.items()
+        )
+        assert r["n_rows"] == n and r["n_cells"] == len(cxy)
+        assert (r["n_x"], r["n_y"]) == (len(cx), len(cy))
+        assert r["mi_micro"] == mi
+        assert mi > 0
+
+    def test_independent_columns(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import categorical_mi
+
+        # perfectly independent 2x2 with equal counts -> MI exactly 0
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "x": ["a", "a", "b", "b"],
+                    "y": ["p", "q", "p", "q"],
+                }
+            )
+        )
+        r = categorical_mi(ds, "x", "y").to_pandas().iloc[0]
+        assert r["mi_micro"] == 0
+
+
+class TestBenfordProfile:
+    def test_vs_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from texoo_ray.pipelines.relational import benford_profile
+
+        vals = [1.5, 19.0, 123.4, 2.0, 0.4, 999.9, 100.0, 85.2, 3.7, 21.0]
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.float64())})
+        ).repartition(3)
+        out = benford_profile(ds, "v").to_pandas()
+
+        ref = Counter(
+            int(str(int(math.floor(v)))[0]) for v in vals if math.floor(v) >= 1
+        )
+        got = dict(zip(out["digit"], out["n_obs"]))
+        for d in range(1, 10):
+            assert got.get(d, 0) == ref.get(d, 0)
+        # expected shares: digit 1 ~ 30.1%, digit 9 ~ 4.6%
+        exp = dict(zip(out["digit"], out["benford_micro"]))
+        assert exp[1] == math.floor(math.log(2) / math.log(10) * 1e6 + 0.5)
+        assert 45000 < exp[9] < 47000

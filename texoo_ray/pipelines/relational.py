@@ -1364,3 +1364,250 @@ def association_rules(
         .sort(["conf_micro", "a", "b"], descending=[True, False, False])
         .limit(top_k)
     )
+
+
+def corr_pairs(ds, cols, max_abs: int = 2_000_000):
+    """Exact Pearson correlation matrix over int64-quantized columns
+    (the column-profiling diagnostic: which numeric fields are
+    redundant / anti-correlated): for every pair (i < j) the int64
+    sufficient statistics n/Σx/Σy/Σxx/Σyy/Σxy plus
+
+        r_micro = floor(num / sqrt(denx * deny) * 1e6 + 0.5)
+
+    with num = n·Σxy − Σx·Σy etc. — the cross products exceed int64
+    and form in Python ints, divided double-vs-double exactly as the
+    SQL oracle's HUGEINT → DOUBLE casts (the zipf_fit discipline).
+    Values are bounds-checked against ``max_abs`` so the distributed
+    Σxx stays int64-exact (shard or rescale beyond that — documented).
+    Returns Dataset[(x_col, y_col, n, sum_x, sum_y, sum_xx, sum_yy,
+    sum_xy, r_micro)] sorted by (x_col, y_col).
+
+    Shape: ONE pass of per-batch pair partials (k(k-1)/2 rows per
+    block), one pair-domain groupby, final algebra driver-side on the
+    pair-count-sized block.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = {}
+        for c in cols:
+            v = np.asarray(batch[c], dtype=np.int64)
+            if len(v) and max(abs(int(v.min())), abs(int(v.max()))) > max_abs:
+                raise OverflowError(
+                    "corr_pairs: |%s| exceeds max_abs=%d — rescale first"
+                    % (c, max_abs)
+                )
+            arrs[c] = v
+        rows = {k: [] for k in ("x_col", "y_col", "n", "sum_x", "sum_y",
+                                "sum_xx", "sum_yy", "sum_xy")}
+        for a, b in pairs:
+            x, y = arrs[a], arrs[b]
+            rows["x_col"].append(a)
+            rows["y_col"].append(b)
+            rows["n"].append(len(x))
+            rows["sum_x"].append(int(x.sum()))
+            rows["sum_y"].append(int(y.sum()))
+            rows["sum_xx"].append(int((x * x).sum()))
+            rows["sum_yy"].append(int((y * y).sum()))
+            rows["sum_xy"].append(int((x * y).sum()))
+        return pa.table(
+            {
+                "x_col": pa.array(rows["x_col"], pa.string()),
+                "y_col": pa.array(rows["y_col"], pa.string()),
+                **{
+                    k: pa.array(rows[k], pa.int64())
+                    for k in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+                },
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x_col", "y_col"])
+        .aggregate(
+            *[
+                Sum(k, alias_name=k)
+                for k in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
+            ]
+        )
+        .to_pandas()
+    )
+    out = {k: [] for k in ("x_col", "y_col", "n", "sum_x", "sum_y", "sum_xx",
+                           "sum_yy", "sum_xy", "r_micro")}
+    for row in agg.sort_values(["x_col", "y_col"]).itertuples(index=False):
+        n, sx, sy = int(row.n), int(row.sum_x), int(row.sum_y)
+        sxx, syy, sxy = int(row.sum_xx), int(row.sum_yy), int(row.sum_xy)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        r = (
+            0
+            if denx == 0 or deny == 0
+            else math.floor(
+                float(num) / math.sqrt(float(denx) * float(deny)) * 1e6 + 0.5
+            )
+        )
+        for k, v in (
+            ("x_col", row.x_col), ("y_col", row.y_col), ("n", n),
+            ("sum_x", sx), ("sum_y", sy), ("sum_xx", sxx),
+            ("sum_yy", syy), ("sum_xy", sxy), ("r_micro", r),
+        ):
+            out[k].append(v)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "x_col": pa.array(out["x_col"], pa.string()),
+                "y_col": pa.array(out["y_col"], pa.string()),
+                **{
+                    k: pa.array(out[k], pa.int64())
+                    for k in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+                              "sum_xy", "r_micro")
+                },
+            }
+        )
+    )
+
+
+def categorical_mi(ds, x_col: str, y_col: str):
+    """Exact mutual information between two categorical columns in
+    integer micro-nats (the metadata-redundancy diagnostic — MI ~ 0
+    means the columns carry independent signal, MI ~ H means one
+    determines the other): per-cell log-ratio micros rounded BEFORE
+    the count-weighted sum (order-independent int64), division/ln
+    chain in the SQL oracle's parse-tree order. Returns one-row
+    Dataset[(n_rows, n_x, n_y, n_cells, mi_micro)]; MI =
+    mi_micro / (n·1e6) nats.
+
+    Shape: per-batch contingency partials, ONE (|X|·|Y|)-cell
+    groupby, marginals + finish on the driver-side cell block (the
+    clustering_eval confusion budget).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "x": pc.cast(pc.fill_null(batch[x_col], ""), pa.string()),
+                "y": pc.cast(pc.fill_null(batch[y_col], ""), pa.string()),
+            }
+        )
+        g = t.group_by(["x", "y"]).aggregate([("x", "count")])
+        return pa.table(
+            {
+                "x": g["x"],
+                "y": g["y"],
+                "n": pc.cast(g["x_count"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(cells) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_rows": pa.array([0], pa.int64()),
+                    "n_x": pa.array([0], pa.int64()),
+                    "n_y": pa.array([0], pa.int64()),
+                    "n_cells": pa.array([0], pa.int64()),
+                    "mi_micro": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    n = int(cells["n"].sum())
+    nx = cells.groupby("x")["n"].sum()
+    ny = cells.groupby("y")["n"].sum()
+    cxy = cells["n"].to_numpy(np.int64)
+    cx = nx[cells["x"]].to_numpy(np.int64)
+    cy = ny[cells["y"]].to_numpy(np.int64)
+    # SAME parse tree as the SQL oracle: (cxy/cx) / (cy/n), one ln
+    delta = np.floor(
+        np.log(
+            (cxy.astype(np.float64) / cx.astype(np.float64))
+            / (cy.astype(np.float64) / np.float64(n))
+        )
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    if float(np.max(cxy * np.abs(delta))) > float(2**62):
+        raise OverflowError("categorical_mi: count * micro overflows int64")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "n_x": pa.array([len(nx)], pa.int64()),
+                "n_y": pa.array([len(ny)], pa.int64()),
+                "n_cells": pa.array([len(cells)], pa.int64()),
+                "mi_micro": pa.array([int((cxy * delta).sum())], pa.int64()),
+            }
+        )
+    )
+
+
+def benford_profile(ds, value_col: str):
+    """Benford first-significant-digit profile of a positive numeric
+    column (Benford 1938 — the numeric-QA diagnostic: fabricated or
+    truncated data drifts off the log-law): counts per leading digit
+    of floor(value) for rows with floor(value) >= 1, alongside the
+    expected Benford share floor(ln((d+1)/d)/ln(10)·1e6 + 0.5). The
+    leading digit is taken by integer DECIMAL STRING truncation (no
+    float log10 — exact at powers of ten), identical to the oracle's
+    substr(CAST(...)). Returns Dataset[(digit, n_obs,
+    benford_micro)] sorted by digit — 9 rows.
+
+    Shape: per-batch digit bincount partials, one 9-row groupby.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        x = np.floor(v).astype(np.int64)
+        x = x[x >= 1]
+        if len(x) == 0:
+            return pa.table(
+                {
+                    "digit": pa.array([], pa.int64()),
+                    "n_obs": pa.array([], pa.int64()),
+                }
+            )
+        first = x.astype("U20").astype("U1").astype(np.int64)
+        cnt = np.bincount(first, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64), pa.int64()),
+                "n_obs": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_obs", alias_name="n_obs"))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["digit"], dtype=np.int64)
+        # SAME parse tree as the SQL oracle: ln((d+1)/d) / ln(10)
+        exp = np.floor(
+            np.log((d + 1).astype(np.float64) / d.astype(np.float64))
+            / math.log(10.0)
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        return batch.append_column(
+            "benford_micro", pa.array(exp, pa.int64())
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow").sort("digit")
