@@ -4091,6 +4091,42 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_mst_chain(sf_dir: str):
+    """Minimum spanning forest (pipelines/graph.py::boruvka_mst —
+    Borůvka hook-and-contract, the single-linkage clustering
+    backbone) over a planted graph on doc_ids: a light chain
+    (w = 1000 + 2i) plus heavy extras (w = 10^6 + i on every 3rd
+    node) — every cycle's max edge is an extra, so the unique MSF is
+    exactly the chain, giving a closed-form SQL oracle while the
+    algorithm runs for real (the distributed branch is pinned to the
+    local Kruskal by the path-equivalence test)."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    md = int(ds.max("doc_id"))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch["doc_id"], dtype=np.int64)
+        ch = i[i < md]
+        ex = i[(i % 3 == 0) & (i + 13 <= md)]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([ch, ex]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ch + 1, ex + 13]), pa.int64()
+                ),
+                "w": pa.array(
+                    np.concatenate([1000 + 2 * ch, 1_000_000 + ex]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from texoo_ray.pipelines.graph import boruvka_mst
+
+    return boruvka_mst(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def _q_corr_matrix(sf_dir: str):
     """Exact Pearson correlation matrix over quantized lineitem
     numerics (pipelines/relational.py::corr_pairs): int64 sufficient
@@ -4513,6 +4549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix": _q_corr_matrix,
         "cat_mi": _q_cat_mi,
         "benford": _q_benford,
+        "mst_chain": _q_mst_chain,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5328,6 +5365,13 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "mst_chain": """
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+            SELECT doc_id::BIGINT AS src, (doc_id + 1)::BIGINT AS dst,
+                   (1000 + 2 * doc_id)::BIGINT AS w
+            FROM documents, mx WHERE doc_id < mx.m
+            ORDER BY src, dst
         """,
         "corr_matrix": """
             WITH s AS (

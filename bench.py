@@ -240,6 +240,7 @@ def run_queries() -> dict:
         "corr_matrix",
         "cat_mi",
         "benford",
+        "mst_chain",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1106,3 +1106,83 @@ class TestCodeSignals:
             pa.table({"doc_id": pa.array([1], pa.int64()), "text": [t]})
         ).to_pandas()
         assert out.iloc[0]["is_code"] == 1
+
+
+def _brute_kruskal(edges):
+    """Independent union-find Kruskal over the (w, src, dst) order."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    keep = []
+    for w, s, d in sorted((w, s, d) for s, d, w in edges):
+        a, b = find(s), find(d)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+            keep.append((s, d, w))
+    return sorted(keep)
+
+
+class TestBoruvkaMst:
+    def _edges_ds(self, edges):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64()),
+                    "w": pa.array([e[2] for e in edges], pa.int64()),
+                }
+            )
+        ).repartition(3)
+
+    def test_local_vs_brute(self, ray_session):
+        from texoo_ray.pipelines.graph import boruvka_mst
+
+        rng = np.random.RandomState(13)
+        n = 40
+        edges = set()
+        for i in range(1, n):
+            edges.add((rng.randint(0, i), i, int(rng.randint(1, 1000))))
+        for _ in range(60):
+            a, b = rng.randint(0, n, 2)
+            if a != b:
+                edges.add((min(a, b), max(a, b), int(rng.randint(1, 1000))))
+        edges = sorted(edges)
+        out = boruvka_mst(self._edges_ds(edges)).to_pandas()
+        got = sorted(zip(out["src"], out["dst"], out["w"]))
+        assert got == _brute_kruskal(edges)
+        assert len(got) == n - 1  # connected -> spanning tree
+
+    def test_path_equivalence_distributed(self, ray_session):
+        """Distributed hook-and-contract equals local Kruskal — forced
+        multi-round via chained components + a disconnected piece."""
+        from texoo_ray.pipelines.graph import boruvka_mst
+
+        rng = np.random.RandomState(29)
+        edges = set()
+        # two chains with cross edges, plus an isolated triangle
+        for i in range(0, 19):
+            edges.add((i, i + 1, int(100 + rng.randint(0, 50))))
+        for i in range(30, 45):
+            edges.add((i, i + 1, int(200 + rng.randint(0, 50))))
+        edges.add((5, 35, 5000))
+        edges.update({(100, 101, 7), (101, 102, 8), (100, 102, 9)})
+        # duplicate weights on purpose: the (w, src, dst) order decides
+        edges.add((2, 7, 100))
+        edges = sorted(edges)
+        local = boruvka_mst(self._edges_ds(edges)).to_pandas()
+        dist = boruvka_mst(
+            self._edges_ds(edges), local_threshold=0, num_partitions=4
+        ).to_pandas()
+        assert local.values.tolist() == dist.values.tolist()
+        got = sorted(zip(local["src"], local["dst"], local["w"]))
+        assert got == _brute_kruskal(edges)
+        # forest: the (5, 35) bridge joins the chains -> 2 components
+        nodes = {x for s, d, _ in edges for x in (s, d)}
+        assert len(got) == len(nodes) - 2

@@ -1074,3 +1074,291 @@ def link_prediction(
         .sort(["ra_micro", "lo", "hi"], descending=[True, False, False])
         .limit(top_k)
     )
+
+
+def _kruskal_local(src, dst, w, n_hint=None):
+    """Driver-local Kruskal over the (w, src, dst) total edge order —
+    the unique minimum spanning forest under that order (ties broken
+    deterministically, so it equals the distributed Borůvka result).
+    Arrays are numpy int64; returns a boolean keep-mask over edges."""
+    order = np.lexsort((dst, src, w))
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    keep = np.zeros(len(src), bool)
+    for i in order:
+        a, b = find(int(src[i])), find(int(dst[i]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+            keep[i] = True
+    return keep
+
+
+def boruvka_mst(
+    edges,
+    local_threshold: int = 2_000_000,
+    max_rounds: int = 40,
+    num_partitions: int | None = None,
+):
+    """Minimum spanning forest via Borůvka hook-and-contract (Borůvka
+    1926; the backbone of single-linkage clustering — cut the MSF
+    above a distance threshold and the components ARE the clusters).
+    ``edges``: Dataset[(src, dst, w)] int64, undirected, each edge
+    once. Edge comparison uses the TOTAL order (w, src, dst), so the
+    forest is unique and deterministic even with duplicate weights —
+    equal to Kruskal under the same order (path-equivalence-tested).
+    Returns Dataset[(src, dst, w)] of forest edges sorted by
+    (src, dst).
+
+    Distributed shape, O(log n) rounds: each round (1) relabels edge
+    endpoints by current component via two hash joins against the
+    label table; (2) drops intra-component edges; (3) picks each
+    component's minimum incident edge with ONE component-bucket
+    exchange + block-local lexsort-first (per-batch pre-combine caps
+    the exchange at one row per component per block); (4) contracts
+    the selected hook edges with the proven star-contraction
+    :func:`connected_components` (the selected graph is
+    component-domain-sized — it halves every round); (5) folds the
+    new labels back with one join. Under ``local_threshold`` edges
+    the whole forest runs driver-local Kruskal instead (the bpe/kcore
+    local-loop precedent — each distributed round costs several tiny
+    jobs at toy scale).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _compact, _join_partitions, _norm
+
+    out_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    if n_edges <= local_threshold:
+        df = edges.to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        w = df["w"].to_numpy(np.int64)
+        keep = _kruskal_local(src, dst, w)
+        order = np.lexsort((dst[keep], src[keep]))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src[keep][order], pa.int64()),
+                    "dst": pa.array(dst[keep][order], pa.int64()),
+                    "w": pa.array(w[keep][order], pa.int64()),
+                }
+            )
+        )
+
+    P = num_partitions or _join_partitions()
+    lbl_schema = pa.schema([("id", pa.int64()), ("comp", pa.int64())])
+    sel_schema = pa.schema(
+        [
+            ("comp", pa.int64()),
+            ("w", pa.int64()),
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("osrc", pa.int64()),
+            ("odst", pa.int64()),
+        ]
+    )
+
+    @_norm(lbl_schema)
+    def node_rows(b: pa.Table) -> pa.Table:
+        ids = pc.unique(
+            pa.concat_arrays(
+                [
+                    b["src"].combine_chunks().cast(pa.int64()),
+                    b["dst"].combine_chunks().cast(pa.int64()),
+                ]
+            )
+        )
+        return pa.table({"id": ids, "comp": ids})
+
+    from ray.data.aggregate import Count
+
+    labels = _compact(
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            _norm(lbl_schema)(
+                lambda b: pa.table({"id": b["id"], "comp": b["id"]})
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    cur = _compact(edges)  # (src, dst, w) with original endpoints
+    mst_parts = []
+
+    for _ in range(max_rounds):
+        if cur is None:
+            break
+        # relabel endpoints by current component
+        j1 = cur.join(labels, "inner", P, on=("src",), right_on=("id",))
+        j1 = _compact(
+            j1.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["src"],
+                        "dst": b["dst"],
+                        "w": b["w"],
+                        "csrc": b["comp"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if j1 is None:
+            break
+        j2 = j1.join(labels, "inner", P, on=("dst",), right_on=("id",))
+        relabeled = _compact(
+            j2.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["src"],
+                        "dst": b["dst"],
+                        "w": b["w"],
+                        "csrc": b["csrc"],
+                        "cdst": b["comp"],
+                    }
+                ).filter(pc.not_equal(b["csrc"], b["comp"])),
+                batch_format="pyarrow",
+            )
+        )
+        if relabeled is None:
+            break
+
+        # each component's minimum incident edge by (w, src, dst)
+        @_norm(sel_schema)
+        def min_partial(b: pa.Table) -> pa.Table:
+            w = np.asarray(b["w"], dtype=np.int64)
+            s = np.asarray(b["src"], dtype=np.int64)
+            d = np.asarray(b["dst"], dtype=np.int64)
+            cs = np.asarray(b["csrc"], dtype=np.int64)
+            cd = np.asarray(b["cdst"], dtype=np.int64)
+            comp = np.concatenate([cs, cd])
+            w2 = np.concatenate([w, w])
+            s2 = np.concatenate([s, s])
+            d2 = np.concatenate([d, d])
+            os2 = np.concatenate([cs, cs])
+            od2 = np.concatenate([cd, cd])
+            order = np.lexsort((d2, s2, w2, comp))
+            comp_o = comp[order]
+            first = np.ones(len(comp_o), bool)
+            first[1:] = comp_o[1:] != comp_o[:-1]
+            pick = order[first]
+            return pa.table(
+                {
+                    "comp": pa.array(comp[pick], pa.int64()),
+                    "w": pa.array(w2[pick], pa.int64()),
+                    "src": pa.array(s2[pick], pa.int64()),
+                    "dst": pa.array(d2[pick], pa.int64()),
+                    "osrc": pa.array(os2[pick], pa.int64()),
+                    "odst": pa.array(od2[pick], pa.int64()),
+                }
+            )
+
+        def bucket_min(b: pa.Table) -> pa.Table:
+            t = min_partial(b)
+            h = (
+                np.asarray(t["comp"], dtype=np.int64)
+                * np.int64(2654435761)
+            ) % np.int64(P)
+            return t.append_column("bucket", pa.array(np.abs(h), pa.int64()))
+
+        @_norm(sel_schema)
+        def min_final(g: pa.Table) -> pa.Table:
+            # same min-per-comp pick, over rows already in sel layout
+            comp = np.asarray(g["comp"], dtype=np.int64)
+            w = np.asarray(g["w"], dtype=np.int64)
+            s = np.asarray(g["src"], dtype=np.int64)
+            d = np.asarray(g["dst"], dtype=np.int64)
+            order = np.lexsort((d, s, w, comp))
+            comp_o = comp[order]
+            first = np.ones(len(comp_o), bool)
+            first[1:] = comp_o[1:] != comp_o[:-1]
+            pick = order[first]
+            return g.drop_columns(
+                [c for c in g.column_names if c == "bucket"]
+            ).take(pa.array(pick, pa.int64()))
+
+        selected = _compact(
+            relabeled.map_batches(bucket_min, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(min_final, batch_format="pyarrow")
+        )
+        if selected is None:
+            break
+        # distinct selected edges join the forest (two comps may pick
+        # the same edge)
+        picked = _compact(
+            selected.groupby(["src", "dst", "w"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["src", "dst", "w"])
+        )
+        if picked is not None:
+            mst_parts.append(picked)
+
+        # contract: components of the selected hook graph become the
+        # new labels; untouched components keep their own
+        hooks = selected.map_batches(
+            _norm(pa.schema([("src", pa.int64()), ("dst", pa.int64())]))(
+                lambda b: pa.table({"src": b["osrc"], "dst": b["odst"]})
+            ),
+            batch_format="pyarrow",
+        )
+        cc = connected_components(hooks, num_partitions=P)
+        cmap = _compact(
+            cc.map_batches(
+                _norm(pa.schema([("cid", pa.int64()), ("newc", pa.int64())]))(
+                    lambda b: pa.table(
+                        {"cid": b["id"], "newc": b["component"]}
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if cmap is None:
+            break
+        jl = labels.join(
+            cmap, "left_outer", P, on=("comp",), right_on=("cid",)
+        )
+        labels = _compact(
+            jl.map_batches(
+                _norm(lbl_schema)(
+                    lambda b: pa.table(
+                        {
+                            "id": b["id"],
+                            "comp": pc.coalesce(
+                                pc.cast(b["newc"], pa.int64()), b["comp"]
+                            ),
+                        }
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        raise RuntimeError("boruvka_mst: max_rounds exceeded")
+
+    if not mst_parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    forest = mst_parts[0]
+    if len(mst_parts) > 1:
+        forest = forest.union(*mst_parts[1:])
+    return (
+        forest.groupby(["src", "dst", "w"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst", "w"])
+        .sort(["src", "dst"])
+    )
