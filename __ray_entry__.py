@@ -4091,6 +4091,34 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_trimmed_stats(sf_dir: str):
+    """Exact per-event-type 5% trimmed statistics over cents-quantized
+    values (pipelines/analytics.py::trimmed_stats): the robust mean
+    that drops each tail's k = n*5//100 rows, inverted exactly from
+    ONE grouped histogram — no sort of the data itself."""
+    from texoo_ray.pipelines.analytics import trimmed_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            np.asarray(batch["value"], dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(x, pa.int64()),
+            }
+        )
+
+    return trimmed_stats(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "value_cents",
+        trim_pct=5,
+    )
+
+
 def _q_mst_chain(sf_dir: str):
     """Minimum spanning forest (pipelines/graph.py::boruvka_mst —
     Borůvka hook-and-contract, the single-linkage clustering
@@ -4550,6 +4578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_mi": _q_cat_mi,
         "benford": _q_benford,
         "mst_chain": _q_mst_chain,
+        "trimmed_stats": _q_trimmed_stats,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5365,6 +5394,26 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "trimmed_stats": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+              FROM events),
+            n AS (SELECT event_type, count(*)::BIGINT AS n
+                  FROM v GROUP BY event_type),
+            r AS (SELECT event_type, x,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY x) AS rn
+                  FROM v)
+            SELECT r.event_type, n.n,
+                   (n.n - 2 * (n.n * 5 // 100))::BIGINT AS kept_n,
+                   sum(CASE WHEN rn > n.n * 5 // 100
+                             AND rn <= n.n - n.n * 5 // 100
+                            THEN x ELSE 0 END)::BIGINT AS trimmed_sum
+            FROM r JOIN n USING (event_type)
+            GROUP BY r.event_type, n.n
+            ORDER BY r.event_type
         """,
         "mst_chain": """
             WITH mx AS (SELECT max(doc_id) AS m FROM documents)

@@ -241,6 +241,7 @@ def run_queries() -> dict:
         "cat_mi",
         "benford",
         "mst_chain",
+        "trimmed_stats",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

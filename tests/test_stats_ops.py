@@ -1186,3 +1186,38 @@ class TestBoruvkaMst:
         # forest: the (5, 35) bridge joins the chains -> 2 components
         nodes = {x for s, d, _ in edges for x in (s, d)}
         assert len(got) == len(nodes) - 2
+
+
+class TestTrimmedStats:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import trimmed_stats
+
+        rng = np.random.RandomState(17)
+        rows_g, rows_v = [], []
+        data = {}
+        for g, nv in (("a", 53), ("b", 20), ("c", 3)):
+            vals = rng.randint(-50, 1000, nv)
+            vals[0] = 99999  # a spike the trim removes (when k >= 1)
+            data[g] = sorted(vals.tolist())
+            rows_g += [g] * nv
+            rows_v += vals.tolist()
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(rows_g, pa.string()),
+                    "v": pa.array(rows_v, pa.int64()),
+                }
+            )
+        ).repartition(4)
+        out = trimmed_stats(ds, "g", "v", trim_pct=5).to_pandas()
+        got = {r.g: (r.n, r.kept_n, r.trimmed_sum) for r in out.itertuples(index=False)}
+        for g, sv in data.items():
+            n = len(sv)
+            k = n * 5 // 100
+            kept = sv[k : n - k]
+            assert got[g] == (n, len(kept), sum(kept)), g
+        # spike trimmed for group a (k=2), untouched for c (k=0)
+        assert got["a"][2] < sum(data["a"])
+        assert got["c"][2] == sum(data["c"])

@@ -1052,3 +1052,93 @@ def grouped_mad_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)
+
+
+def trimmed_stats(ds, group_col: str, value_col: str, trim_pct: int = 5):
+    """Exact per-group trimmed statistics (drop the ``trim_pct``% 
+    lowest and highest ROWS, k = n*pct//100 each side — the robust
+    mean that survives fat tails without the Hampel gate's hard
+    cutoff): Returns Dataset[(group, n, kept_n, trimmed_sum)] sorted
+    by group, trimmed mean = trimmed_sum / kept_n left rational. Ties
+    at the trim boundary drop an arbitrary k rows of the boundary
+    value — the sum is identical whichever rows drop, so the result
+    is still exact and SQL-mirrorable (row_number semantics).
+
+    Shape: ONE (group × value-domain) histogram aggregate (the
+    grouped_mad budget — integer domains only); the trim inverts
+    driver-side per group from cumulative counts, including partial
+    boundary cells. Only (group, value, count) rows cross the wire.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        if len(v) and (v.min() < -(2**31) or v.max() >= 2**31):
+            raise OverflowError(
+                "trimmed_stats: value outside 32-bit domain — bucket first"
+            )
+        key = codes * np.int64(2**32) + (v - np.int64(-(2**31)))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(
+                    pa.array(u // np.int64(2**32), pa.int64())
+                ),
+                "v": pa.array(
+                    (u % np.int64(2**32)) + np.int64(-(2**31)), pa.int64()
+                ),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    import ray.data
+
+    if len(hist) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "kept_n": pa.array([], pa.int64()),
+                    "trimmed_sum": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = {group_col: [], "n": [], "kept_n": [], "trimmed_sum": []}
+    for grp, sub in sorted(hist.groupby(group_col, sort=False), key=lambda t: t[0]):
+        v = sub["v"].to_numpy(np.int64)
+        c = sub["n"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        k = n * trim_pct // 100
+        cum = np.cumsum(c)
+        lo_rank, hi_rank = k, n - k  # keep ranks (lo_rank, hi_rank]
+        prev = np.concatenate([[0], cum[:-1]])
+        take = np.minimum(cum, hi_rank) - np.maximum(prev, lo_rank)
+        take = np.maximum(take, 0)
+        out[group_col].append(grp)
+        out["n"].append(n)
+        out["kept_n"].append(int(take.sum()))
+        out["trimmed_sum"].append(int((take * v).sum()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out[group_col], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "kept_n": pa.array(out["kept_n"], pa.int64()),
+                "trimmed_sum": pa.array(out["trimmed_sum"], pa.int64()),
+            }
+        )
+    )
