@@ -4091,6 +4091,40 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_verbosity_trend(sf_dir: str):
+    """Per-role OLS trend of turn verbosity over time (composition:
+    pipelines/relational.py::group_regression over the transcripts
+    corpus — x = hours since the corpus epoch, y = alnum word count):
+    the is-the-assistant-getting-wordier monitoring diagnostic, exact
+    integer sufficient statistics, zero float aggregation."""
+    import ray.data
+
+    from texoo_ray.pipelines.relational import group_regression
+    from texoo_ray.stages.text_stats import _doc_word_codes
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+    base_us = np.datetime64("2025-01-01", "us").astype(np.int64)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        x = (ts - base_us) // np.int64(3_600_000_000)
+        doc_of, codes, _ = _doc_word_codes(
+            batch["text"], nonword="[^a-z0-9]+"
+        )
+        y = np.bincount(doc_of, minlength=batch.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "grp": batch["role"],
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return group_regression(
+        ds.map_batches(derive, batch_format="pyarrow"), "grp", "x", "y"
+    )
+
+
 def _q_trimmed_stats(sf_dir: str):
     """Exact per-event-type 5% trimmed statistics over cents-quantized
     values (pipelines/analytics.py::trimmed_stats): the robust mean
@@ -4579,6 +4613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford": _q_benford,
         "mst_chain": _q_mst_chain,
         "trimmed_stats": _q_trimmed_stats,
+        "verbosity_trend": _q_verbosity_trend,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5394,6 +5429,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "verbosity_trend": """
+            WITH s AS (
+              SELECT role AS grp,
+                     ((epoch_us(ts) - epoch_us(TIMESTAMP '2025-01-01'))
+                      // 3600000000)::BIGINT AS x,
+                     len(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z0-9]+'))::BIGINT AS y
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            a AS (SELECT grp, count(*)::BIGINT AS n,
+                         sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                         sum(x * x)::BIGINT AS sum_xx,
+                         sum(x * y)::BIGINT AS sum_xy
+                  FROM s GROUP BY grp)
+            SELECT grp, n, sum_x, sum_y, sum_xx, sum_xy,
+                   (n * sum_xy - sum_x * sum_y)::BIGINT AS slope_num,
+                   (n * sum_xx - sum_x * sum_x)::BIGINT AS slope_den
+            FROM a ORDER BY grp
         """,
         "trimmed_stats": """
             WITH v AS (

@@ -242,6 +242,7 @@ def run_queries() -> dict:
         "benford",
         "mst_chain",
         "trimmed_stats",
+        "verbosity_trend",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
