@@ -4091,6 +4091,44 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_repeated_answers(sf_dir: str):
+    """Non-adjacent repeated-answer counts per conversation with
+    PLANTED echoes (every 6th assistant turn re-emitted, identically
+    planted in SQL): pipelines/conversations.py::repeated_answers —
+    text never shuffles (fingerprint keys), one (conv x distinct-text)
+    groupby + conv-sized fold."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from texoo_ray.pipelines.conversations import repeated_answers
+
+    ds = ray.data.read_parquet(ensure_turns(sf_dir))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        base = batch.select(["conv_id", "role", "text"])
+        t = np.asarray(batch["turn_idx"]).astype(np.int64)
+        sel = pa.array(
+            (t % 6 == 0)
+            & np.asarray(
+                pc.equal(pc.fill_null(batch["role"], ""), "assistant")
+            )
+        )
+        return pa.concat_tables([base, base.filter(sel)]).combine_chunks()
+
+    return repeated_answers(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def _q_fd_check(sf_dir: str):
+    """Functional-dependency check o_custkey -> o_orderpriority
+    (pipelines/relational.py::fd_check): a deliberately violated FD —
+    the schema-mining / join-key validation primitive. Distinct-pair
+    exchange only."""
+    from texoo_ray.pipelines.relational import fd_check
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return fd_check(ds, "o_custkey", "o_orderpriority")
+
+
 def _q_verbosity_trend(sf_dir: str):
     """Per-role OLS trend of turn verbosity over time (composition:
     pipelines/relational.py::group_regression over the transcripts
@@ -4614,6 +4652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_chain": _q_mst_chain,
         "trimmed_stats": _q_trimmed_stats,
         "verbosity_trend": _q_verbosity_trend,
+        "repeated_answers": _q_repeated_answers,
+        "fd_check": _q_fd_check,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5429,6 +5469,33 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "repeated_answers": """
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM read_parquet('/tmp/texoo_turns/oracle_current/*.parquet')),
+            u AS (SELECT conv_id, role, text FROM t
+                  UNION ALL
+                  SELECT conv_id, role, text FROM t
+                  WHERE role = 'assistant' AND turn_idx % 6 = 0),
+            a AS (SELECT conv_id, coalesce(text, '') AS tx
+                  FROM u WHERE role = 'assistant'),
+            g AS (SELECT conv_id, tx, count(*)::BIGINT AS c
+                  FROM a GROUP BY conv_id, tx)
+            SELECT conv_id, sum(c)::BIGINT AS n_assistant,
+                   sum(c - 1)::BIGINT AS n_repeated
+            FROM g GROUP BY conv_id ORDER BY conv_id
+        """,
+        "fd_check": """
+            WITH p AS (SELECT DISTINCT o_custkey::VARCHAR AS a,
+                                       o_orderpriority AS b
+                       FROM orders),
+            k AS (SELECT a, count(*)::BIGINT AS nb FROM p GROUP BY a)
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_violating,
+                   max(nb)::BIGINT AS max_dep
+            FROM k
         """,
         "verbosity_trend": """
             WITH s AS (

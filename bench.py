@@ -243,6 +243,8 @@ def run_queries() -> dict:
         "mst_chain",
         "trimmed_stats",
         "verbosity_trend",
+        "repeated_answers",
+        "fd_check",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

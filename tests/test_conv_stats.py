@@ -277,3 +277,32 @@ class TestCollapseRetries:
         assert kept == [
             ("a", 0), ("a", 2), ("a", 4), ("a", 5), ("b", 0), ("b", 1),
         ]
+
+
+class TestRepeatedAnswers:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.conversations import repeated_answers
+
+        rows = [
+            ("a", "assistant", "hello"),
+            ("a", "user", "hello"),  # other role never counts
+            ("a", "assistant", "world"),
+            ("a", "assistant", "hello"),  # echo of turn 0
+            ("a", "assistant", "hello"),  # and again
+            ("b", "assistant", "unique"),
+            ("c", "assistant", None),
+            ("c", "assistant", ""),  # null == '' -> repeat
+        ]
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "role": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = repeated_answers(ds).to_pandas()
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == [("a", 4, 2), ("b", 1, 0), ("c", 2, 1)]

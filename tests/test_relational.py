@@ -560,3 +560,24 @@ class TestBenfordProfile:
         exp = dict(zip(out["digit"], out["benford_micro"]))
         assert exp[1] == math.floor(math.log(2) / math.log(10) * 1e6 + 0.5)
         assert 45000 < exp[9] < 47000
+
+
+class TestFdCheck:
+    def test_holds_and_violates(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import fd_check
+
+        tbl = pa.table(
+            {
+                "k": ["a", "a", "b", "b", "c", None],
+                "v": ["1", "1", "2", "3", "4", "5"],
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        r = fd_check(ds, "k", "v").to_pandas().iloc[0]
+        # keys: a (1 dep), b (2 deps), c (1), '' (1) -> 1 violating
+        assert (r["n_keys"], r["n_violating"], r["max_dep"]) == (4, 1, 2)
+        # the v -> k direction: every v maps to exactly one k
+        r2 = fd_check(ds, "v", "k").to_pandas().iloc[0]
+        assert r2["n_violating"] == 0 and r2["n_keys"] == 5

@@ -751,3 +751,76 @@ def collapse_retries(
         .map_groups(scan, batch_format="pyarrow")
         .sort([id_col, turn_col])
     )
+
+
+def repeated_answers(
+    ds,
+    id_col: str = "conv_id",
+    role_col: str = "role",
+    role: str = "assistant",
+    text_col: str = "text",
+):
+    """Non-adjacent repeated-answer detection per conversation: how
+    many of a conversation's ``role`` turns repeat the EXACT text of
+    an earlier turn of the same conversation (the model-loop /
+    canned-response diagnostic — adjacent retries are
+    :func:`collapse_retries`' job; this one catches echoes anywhere
+    in the conversation). n_repeated = sum over (conv, text) groups
+    of (count - 1). Null text counts as ''. Returns
+    Dataset[(conv_id, n_assistant, n_repeated)] over every
+    conversation with at least one ``role`` turn, sorted by conv_id.
+
+    Shape: row-local projection to (conv, text-fingerprint) — the
+    text itself never shuffles (128-bit FNV keys, the dsir
+    precedent); ONE (conv × distinct-text) groupby, then a conv-sized
+    second aggregate. No per-conversation dispatch anywhere.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..core.strhash import utf8_hash64
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.fill_null(batch[role_col], ""), role)
+        t = batch.filter(keep)
+        txt = pc.fill_null(t[text_col], "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "k0": pa.array(
+                    utf8_hash64(txt, 0).view(np.int64), pa.int64()
+                ),
+                "k1": pa.array(
+                    utf8_hash64(txt, 1).view(np.int64), pa.int64()
+                ),
+                "c": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    per_text = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby([id_col, "k0", "k1"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_assistant": pa.array(c, pa.int64()),
+                "n_repeated": pa.array(c - 1, pa.int64()),
+            }
+        )
+
+    return (
+        per_text.map_batches(fold, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_assistant", alias_name="n_assistant"),
+            Sum("n_repeated", alias_name="n_repeated"),
+        )
+        .sort(id_col)
+    )

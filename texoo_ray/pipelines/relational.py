@@ -1611,3 +1611,60 @@ def benford_profile(ds, value_col: str):
         )
 
     return agg.map_batches(attach, batch_format="pyarrow").sort("digit")
+
+
+def fd_check(ds, det_col: str, dep_col: str):
+    """Functional-dependency check (does ``det_col`` determine
+    ``dep_col``? — the schema-mining / data-contract primitive behind
+    normalization and join-key validation): one-row summary
+    Dataset[(n_keys, n_violating, max_dep)] where n_violating counts
+    determinant values mapping to MORE than one distinct dependent
+    and max_dep is the worst fan-out. n_violating == 0 means the FD
+    holds exactly.
+
+    Shape: per-batch distinct (det, dep) pairs (string-cast, nulls as
+    ''), ONE pair-domain groupby, a key-domain second aggregate, and
+    a driver finish on the key-count-sized result. Only distinct
+    pairs ever cross the wire.
+    """
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": pc.fill_null(pc.cast(batch[det_col], pa.string()), ""),
+                "b": pc.fill_null(pc.cast(batch[dep_col], pa.string()), ""),
+            }
+        )
+        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table({"a": g["a"], "b": g["b"]})
+
+    per_key = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("a")
+        .aggregate(Count(alias_name="nb"))
+        .to_pandas()
+    )
+    if len(per_key) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_keys": pa.array([0], pa.int64()),
+                    "n_violating": pa.array([0], pa.int64()),
+                    "max_dep": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    nb = per_key["nb"].to_numpy(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_keys": pa.array([len(nb)], pa.int64()),
+                "n_violating": pa.array([int((nb > 1).sum())], pa.int64()),
+                "max_dep": pa.array([int(nb.max())], pa.int64()),
+            }
+        )
+    )
