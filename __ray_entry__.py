@@ -4091,6 +4091,45 @@ def _q_log_odds(sf_dir: str):
     )
 
 
+def _q_cusum(sf_dir: str):
+    """Exact CUSUM change-point per event type over hourly counts
+    (pipelines/analytics.py::cusum_changepoint — the did-the-rate-
+    shift monitoring primitive): integer T*cum - t*total deviation,
+    earliest-argmax hour. Hour-domain aggregate + driver scan."""
+    from texoo_ray.pipelines.analytics import cusum_changepoint
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return cusum_changepoint(ds)
+
+
+def _q_spearman(sf_dir: str):
+    """Exact Spearman rank correlation between lineitem price dollars
+    and quantity (pipelines/relational.py::spearman, SQL rank() min-
+    rank ties): ranks from broadcast value-domain histograms — the
+    data is never sorted; monotonic-association profiling."""
+    from texoo_ray.pipelines.relational import spearman
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        usd = np.floor(
+            np.asarray(batch["l_extendedprice"], dtype=np.float64) + 0.5
+        ).astype(np.int64)
+        q = np.floor(
+            np.asarray(batch["l_quantity"], dtype=np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "price_usd": pa.array(usd, pa.int64()),
+                "qty": pa.array(q, pa.int64()),
+            }
+        )
+
+    return spearman(
+        ds.map_batches(quant, batch_format="pyarrow"), "price_usd", "qty"
+    )
+
+
 def _q_repeated_answers(sf_dir: str):
     """Non-adjacent repeated-answer counts per conversation with
     PLANTED echoes (every 6th assistant turn re-emitted, identically
@@ -4654,6 +4693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verbosity_trend": _q_verbosity_trend,
         "repeated_answers": _q_repeated_answers,
         "fd_check": _q_fd_check,
+        "cusum_shift": _q_cusum,
+        "spearman_corr": _q_spearman,
         "price_trend": _q_price_trend,
         "readability": _q_readability,
         "pmi_top50": _q_pmi_top50,
@@ -5469,6 +5510,60 @@ def oracle_sql() -> dict[str, str]:
             FROM c, tot
             WHERE cnt_a + cnt_b >= 5
             ORDER BY delta_micro DESC, word LIMIT 40
+        """,
+        "cusum_shift": """
+            WITH b AS (SELECT event_type,
+                              (epoch_us(ts) // 3600000000)::BIGINT AS h,
+                              count(*)::BIGINT AS x
+                       FROM events GROUP BY event_type, h),
+            m AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(x)::BIGINT AS total
+                  FROM b GROUP BY event_type),
+            r AS (SELECT event_type, h, x,
+                         sum(x) OVER (PARTITION BY event_type
+                                      ORDER BY h)::BIGINT AS cum,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS t
+                  FROM b),
+            d AS (SELECT r.event_type, m.n, m.total, r.h,
+                         abs(m.n * r.cum - r.t * m.total)::BIGINT AS dev
+                  FROM r JOIN m USING (event_type)),
+            pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                                  ORDER BY dev DESC, h) AS rn
+                     FROM d)
+            SELECT event_type, n AS n_buckets, total, dev AS max_dev,
+                   h AS at_hour
+            FROM pick WHERE rn = 1 ORDER BY event_type
+        """,
+        "spearman_corr": """
+            WITH s AS (
+              SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_quantity) AS BIGINT) AS y
+              FROM lineitem),
+            r AS (SELECT x, y,
+                         rank() OVER (ORDER BY x)::BIGINT AS rx,
+                         rank() OVER (ORDER BY y)::BIGINT AS ry
+                  FROM s),
+            a AS (SELECT count(*)::BIGINT AS n,
+                         sum(rx)::BIGINT AS sum_rx, sum(ry)::BIGINT AS sum_ry,
+                         sum(rx * rx)::BIGINT AS sum_rxx,
+                         sum(ry * ry)::BIGINT AS sum_ryy,
+                         sum(rx * ry)::BIGINT AS sum_rxy
+                  FROM r)
+            SELECT n, sum_rx, sum_ry, sum_rxx, sum_ryy, sum_rxy,
+                   CASE WHEN (n::HUGEINT * sum_rxx - sum_rx::HUGEINT * sum_rx) = 0
+                          OR (n::HUGEINT * sum_ryy - sum_ry::HUGEINT * sum_ry) = 0
+                        THEN 0
+                        ELSE CAST(floor(
+                          CAST(n::HUGEINT * sum_rxy - sum_rx::HUGEINT * sum_ry
+                               AS DOUBLE)
+                          / sqrt(
+                            CAST(n::HUGEINT * sum_rxx - sum_rx::HUGEINT * sum_rx
+                                 AS DOUBLE)
+                            * CAST(n::HUGEINT * sum_ryy - sum_ry::HUGEINT * sum_ry
+                                   AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) END AS rho_micro
+            FROM a
         """,
         "repeated_answers": """
             WITH t AS (

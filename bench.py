@@ -245,6 +245,8 @@ def run_queries() -> dict:
         "verbosity_trend",
         "repeated_answers",
         "fd_check",
+        "cusum_shift",
+        "spearman_corr",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

@@ -1221,3 +1221,84 @@ class TestTrimmedStats:
         # spike trimmed for group a (k=2), untouched for c (k=0)
         assert got["a"][2] < sum(data["a"])
         assert got["c"][2] == sum(data["c"])
+
+
+class TestCusumChangepoint:
+    def test_vs_brute_force(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from texoo_ray.pipelines.analytics import cusum_changepoint
+
+        # type A: rate doubles after hour 5; type B: flat
+        rows = []
+        eid = 0
+        for hour in range(10):
+            na = 2 if hour < 5 else 6
+            for _ in range(na):
+                rows.append({"event_type": "A",
+                             "ts": pd.Timestamp(hour * 3600 + eid % 60, unit="s")})
+                eid += 1
+            for _ in range(3):
+                rows.append({"event_type": "B",
+                             "ts": pd.Timestamp(hour * 3600 + eid % 60, unit="s")})
+                eid += 1
+        df = pd.DataFrame(rows)
+        df["ts"] = df["ts"].astype("datetime64[us]")  # parquet ts unit
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = cusum_changepoint(ds).to_pandas().set_index("event_type")
+
+        # brute force for A
+        xs = [2] * 5 + [6] * 5
+        n, total = len(xs), sum(xs)
+        devs = []
+        cum = 0
+        for t, x in enumerate(xs, 1):
+            cum += x
+            devs.append(abs(n * cum - t * total))
+        best = max(devs)
+        a = out.loc["A"]
+        assert (a["n_buckets"], a["total"], a["max_dev"]) == (n, total, best)
+        assert a["at_hour"] == devs.index(best)  # epoch hour == bucket idx
+        # flat series: max_dev at any prefix is 0
+        assert out.loc["B"]["max_dev"] == 0
+
+
+class TestSpearman:
+    def test_vs_scipy_free_brute(self, ray_session):
+        import math
+
+        import ray.data
+
+        from texoo_ray.pipelines.relational import spearman
+
+        rng = np.random.RandomState(21)
+        x = rng.randint(0, 500, 300)
+        y = (x // 7) ** 2 + rng.randint(0, 3, 300)  # monotone-ish, nonlinear
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+        ).repartition(4)
+        r = spearman(ds, "x", "y").to_pandas().iloc[0]
+
+        def min_rank(vals):
+            sv = np.sort(np.unique(vals))
+            below = {}
+            c = 0
+            import collections
+
+            cnt = collections.Counter(vals.tolist())
+            for v in sv:
+                below[int(v)] = c + 1
+                c += cnt[int(v)]
+            return np.array([below[int(v)] for v in vals], np.int64)
+
+        a, b = min_rank(x), min_rank(y)
+        n = len(a)
+        num = n * int((a * b).sum()) - int(a.sum()) * int(b.sum())
+        denx = n * int((a * a).sum()) - int(a.sum()) ** 2
+        deny = n * int((b * b).sum()) - int(b.sum()) ** 2
+        exp = math.floor(
+            float(num) / math.sqrt(float(denx) * float(deny)) * 1e6 + 0.5
+        )
+        assert r["n"] == n and r["rho_micro"] == exp
+        assert r["rho_micro"] > 900_000  # strongly monotone

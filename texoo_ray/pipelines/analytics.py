@@ -1142,3 +1142,83 @@ def trimmed_stats(ds, group_col: str, value_col: str, trim_pct: int = 5):
             }
         )
     )
+
+
+def cusum_changepoint(ds, group_col: str = "event_type", ts_col: str = "ts"):
+    """Exact CUSUM change-point locator per group over hourly event
+    counts (Page 1954 — the did-the-rate-shift monitoring primitive):
+    for each group, with hourly counts x_1..x_T (sorted by hour),
+    cum_t the prefix sum and ``total`` the grand sum, the deviation
+    is the mean-free prefix statistic multiplied through by T to stay
+    integer:
+
+        dev_t = |T * cum_t - t * total|
+
+    The change-point is the earliest hour attaining max dev_t.
+    Returns Dataset[(group, n_buckets, total, max_dev, at_hour)]
+    sorted by group — all int64, bit-equal to the SQL window mirror.
+
+    Shape: per-batch (group, hour) count partials, ONE
+    (groups × hours)-domain groupby, the scan runs driver-side on the
+    domain-sized block (the ks_drift budget).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_col].cast(pa.int64()), dtype=np.int64)
+        h = ts // np.int64(3_600_000_000)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        key = codes * np.int64(2**40) + h
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(
+                    pa.array(u // np.int64(2**40), pa.int64())
+                ),
+                "h": pa.array(u % np.int64(2**40), pa.int64()),
+                "x": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "h"])
+        .aggregate(Sum("x", alias_name="x"))
+        .to_pandas()
+    )
+    import ray.data
+
+    out = {group_col: [], "n_buckets": [], "total": [], "max_dev": [],
+           "at_hour": []}
+    for grp, sub in sorted(hist.groupby(group_col, sort=False),
+                           key=lambda t: t[0]):
+        h = sub["h"].to_numpy(np.int64)
+        x = sub["x"].to_numpy(np.int64)
+        order = np.argsort(h, kind="stable")
+        h, x = h[order], x[order]
+        n = len(x)
+        total = int(x.sum())
+        cum = np.cumsum(x)
+        t = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(n * cum - t * total)
+        i = int(np.argmax(dev))  # argmax returns the FIRST maximum
+        out[group_col].append(grp)
+        out["n_buckets"].append(n)
+        out["total"].append(total)
+        out["max_dev"].append(int(dev[i]))
+        out["at_hour"].append(int(h[i]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out[group_col], pa.string()),
+                "n_buckets": pa.array(out["n_buckets"], pa.int64()),
+                "total": pa.array(out["total"], pa.int64()),
+                "max_dev": pa.array(out["max_dev"], pa.int64()),
+                "at_hour": pa.array(out["at_hour"], pa.int64()),
+            }
+        )
+    )

@@ -1668,3 +1668,129 @@ def fd_check(ds, det_col: str, dep_col: str):
             }
         )
     )
+
+
+def spearman(ds, x_col: str, y_col: str, domain_max: int = 50_000_000):
+    """Exact Spearman rank correlation between two int64 columns
+    (monotonic-association profiling — catches the nonlinear
+    relationships Pearson misses), with SQL ``rank()`` tie semantics
+    (ties share the MIN rank): ranks come from the two value-domain
+    histograms (rank(v) = rows-below + 1), broadcast as sorted
+    (value, rank) arrays — the data itself is never sorted. The
+    Pearson algebra then runs over the rank pairs: int64 sufficient
+    statistics, over-int64 finish in Python ints / SQL HUGEINT with
+    the identical double division (the corr_pairs discipline).
+    Returns one-row Dataset[(n, sum_rx, sum_ry, sum_rxx, sum_ryy,
+    sum_rxy, rho_micro)]. ``domain_max`` bounds each histogram;
+    Σr² < 2^63 bounds n at ~2M rows — subsample or bucket beyond
+    (documented, raises).
+
+    Shape: ONE tagged two-histogram aggregate, driver cumsum +
+    ``ray.put`` broadcast, ONE scoring pass of rank-pair partials,
+    one tiny Sum.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        xs = np.asarray(batch[x_col], dtype=np.int64)
+        ys = np.asarray(batch[y_col], dtype=np.int64)
+        ux, cx = np.unique(xs, return_counts=True)
+        uy, cy = np.unique(ys, return_counts=True)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ux), np.int64), np.ones(len(uy), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "v": pa.array(np.concatenate([ux, uy]), pa.int64()),
+                "n": pa.array(
+                    np.concatenate([cx, cy]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["kind", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            k: pa.array([0], pa.int64())
+            for k in ("n", "sum_rx", "sum_ry", "sum_rxx", "sum_ryy",
+                      "sum_rxy", "rho_micro")
+        }
+    )
+    if len(hist) == 0:
+        return ray.data.from_arrow(empty)
+
+    def rank_map(sub):
+        v = sub["v"].to_numpy(np.int64)
+        c = sub["n"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        if len(v) > domain_max:
+            raise OverflowError("spearman: value domain exceeds domain_max")
+        below = np.concatenate([[0], np.cumsum(c)[:-1]])
+        return v, below + 1  # rank() min-rank semantics
+
+    vx, rx = rank_map(hist[hist["kind"] == 0])
+    vy, ry = rank_map(hist[hist["kind"] == 1])
+    n_total = int(hist[hist["kind"] == 0]["n"].sum())
+    if n_total and float(n_total) ** 3 > float(2**62):
+        raise OverflowError(
+            "spearman: sum of squared ranks overflows int64 — subsample"
+        )
+    ref = ray.put((vx, rx, vy, ry))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vx, rx, vy, ry = ray.get(ref)
+        xs = np.asarray(batch[x_col], dtype=np.int64)
+        ys = np.asarray(batch[y_col], dtype=np.int64)
+        a = rx[np.searchsorted(vx, xs)]
+        b = ry[np.searchsorted(vy, ys)]
+        return pa.table(
+            {
+                "n": pa.array([len(a)], pa.int64()),
+                "sum_rx": pa.array([int(a.sum())], pa.int64()),
+                "sum_ry": pa.array([int(b.sum())], pa.int64()),
+                "sum_rxx": pa.array([int((a * a).sum())], pa.int64()),
+                "sum_ryy": pa.array([int((b * b).sum())], pa.int64()),
+                "sum_rxy": pa.array([int((a * b).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sum_rx"].sum()), int(parts["sum_ry"].sum())
+    sxx, syy = int(parts["sum_rxx"].sum()), int(parts["sum_ryy"].sum())
+    sxy = int(parts["sum_rxy"].sum())
+    num = n * sxy - sx * sy
+    denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+    rho = (
+        0
+        if denx == 0 or deny == 0
+        else math.floor(
+            float(num) / math.sqrt(float(denx) * float(deny)) * 1e6 + 0.5
+        )
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_rx": pa.array([sx], pa.int64()),
+                "sum_ry": pa.array([sy], pa.int64()),
+                "sum_rxx": pa.array([sxx], pa.int64()),
+                "sum_ryy": pa.array([syy], pa.int64()),
+                "sum_rxy": pa.array([sxy], pa.int64()),
+                "rho_micro": pa.array([rho], pa.int64()),
+            }
+        )
+    )
