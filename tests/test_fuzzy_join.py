@@ -249,3 +249,44 @@ def test_snm_join_matches_bruteforce(ray_session):
     ).to_pandas()
     assert set(zip(got["l_id"], got["r_id"], got["sim_micro"])) == want
     assert len(got) == len(want)  # exactly-once across the two passes
+
+
+def test_jw_pairs_vectorized_matches_scalar():
+    """The pair-axis-vectorized JW kernel is bit-identical to the scalar
+    (which test_jw_matches_duckdb_exactly pins to DuckDB): random pools
+    including transposition-heavy, unicode, empty and long strings."""
+    import numpy as np
+
+    from texoo_ray.pipelines.joins import _jaro_winkler_pairs
+
+    rng = random.Random(13)
+    pool = ["", "a", "martha", "marhta", "dixon", "dicksonx", "crate",
+            "trace", "abcd", "abdc", "über", "ubér", "x" * 40]
+    for _ in range(400):
+        pool.append(
+            "".join(rng.choice("abcdeü ") for _ in range(rng.randint(0, 15)))
+        )
+    l_names = np.array([rng.choice(pool) for _ in range(300)], dtype=object)
+    r_names = np.array([rng.choice(pool) for _ in range(200)], dtype=object)
+    pi = np.array([rng.randrange(300) for _ in range(3000)], dtype=np.int64)
+    pj = np.array([rng.randrange(200) for _ in range(3000)], dtype=np.int64)
+    got = _jaro_winkler_pairs(l_names, r_names, pi, pj)
+    for t in range(len(pi)):
+        exp = jaro_winkler_std(l_names[pi[t]], r_names[pj[t]])
+        assert got[t] == exp, (l_names[pi[t]], r_names[pj[t]], got[t], exp)
+
+
+def test_jw_pairs_empty_and_degenerate():
+    import numpy as np
+
+    from texoo_ray.pipelines.joins import _jaro_winkler_pairs
+
+    out = _jaro_winkler_pairs(
+        np.array([], dtype=object), np.array([], dtype=object),
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert len(out) == 0
+    out = _jaro_winkler_pairs(
+        np.array(["", "ab"], dtype=object), np.array(["", "ab"], dtype=object),
+        np.array([0, 0, 1, 1], dtype=np.int64),
+        np.array([0, 1, 0, 1], dtype=np.int64))
+    assert list(out) == [0.0, 0.0, 0.0, 1.0]

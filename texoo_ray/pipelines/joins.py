@@ -993,17 +993,25 @@ def fuzzy_join(
         l_ids = [ids[lm][l_inv == i] for i in range(len(l_names))]
         r_ids = [ids[rm][r_inv == i] for i in range(len(r_names))]
         out_l, out_r, out_s = [], [], []
-        for i, ln in enumerate(l_names):
-            for j, rn in enumerate(r_names):
-                sim = jaro_winkler_std(ln, rn)
-                if sim >= threshold:
-                    micro = int(np.floor(sim * 1e6 + 0.5))
-                    li, rj = l_ids[i], r_ids[j]
-                    out_l.append(np.repeat(li, len(rj)))
-                    out_r.append(np.tile(rj, len(li)))
-                    out_s.append(
-                        np.full(len(li) * len(rj), micro, dtype=np.int64)
-                    )
+        # cross product over DISTINCT names, vectorized across the pair
+        # axis in left-name slabs so pair index arrays stay heap-bounded
+        nr = len(r_names)
+        slab = max(1, 2_000_000 // max(1, nr))
+        for s0 in range(0, len(l_names), slab):
+            s1 = min(s0 + slab, len(l_names))
+            pi = np.repeat(np.arange(s1 - s0), nr)
+            pj = np.tile(np.arange(nr), s1 - s0)
+            sims = _jaro_winkler_pairs(l_names[s0:s1], r_names, pi, pj)
+            hit = np.flatnonzero(sims >= threshold)
+            for t in hit:
+                i, j = int(pi[t]) + s0, int(pj[t])
+                micro = int(np.floor(sims[t] * 1e6 + 0.5))
+                li, rj = l_ids[i], r_ids[j]
+                out_l.append(np.repeat(li, len(rj)))
+                out_r.append(np.tile(rj, len(li)))
+                out_s.append(
+                    np.full(len(li) * len(rj), micro, dtype=np.int64)
+                )
         if not out_l:
             return empty
         return pa.table(
@@ -1015,6 +1023,105 @@ def fuzzy_join(
         )
 
     return both.groupby("block").map_groups(match_block, batch_format="pyarrow")
+
+
+def _jaro_winkler_pairs(
+    l_names, r_names, pi: np.ndarray, pj: np.ndarray
+) -> np.ndarray:
+    """Standard Jaro-Winkler similarity for each (l_names[pi[t]],
+    r_names[pj[t]]) pair — vectorized ACROSS the pair axis like
+    :func:`_levenshtein_pairs`: the greedy match loop runs once per
+    LEFT-character position with every pair advancing in lockstep (the
+    per-pair matching window is a vector bound, the "first unmatched
+    equal char" pick is one masked argmax per step), transpositions
+    come from one scatter of the matched chars into rank order, and the
+    Winkler prefix bonus is a 4-wide cumprod. Bit-identical to the
+    scalar :func:`jaro_winkler_std` (fuzz-pinned in
+    tests/test_fuzzy_join.py), which is itself fuzz-pinned to DuckDB's
+    ``jaro_winkler_similarity``."""
+    la = np.array([len(s) for s in l_names], dtype=np.int64)
+    lb = np.array([len(s) for s in r_names], dtype=np.int64)
+    max_a = int(la.max()) if len(la) else 0
+    max_b = int(lb.max()) if len(lb) else 0
+    A = np.zeros((len(l_names), max_a), dtype=np.int32)
+    for i, s in enumerate(l_names):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int32)
+    B = np.zeros((len(r_names), max_b), dtype=np.int32)
+    for i, s in enumerate(r_names):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int32)
+    n = len(pi)
+    out = np.zeros(n, dtype=np.float64)
+    jidx = np.arange(max_b, dtype=np.int64)
+    width = min(max_a, max_b)
+    chunk = max(1, 2_000_000 // max(1, max_b + 1))
+    for c0 in range(0, n, chunk):
+        ci = np.asarray(pi[c0 : c0 + chunk], dtype=np.int64)
+        cj = np.asarray(pj[c0 : c0 + chunk], dtype=np.int64)
+        a = A[ci]
+        b = B[cj]
+        cla = la[ci]
+        clb = lb[cj]
+        m = len(ci)
+        w = np.maximum(np.maximum(cla, clb) // 2 - 1, 0)
+        bm = np.zeros((m, max_b), dtype=bool)
+        am = np.zeros((m, max_a), dtype=bool)
+        for i in range(max_a):
+            active = i < cla
+            if not active.any():
+                break
+            lo = np.maximum(0, i - w)[:, None]
+            hi = np.minimum(clb, i + w + 1)[:, None]
+            cand = (
+                (b == a[:, i : i + 1])
+                & ~bm
+                & (jidx >= lo)
+                & (jidx < hi)
+                & active[:, None]
+            )
+            hit = cand.any(axis=1)
+            first = cand.argmax(axis=1)
+            rows = np.flatnonzero(hit)
+            bm[rows, first[rows]] = True
+            am[rows, i] = True
+        mc = bm.sum(axis=1).astype(np.int64)
+        # transpositions: scatter matched chars into rank order per side
+        seq_a = np.zeros((m, width), dtype=np.int32)
+        seq_b = np.zeros((m, width), dtype=np.int32)
+        r, c = np.nonzero(am)
+        seq_a[r, (np.cumsum(am, axis=1) - 1)[r, c]] = a[r, c]
+        r, c = np.nonzero(bm)
+        seq_b[r, (np.cumsum(bm, axis=1) - 1)[r, c]] = b[r, c]
+        rank = np.arange(width, dtype=np.int64)
+        t = ((seq_a != seq_b) & (rank < mc[:, None])).sum(axis=1) // 2
+        ok = (mc > 0) & (cla > 0) & (clb > 0)
+        mf = mc.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = (
+                mf / np.maximum(cla, 1)
+                + mf / np.maximum(clb, 1)
+                + (mf - t) / np.maximum(mf, 1.0)
+            ) / 3.0
+        j = np.where(ok, j, 0.0)
+        pw = min(4, max_a, max_b)
+        if pw > 0:
+            eq = (
+                (a[:, :pw] == b[:, :pw])
+                & (np.arange(pw) < cla[:, None])
+                & (np.arange(pw) < clb[:, None])
+            )
+            p = np.cumprod(eq, axis=1).sum(axis=1)
+        else:
+            p = np.zeros(m, dtype=np.int64)
+        out[c0 : c0 + chunk] = np.where(
+            j > 0.7, j + p * 0.1 * (1.0 - j), j
+        )
+    return out
 
 
 def _levenshtein_pairs(
@@ -1277,11 +1384,24 @@ def entity_clusters(
             else:
                 src.append(np.array([m], dtype=np.int64))
                 dst.append(np.array([m], dtype=np.int64))  # self-loop
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                if jaro_winkler_std(uniq[i], uniq[j]) >= threshold:
-                    src.append(np.array([reps[i]], dtype=np.int64))
-                    dst.append(np.array([reps[j]], dtype=np.int64))
+        nunq = len(uniq)
+        if nunq > 1:
+            # all i<j pairs over DISTINCT names, vectorized JW in row
+            # slabs so the pair index arrays stay heap-bounded
+            step = max(1, 2_000_000 // nunq)
+            for s0 in range(0, nunq, step):
+                s1 = min(s0 + step, nunq)
+                pi = np.repeat(np.arange(s0, s1), nunq)
+                pj = np.tile(np.arange(nunq), s1 - s0)
+                keep = pj > pi
+                pi, pj = pi[keep], pj[keep]
+                if not len(pi):
+                    continue
+                sims = _jaro_winkler_pairs(uniq, uniq, pi, pj)
+                hit = sims >= threshold
+                if hit.any():
+                    src.append(reps[pi[hit]])
+                    dst.append(reps[pj[hit]])
         return pa.table(
             {
                 "src": pa.array(np.concatenate(src), pa.int64()),
@@ -1686,19 +1806,21 @@ def snm_join(
             if is_b:
                 keep = (rl[pi] // B) != (rr_[pj] // B)
                 pi, pj = pi[keep], pj[keep]
-            for a, b in zip(pi, pj):
-                sim = jaro_winkler_std(nl[a], nr[b])
-                if sim >= threshold:
-                    out_l.append(il[a])
-                    out_r.append(ir[b])
-                    out_s.append(int(np.floor(sim * 1e6 + 0.5)))
+            sims = _jaro_winkler_pairs(nl, nr, pi, pj)
+            hit = sims >= threshold
+            if hit.any():
+                out_l.append(il[pi[hit]])
+                out_r.append(ir[pj[hit]])
+                out_s.append(
+                    np.floor(sims[hit] * 1e6 + 0.5).astype(np.int64)
+                )
         if not out_l:
             return empty
         return pa.table(
             {
-                "l_id": pa.array(np.asarray(out_l, np.int64), pa.int64()),
-                "r_id": pa.array(np.asarray(out_r, np.int64), pa.int64()),
-                "sim_micro": pa.array(np.asarray(out_s, np.int64), pa.int64()),
+                "l_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "r_id": pa.array(np.concatenate(out_r), pa.int64()),
+                "sim_micro": pa.array(np.concatenate(out_s), pa.int64()),
             }
         )
 
