@@ -1,6 +1,7 @@
 """Relational pipelines: partial-agg Q1 shape, join+broadcast Q5 shape."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 
@@ -432,6 +433,121 @@ class TestAssociationRules:
         assert top[(10, 20)][0] == 750000
         # lift of the 10<->20 rule: 3 * 6 / (4 * 4) = 1.125
         assert top[(10, 20)][1] == 1125000
+
+    def test_mega_basket_truncation_matches_duckdb(self, ray_session):
+        """Planted degenerate basket: max_basket_size truncation keeps
+        each basket's smallest item ids, mirrored in DuckDB via a
+        row_number window — and bounds the pair blowup (a 400-item
+        basket would emit 79800 pairs; truncated at 12 it emits 66)."""
+        import duckdb
+        import ray.data
+
+        from texoo_ray.pipelines.relational import basket_pairs
+
+        rng = np.random.RandomState(3)
+        o = [1] * 400 + list(rng.randint(2, 40, 300))
+        p = list(rng.randint(5000, 9000, 400)) + list(
+            rng.randint(100, 140, 300)
+        )
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(np.asarray(o, np.int64), pa.int64()),
+                "l_partkey": pa.array(np.asarray(p, np.int64), pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        cap = 12
+        out = basket_pairs(
+            ds, top_k=500, n_buckets=4, max_basket_size=cap
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("li", tbl)
+        ref = con.execute(
+            """
+            WITH trunc AS (
+              SELECT o, p FROM (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM li
+              ) QUALIFY row_number() OVER (PARTITION BY o ORDER BY p) <= %d
+            ), cnt AS (
+              SELECT p, count(*) AS n FROM trunc GROUP BY p
+            ), pairs AS (
+              SELECT t1.p AS a, t2.p AS b, count(*) AS co
+              FROM trunc t1 JOIN trunc t2 ON t1.o = t2.o AND t1.p < t2.p
+              GROUP BY t1.p, t2.p
+            )
+            SELECT a, b, co, ca.n AS n_a, cb.n AS n_b,
+                   CAST(floor(co / sqrt(CAST(ca.n * cb.n AS DOUBLE)) * 1e6
+                        + 0.5) AS BIGINT) AS cosine_micro
+            FROM pairs JOIN cnt ca ON pairs.a = ca.p
+                       JOIN cnt cb ON pairs.b = cb.p
+            ORDER BY co DESC, a, b LIMIT 500
+            """
+            % cap
+        ).df()
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        exp = [tuple(r) for r in ref.itertuples(index=False)]
+        assert got == exp
+        # the planted basket contributed at most C(cap,2) pairs
+        mega_items = set(np.asarray(p[:400], np.int64))
+        mega_pairs = [
+            g for g in got if g[0] in mega_items and g[1] in mega_items
+        ]
+        assert len(mega_pairs) <= cap * (cap - 1) // 2
+
+    def test_apriori_pruning_path_equivalence(self, ray_session):
+        """prune_items=True returns bit-identical rules on a Zipfian
+        item domain where most items are singletons (the pruning
+        target), and on the uniform small case."""
+        import ray.data
+
+        from texoo_ray.pipelines.relational import association_rules
+
+        rng = np.random.RandomState(11)
+        # zipfian: a few hot items + a long singleton tail
+        o = np.repeat(np.arange(1, 201), 5)
+        hot = rng.randint(10, 20, 600)
+        tail = np.arange(10_000, 10_400)
+        p = np.concatenate([hot, tail])
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(o, pa.int64()),
+                    "l_partkey": pa.array(p, pa.int64()),
+                }
+            )
+        ).repartition(4)
+        base = association_rules(
+            ds, min_support=2, top_k=100, n_buckets=4
+        ).to_pandas()
+        pruned = association_rules(
+            ds, min_support=2, top_k=100, n_buckets=4, prune_items=True
+        ).to_pandas()
+        assert [tuple(r) for r in base.itertuples(index=False)] == [
+            tuple(r) for r in pruned.itertuples(index=False)
+        ]
+        assert len(base) > 0
+
+    def test_model_max_guard_raises(self, ray_session):
+        import ray.data
+
+        from texoo_ray.pipelines.relational import (
+            association_rules,
+            basket_pairs,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(np.arange(50), pa.int64()),
+                    "l_partkey": pa.array(np.arange(50) % 20, pa.int64()),
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="model_max"):
+            basket_pairs(ds, n_buckets=2, model_max=5).to_pandas()
+        with pytest.raises(ValueError, match="model_max"):
+            association_rules(ds, n_buckets=2, model_max=5).to_pandas()
+
 
 
 class TestCorrPairs:
