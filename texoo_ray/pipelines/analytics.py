@@ -25,22 +25,34 @@ def hourly_windows(ds):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native per-batch combine (pandas groupby dropped null
+        # keys; mirror that before group_by, which would keep them)
+        import numpy as np
+
+        if batch["event_type"].null_count:
+            batch = batch.filter(pc.is_valid(batch["event_type"]))
         hours = pc.floor_temporal(batch["ts"], unit="hour")
         t = pa.table(
             {
                 "event_type": batch["event_type"],
                 "window_start": hours,
-                "n_events": pa.array([1] * len(batch), pa.int64()),
+                "n_events": pa.array(
+                    np.ones(len(batch), np.int64), pa.int64()
+                ),
                 "sum_value": batch["value"],
             }
         )
-        df = t.to_pandas()
-        g = (
-            df.groupby(["event_type", "window_start"], sort=False)
-            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-            .reset_index()
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "n_events": g["n_events_sum"],
+                "sum_value": g["sum_value_sum"],
+            }
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -76,25 +88,40 @@ def sliding_windows(ds, size_minutes: int = 60, stride_minutes: int = 30):
     stride_us = stride_minutes * 60 * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
+        # dictionary-encode the type, replicate k window assignments,
+        # one structured-unique count — no pandas frames per batch
         import numpy as np
-        import pandas as pd
 
-        ts = batch["ts"].to_pandas().astype("datetime64[us]").astype("int64")
+        if batch["event_type"].null_count:
+            batch = batch.filter(pc.is_valid(batch["event_type"]))
+        et = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            batch["ts"]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         base = (ts // stride_us) * stride_us
-        frames = []
-        for j in range(k):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "event_type": batch["event_type"].to_pandas(),
-                        "window_start": base - j * stride_us,
-                    }
-                )
-            )
-        df = pd.concat(frames, ignore_index=True)
-        g = df.groupby(["event_type", "window_start"], sort=False).size().reset_index(name="n_events")
-        g["window_start"] = g["window_start"].astype("datetime64[us]")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        code_rep = np.tile(codes, k)
+        win = np.concatenate([base - j * stride_us for j in range(k)])
+        m = np.empty((len(code_rep), 2), np.int64)
+        m[:, 0], m[:, 1] = code_rep, win
+        mu, cnt = np.unique(
+            m.view([("c", "<i8"), ("w", "<i8")]).ravel(), return_counts=True
+        )
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(
+                    pa.array(mu["c"], pa.int64())
+                ),
+                "window_start": pa.array(mu["w"], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -231,23 +258,57 @@ def sessionize(ds, gap_minutes: int = 30):
     events spread over many blocks.
     """
     gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts"]).to_pandas()
-        df = df.sort_values(["user_id", "ts"], kind="mergesort")
-        new_user = df["user_id"].ne(df["user_id"].shift())
-        new_sess = new_user | (df["ts"].diff() > gap)
-        sess_id = new_sess.cumsum()
-        g = df.groupby(sess_id, sort=False)
-        out = pd.DataFrame(
+        # Arrow sort + numpy gap scan (no pandas round-trip on the
+        # corpus-sized side): session boundaries are user changes or
+        # ts gaps; sorted ts makes each session's start/end positional
+        import numpy as np
+
+        t = batch.select(["user_id", "ts"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending")]
+        )
+        n = t.num_rows
+        ts_type = t.schema.field("ts").type
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], t.schema.field("user_id").type),
+                    "sess_start": pa.array([], ts_type),
+                    "sess_end": pa.array([], ts_type),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].combine_chunks()
+        ts = (
+            t["ts"]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        new_user = pc.not_equal(uid.slice(1), uid.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        brk = new_user | (np.diff(ts) > gap_us)
+        starts = np.concatenate([[0], np.flatnonzero(brk) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        take = pa.array(starts, pa.int64())
+        return pa.table(
             {
-                "user_id": g["user_id"].first(),
-                "sess_start": g["ts"].min(),
-                "sess_end": g["ts"].max(),
-                "n_events": g.size(),
+                "user_id": uid.take(take),
+                "sess_start": pa.array(ts[starts], pa.int64())
+                .cast(pa.timestamp("us"))
+                .cast(ts_type),
+                "sess_end": pa.array(ts[ends - 1], pa.int64())
+                .cast(pa.timestamp("us"))
+                .cast(ts_type),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
             }
-        ).reset_index(drop=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        )
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         # Block-local interval stitch for EVERY user in the bucket at once

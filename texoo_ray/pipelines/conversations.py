@@ -27,23 +27,60 @@ def conversation_stats(ds, id_col: str = "conv_id"):
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([id_col, "role", "ts"]).to_pandas()
-        g = df.groupby(id_col, sort=False)
-        roles = pd.crosstab(df[id_col], df["role"])
-        for r in ("user", "assistant", "tool"):
-            if r not in roles.columns:
-                roles[r] = 0
-        out = pd.DataFrame(
+        # sort + segment-boundary reduceat (no pandas round-trip): one
+        # run per conversation in this batch, counts/extrema per run
+        import pyarrow.compute as pc
+
+        t = batch.select([id_col, "role", "ts"]).sort_by(
+            [(id_col, "ascending")]
+        )
+        n = t.num_rows
+        ts_type = t.schema.field("ts").type
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_user": pa.array([], pa.int64()),
+                    "n_assistant": pa.array([], pa.int64()),
+                    "n_tool": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], ts_type),
+                    "last_ts": pa.array([], ts_type),
+                }
+            )
+        g = t[id_col].combine_chunks()
+        neq = pc.not_equal(g.slice(1), g.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        role = t["role"]
+
+        def cnt(r: str) -> np.ndarray:
+            m = (
+                pc.fill_null(pc.equal(role, r), False)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return np.add.reduceat(m, starts)
+
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "n_turns": g.size(),
-                "n_user": roles["user"],
-                "n_assistant": roles["assistant"],
-                "n_tool": roles["tool"],
-                "first_ts": g["ts"].min(),
-                "last_ts": g["ts"].max(),
+                id_col: g.take(pa.array(starts, pa.int64())),
+                "n_turns": pa.array(lengths.astype(np.int64), pa.int64()),
+                "n_user": pa.array(cnt("user"), pa.int64()),
+                "n_assistant": pa.array(cnt("assistant"), pa.int64()),
+                "n_tool": pa.array(cnt("tool"), pa.int64()),
+                "first_ts": pa.array(np.minimum.reduceat(ts, starts)).cast(
+                    ts_type
+                ),
+                "last_ts": pa.array(np.maximum.reduceat(ts, starts)).cast(
+                    ts_type
+                ),
             }
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -14,7 +14,9 @@ from __future__ import annotations
 import re
 from typing import List, Sequence
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def term_match_topk(
@@ -199,11 +201,25 @@ def grouped_topk(
         return [(group_col, "ascending")] + list(order_by)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native rank-within-run over the sorted batch (the
+        # lexsort + segment-boundary idiom) — no pandas round-trip.
+        # Null groups drop, matching pandas groupby(dropna=True).
+        if batch.num_rows == 0:
+            return batch
+        if batch[group_col].null_count:
+            batch = batch.filter(pc.is_valid(batch[group_col]))
+            if batch.num_rows == 0:
+                return batch
         batch = batch.sort_by(order_tuple(batch))
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        g = batch[group_col].combine_chunks()
+        n = len(g)
+        neq = pc.not_equal(g.slice(1), g.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
         )
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n) - np.repeat(starts, sizes)
+        return batch.filter(pa.array(rank < k))
 
     def final(group: pa.Table) -> pa.Table:
         return group.sort_by(order_tuple(group)).slice(0, k)
