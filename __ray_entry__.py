@@ -290,6 +290,79 @@ def _q_turn_sections_bemd(sf_dir: str):
     return ordered(out.map_batches(counts, batch_format="pyarrow"))
 
 
+def _q_bemd_planted(sf_dir: str):
+    """Planted-residue BEMD segmentation (the image_dedup planting idiom
+    applied to SECTOR): every documents row becomes a one-turn
+    conversation whose text is the deterministic k-block construction
+    from core/planted.py (depends only on doc_id % 52); the distributed
+    extract_turns(section_method="bemd") pipeline must reproduce the
+    pinned single-process section count for each residue
+    (BEMD_RESIDUE_SECTIONS, recomputed from the core chain in
+    tests/test_sections_eval.py). Oracle: the pinned table as CASE
+    literals over doc_id % 52 — a distributed==local, layout- and
+    batching-independence hash check for the whole
+    tokenize->embed->PCA->smooth->deviation->edges chain."""
+    from texoo_ray.core.planted import bemd_planted_text
+    from texoo_ray.pipelines.extract import extract_turns
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    ["bemd%d" % i for i in ids], pa.string()
+                ),
+                "turn_idx": pa.array(
+                    np.zeros(len(ids), np.int32), pa.int32()
+                ),
+                "role": pa.array(["user"] * len(ids), pa.string()),
+                "text": pa.array(
+                    [bemd_planted_text(int(i)) for i in ids], pa.string()
+                ),
+                "tool": pa.array([""] * len(ids), pa.string()),
+                "ts": pa.array(np.zeros(len(ids), np.int64), pa.int64())
+                .cast(pa.timestamp("us")),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    out = extract_turns(
+        ds.map_batches(plant, batch_format="pyarrow", batch_size=256),
+        section_method="bemd",
+        batch_size=256,
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_sections": pa.array(
+                    [len(s) for s in batch["sections"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+
+
+def _bemd_planted_oracle_sql() -> str:
+    """CASE-literal mirror of BEMD_RESIDUE_SECTIONS (see
+    _q_bemd_planted)."""
+    from texoo_ray.core.planted import BEMD_RESIDUE_SECTIONS
+
+    whens = " ".join(
+        "WHEN %d THEN %d" % (r, n)
+        for r, n in enumerate(BEMD_RESIDUE_SECTIONS)
+    )
+    return (
+        "SELECT doc_id, (CASE doc_id % 52 " + whens + " END)::BIGINT "
+        "AS n_sections FROM documents ORDER BY doc_id"
+    )
+
+
 def _q_sector_w2v_sections(sf_dir: str):
     """SECTOR BEMD segmentation over REAL loaded word vectors: the engine
     builds a (word, vector) parquet from the corpus (distributed vocab
@@ -2820,6 +2893,79 @@ def _q_knn_ivf(sf_dir: str):
     return df[["rank", "vec_id"]]
 
 
+def _q_linker_planted(sf_dir: str):
+    """Planted entity-linking contract (the image_dedup planting idiom
+    applied to stages/linker.py::KnowledgeBase): each documents row
+    carries ONE planted mention — a one-letter-corrupted codeword of KB
+    entity (doc_id//3) % 60 (must link through BM25/trigram candidate
+    generation + Jaro-Winkler rerank) or a never-inserted codeword
+    (must NOT link). The separation invariants (target JW >= 0.885,
+    runner-up <= 0.787, no-link best <= 0.70 vs the 0.8 min_score) are
+    pinned for EVERY reachable input in tests/test_linker_encoders.py,
+    so ref_id is closed-form id arithmetic. Exercises the real actor
+    LinkerStage (KB per actor, struct mention batches)."""
+    from texoo_ray.core.planted import (
+        LINKER_N_ENTITIES,
+        linker_entity_name,
+        linker_planted_mention,
+    )
+    from texoo_ray.stages import schema as _schema
+    from texoo_ray.stages.linker import LinkerStage
+
+    kb = [
+        ("E%03d" % i, linker_entity_name(i))
+        for i in range(LINKER_N_ENTITIES)
+    ]
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        mentions = []
+        for i in ids:
+            text, _ = linker_planted_mention(int(i))
+            mentions.append(
+                [
+                    {
+                        "begin": 0,
+                        "end": len(text),
+                        "text": text,
+                        "type": "ENT",
+                        "confidence": 1.0,
+                        "source": "PLANTED",
+                    }
+                ]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mentions": pa.array(mentions, _schema.MENTION_TYPE),
+            }
+        )
+
+    linked = ds.map_batches(
+        plant, batch_format="pyarrow", batch_size=256
+    ).map_batches(
+        LinkerStage,
+        fn_constructor_kwargs=dict(kb_entries=kb),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        lm = batch["linked_mentions"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ref_id": pa.array(
+                    [(l[0]["ref_id"] if l else "") for l in lm], pa.string()
+                ),
+            }
+        )
+
+    return linked.map_batches(out, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_link_mentions(sf_dir: str):
     """Extraction + entity-linking lookup-join against a fixture KB
     (broadcast small side, no shuffle)."""
@@ -4266,6 +4412,87 @@ def _q_mst_chain(sf_dir: str):
     return boruvka_mst(ds.map_batches(plant, batch_format="pyarrow"))
 
 
+def _q_mst_chain_dist(sf_dir: str):
+    """Forced-distributed branch of mst_chain (local_threshold=0): the
+    Borůvka hook-and-contract rounds run as real Ray jobs even under
+    the driver-local Kruskal threshold, so the path that matters at
+    100 TB keeps a measured bench number (BASELINE.md hybrid table)
+    and its own oracle row. Same oracle as mst_chain."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    md = int(ds.max("doc_id"))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch["doc_id"], dtype=np.int64)
+        ch = i[i < md]
+        ex = i[(i % 3 == 0) & (i + 13 <= md)]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([ch, ex]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([ch + 1, ex + 13]), pa.int64()
+                ),
+                "w": pa.array(
+                    np.concatenate([1000 + 2 * ch, 1_000_000 + ex]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from texoo_ray.pipelines.graph import boruvka_mst
+
+    return boruvka_mst(
+        ds.map_batches(plant, batch_format="pyarrow"), local_threshold=0
+    )
+
+
+def _q_kcore_dist(sf_dir: str):
+    """Forced-distributed branch of kcore6 (driver_edge_threshold=0):
+    every peel round runs the fused broadcast-doomed-set Ray job.
+    Same oracle as kcore6."""
+    from texoo_ray.pipelines.graph import kcore
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch["l_orderkey"], dtype=np.int64) + 1_000_000_000
+        return pa.table(
+            {
+                "src": pa.array(o, pa.int64()),
+                "dst": batch["l_partkey"].cast(pa.int64()),
+            }
+        )
+
+    return kcore(
+        li.map_batches(to_edges, batch_format="pyarrow"),
+        k=6,
+        driver_edge_threshold=0,
+    )
+
+
+def _q_bpe_merges_dist(sf_dir: str):
+    """Forced-distributed branch of bpe_merges (driver_vocab_threshold=0):
+    each merge round is a distributed pair-count + literal-replace job
+    over the word table. Same oracle as bpe_merges."""
+    from texoo_ray.stages.bpe import bpe_learn
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_learn(ds, n_merges=8, driver_vocab_threshold=0)
+
+
+def _q_textrank_dist(sf_dir: str):
+    """Forced-distributed branch of textrank_keywords (local_threshold=0):
+    the 2-round PageRank runs as distributed joins over the adjacency
+    Dataset. Same oracle as textrank_keywords."""
+    from texoo_ray.stages.text_stats import textrank_keywords
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return textrank_keywords(
+        ds, top_k=30, min_len=3, iterations=2, local_threshold=0
+    )
+
+
 def _q_corr_matrix(sf_dir: str):
     """Exact Pearson correlation matrix over quantized lineitem
     numerics (pipelines/relational.py::corr_pairs): int64 sufficient
@@ -4731,6 +4958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- already driver-green in rounds 1-3 ---
         "extract_turns": _q_extract_turns,
         "turn_sections_bemd": _q_turn_sections_bemd,
+        "bemd_planted": _q_bemd_planted,
+        "linker_planted": _q_linker_planted,
         "sector_w2v_sections": _q_sector_w2v_sections,
         "conv_stats": _q_conv_stats,
         "concat_conversations": _q_concat_conversations,
@@ -4789,6 +5018,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_before_purchase": _q_clicks_before_purchase,
         "customers_no_open_orders": _q_customers_no_open_orders,
         "media_features": _q_media_features,
+        "mst_chain_dist": _q_mst_chain_dist,
+        "kcore6_dist": _q_kcore_dist,
+        "bpe_merges_dist": _q_bpe_merges_dist,
+        "textrank_dist": _q_textrank_dist,
     }
     # Round-5 window: rounds 1-4 proved 111 distinct queries driver-green
     # (50/50 green in r4).  This window holds 50 of the 83 never-checked:
@@ -4813,7 +5046,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # highest-risk remaining never-checked
         "bm25_topk", "profile_table", "c4_clean", "late_events",
         "pii_redact", "doc_repetition", "cross_source_overlap",
-        "chunk_documents", "dataset_split",
+        # planted-codeword conversions of the rows-only residue
+        # (r4 verdict #6): BEMD segmentation and entity linking
+        "bemd_planted", "linker_planted",
     ]
     assert len(_WINDOW) == 50 and all(k in q for k in _WINDOW)
     ordered = {k: q[k] for k in _WINDOW}
@@ -5318,8 +5553,15 @@ def _kcore_oracle_sql(k: int = 6, rounds: int = 16) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "hll_bigrams": _hll_oracle_sql(),
+        "bemd_planted": _bemd_planted_oracle_sql(),
+        "linker_planted": r"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN ''
+                        ELSE printf('E%03d', (doc_id // 3) % 60) END AS ref_id
+            FROM documents ORDER BY doc_id
+        """,
         "kcore6": _kcore_oracle_sql(),
         "feature_auc": r"""
             WITH s AS (
@@ -8450,3 +8692,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank LIMIT 10
         """,
     }
+    # forced-distributed hybrid variants share their siblings' oracles
+    d["mst_chain_dist"] = d["mst_chain"]
+    d["kcore6_dist"] = d["kcore6"]
+    d["bpe_merges_dist"] = d["bpe_merges"]
+    d["textrank_dist"] = d["textrank_keywords"]
+    return d

@@ -269,3 +269,49 @@ class TestPositionEncoder:
         one = enc.encode_each([["x"]])
         assert one[0].tolist() == [1.0, 1.0, 1.0, 1.0]
         assert enc.encode_each([]).shape == (0, 4)
+
+
+def test_linker_planted_invariants_exhaustive():
+    """Every reachable planted-linker input (217 distinct (mention,
+    expectation) pairs over the lcm(180, 291) doc_id cycle) must link to
+    exactly the closed-form target the linker_planted SQL oracle
+    predicts, with hard JW separation margins around the 0.8 min_score:
+    target >= 0.88, runner-up < 0.79, no-link best < 0.70."""
+    import math
+
+    from texoo_ray.core.planted import (
+        LINKER_N_ENTITIES,
+        linker_entity_name,
+        linker_planted_mention,
+    )
+    from texoo_ray.stages.linker import (
+        KnowledgeBase,
+        jaro_winkler,
+        normalize_name,
+    )
+
+    kb = KnowledgeBase(
+        [("E%03d" % i, linker_entity_name(i)) for i in range(LINKER_N_ENTITIES)]
+    )
+    norms = [normalize_name(linker_entity_name(i)) for i in range(LINKER_N_ENTITIES)]
+    seen = set()
+    targets = set()
+    for doc_id in range(math.lcm(180, 291)):
+        m, exp = linker_planted_mention(doc_id)
+        if (m, exp) in seen:
+            continue
+        seen.add((m, exp))
+        hit = kb.link(m)
+        got = hit[0] if hit else ""
+        want = "E%03d" % exp if exp >= 0 else ""
+        assert got == want, (doc_id, m, got, want)
+        nm = normalize_name(m)
+        jws = [jaro_winkler(nm, n) for n in norms]
+        if exp >= 0:
+            targets.add(exp)
+            assert jws[exp] >= 0.88
+            assert max(j for i, j in enumerate(jws) if i != exp) < 0.79
+        else:
+            assert max(jws) < 0.70
+    assert len(seen) == 217
+    assert len(targets) == LINKER_N_ENTITIES

@@ -352,3 +352,22 @@ def test_chrf_stats_doc_chunking_path(ray_session):
             for c in ("n_chars", "cmatch1", "cmatch2", "cmatch3")
         ]
         assert got == want
+
+
+def test_bemd_planted_residue_table_pinned():
+    """BEMD_RESIDUE_SECTIONS (embedded as literals in the bemd_planted
+    SQL oracle) must equal what the single-process core chain computes
+    for every residue — so the oracle can never drift from the code —
+    and must exercise real variety (all of 1..5 section counts)."""
+    from texoo_ray.core.planted import (
+        BEMD_CYCLE,
+        BEMD_RESIDUE_SECTIONS,
+        bemd_planted_text,
+        bemd_sections_for_residue,
+    )
+
+    got = [bemd_sections_for_residue(r) for r in range(BEMD_CYCLE)]
+    assert got == BEMD_RESIDUE_SECTIONS
+    assert sorted(set(got)) == [1, 2, 3, 4, 5]
+    # text depends only on the residue class (the oracle's CASE key)
+    assert bemd_planted_text(7) == bemd_planted_text(7 + BEMD_CYCLE * 3)

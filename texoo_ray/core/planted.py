@@ -1,0 +1,121 @@
+"""Planted-input constructions for non-SQL-expressible pipeline oracles.
+
+The planted-codeword idiom (first used for the multimodal dedup family,
+stages/multimodal.py): derive a deterministic input from row ids alone,
+so a DuckDB oracle over the same tables can state the expected output in
+closed form — converting rows-only driver checks into hash checks.
+
+For SECTOR BEMD segmentation (core/sections.py::bemd_deviation,
+reference SectorAnnotator.java:507-542) the chain (PCA with the first
+two components zeroed, gaussian smoothing, geometric-mean directional
+deviation, strict-local-maxima edges) admits no closed form, but it IS a
+pure function of the text. So the construction below fixes a 52-residue
+cycle of planted documents (text depends only on ``doc_id % 52``), and
+``BEMD_RESIDUE_SECTIONS`` pins the section count the single-process core
+path produces for each residue. The SQL oracle embeds that table as
+literals (the knn_lsh seeded-hyperplane precedent) and the driver then
+checks the DISTRIBUTED Ray pipeline against the pinned single-process
+result — a layout/batching-independence check end-to-end through the
+driver. tests/test_sections_eval.py recomputes the table from the core
+stage on every run, so the literals can never drift from the code.
+"""
+
+from __future__ import annotations
+
+BEMD_CYCLE = 52  # lcm(4 block-count residues, 13 vocab residues)
+
+
+def bemd_planted_text(doc_id: int) -> str:
+    """Deterministic k-block document (k = doc_id%4 + 2, six sentences
+    per block, one block-unique word per sentence repeated three times).
+    Text depends only on ``doc_id % BEMD_CYCLE``."""
+    r = doc_id % BEMD_CYCLE
+    k = r % 4 + 2
+    parts = []
+    for j in range(k):
+        w = "B%dq%d" % (j, r % 13)
+        parts += ["%s %s %s." % (w, w.lower(), w.lower())] * 6
+    return " ".join(parts)
+
+
+def bemd_sections_for_residue(r: int) -> int:
+    """Single-process golden: run the REAL SectionStage pipeline pieces
+    (segment/tokenize exactly as ExtractStage does) on the planted text
+    and count sections. Used to (re)generate and pin
+    ``BEMD_RESIDUE_SECTIONS`` — never called in the distributed path."""
+    import numpy as np
+
+    from .document import segment_text
+    from .features import sentence_embedding
+    from .sections import (
+        bemd_deviation,
+        detect_edges,
+        directional_context,
+        sections_from_edges,
+    )
+
+    doc = segment_text(bemd_planted_text(r))
+    if not doc.sentences:
+        return 0
+    emb = np.stack(
+        [sentence_embedding(s.tokens, 64) for s in doc.sentences]
+    )
+    fw, bw = directional_context(emb)
+    dev = bemd_deviation(fw, bw) if emb.shape[0] >= 2 else None
+    edges = detect_edges(dev)
+    return len(sections_from_edges(doc.sentences, edges, doc.end))
+
+
+# Pinned golden (see module docstring); regenerate with
+#   python -c "from texoo_ray.core.planted import *; \
+#              print([bemd_sections_for_residue(r) for r in range(52)])"
+BEMD_RESIDUE_SECTIONS = [
+    2, 1, 4, 5, 3, 1, 4, 5, 4, 1, 4, 5, 3, 2, 4, 5, 4, 1, 4, 5, 3, 1,
+    3, 5, 4, 1, 5, 5, 3, 1, 4, 5, 3, 1, 3, 5, 3, 1, 4, 5, 4, 1, 4, 5,
+    3, 1, 4, 5, 3, 2, 4, 5,
+]
+
+
+# --- planted entity-linking fixture (stages/linker.py::KnowledgeBase) ---
+
+LINKER_N_ENTITIES = 60
+
+
+def linker_codeword(i: int, salt: bytes = b"kbent") -> str:
+    """Deterministic 12-lowercase-letter codeword for entity ``i``: md5
+    bytes mapped onto a-z. Random 12-letter strings are pairwise
+    JW-distant (the separation invariant is PINNED for all pairs in
+    tests/test_linker_encoders.py, not assumed)."""
+    import hashlib
+
+    h = hashlib.md5(salt + b"-%d" % i).digest()
+    return "".join(chr(ord("a") + b % 26) for b in h[:12])
+
+
+def linker_entity_name(i: int) -> str:
+    """KB entity name: unique codeword + a 6-way shared group token (the
+    group token gives the BM25 candidate stage real posting lists)."""
+    return "%s grp%d" % (linker_codeword(i), i % 6)
+
+
+def linker_planted_mention(doc_id: int) -> tuple:
+    """(mention_text, expected_ref_index) for a documents row.
+
+    Linking rows (doc_id % 3 != 0): the target entity's codeword with
+    ONE letter substituted (+13 ring shift at position doc_id % 12) +
+    the target's group token — an inexact mention that must flow
+    through BM25/trigram candidate generation and Jaro-Winkler rerank
+    to entity ``(doc_id // 3) % LINKER_N_ENTITIES`` (expected index >=
+    0). Non-linking rows (doc_id % 3 == 0): a fresh codeword NEVER
+    inserted in the KB (salt differs) — every KB name's JW must stay
+    below the 0.8 min_score (pinned), so the linker returns no link
+    (expected index -1). The mention depends only on doc_id % 180
+    (link rows) / doc_id % 291 (no-link rows), so the pinned test in
+    tests/test_linker_encoders.py covers EVERY reachable input."""
+    if doc_id % 3 == 0:
+        return linker_codeword(doc_id % 97, b"nolink"), -1
+    t = (doc_id // 3) % LINKER_N_ENTITIES
+    w = linker_codeword(t)
+    pos = doc_id % 12
+    sub = chr(ord("a") + (ord(w[pos]) - ord("a") + 13) % 26)
+    return "%s grp%d" % (w[:pos] + sub + w[pos + 1 :], t % 6), t

@@ -175,6 +175,7 @@ def run_extract_resumable(
     num_partitions: int = 16,
     max_concurrent: int = 4,
     sort_output: bool = True,
+    partition_by_key: bool = False,
     **kwargs,
 ):
     """Checkpointed flagship run: per-partition lineage manifests, atomic
@@ -184,8 +185,15 @@ def run_extract_resumable(
     the actor budget (default_concurrency() / max_concurrent): with K
     partitions in flight, K fixed full-size pools would demand K x the
     CPU budget and deadlock waiting for actors that can never schedule.
+
+    ``partition_by_key=True`` switches to the two-phase
+    ``run_resumable_by_key`` conv-hash re-shard (SCALE.md "Ordering
+    exchange"): use it when the input file layout does NOT co-locate
+    conversations — each output partition then still holds whole,
+    ordered conversations (pinned by tests/test_kill_resume.py's
+    scattered-layout e2e).
     """
-    from ..state.lineage import run_resumable
+    from ..state.lineage import run_resumable, run_resumable_by_key
 
     if "concurrency" not in kwargs:
         share = max(1, default_concurrency() // max(1, max_concurrent))
@@ -197,6 +205,16 @@ def run_extract_resumable(
             out = ordered_by_conversation(out)
         return out
 
+    if partition_by_key:
+        return run_resumable_by_key(
+            list(input_files),
+            out_dir,
+            pipeline,
+            key_col="conv_id",
+            num_buckets=num_partitions,
+            max_concurrent=max_concurrent,
+            counter_cols=("n_sentences", "n_tokens", "n_mentions"),
+        )
     return run_resumable(
         list(input_files),
         out_dir,

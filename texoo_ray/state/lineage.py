@@ -90,6 +90,8 @@ def run_resumable(
     num_partitions: int = 16,
     max_concurrent: int = 4,
     counter_cols: Sequence[str] = (),
+    input_groups: Optional[Sequence[Sequence[str]]] = None,
+    write_partition_cols: Optional[Sequence[str]] = None,
 ) -> Dict:
     """Run ``pipeline_fn(ds) -> ds`` over each input partition, skipping
     completed ones. Each partition is itself a fully parallel Ray
@@ -102,6 +104,13 @@ def run_resumable(
     last K partitions drain. Raise it roughly to
     cluster_cpus / per-partition concurrency.
 
+    ``input_groups`` overrides the round-robin file grouping with an
+    explicit [files-per-partition] list (partition pid = list index) —
+    the hook :func:`run_resumable_by_key`'s bucket phase uses to make
+    pid == bucket id. ``write_partition_cols`` forwards to
+    ``write_parquet(partition_cols=...)`` so a phase can emit a
+    hive-partitioned layout inside each part directory.
+
     Returns {"partitions": total, "skipped": n, "rows": total_rows}.
     """
     from concurrent.futures import ThreadPoolExecutor
@@ -111,7 +120,11 @@ def run_resumable(
     _settle_optional_imports()
 
     os.makedirs(out_dir, exist_ok=True)
-    groups = partition_inputs(input_files, num_partitions)
+    groups = (
+        [list(g) for g in input_groups]
+        if input_groups is not None
+        else partition_inputs(input_files, num_partitions)
+    )
     skipped = 0
     total_rows = 0
     todo = []
@@ -130,10 +143,30 @@ def run_resumable(
             shutil.rmtree(tmp_dir)
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
+        if not inputs:  # an explicit input_groups bucket can be empty
+            os.makedirs(tmp_dir, exist_ok=True)
+            with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
+                json.dump(
+                    {
+                        "inputs": [],
+                        "rows": 0,
+                        "wall_sec": 0.0,
+                        "engine_version": __version__,
+                    },
+                    f,
+                    indent=1,
+                )
+            os.rename(tmp_dir, part_dir)
+            return 0
         started = time.time()
         ds = ray.data.read_parquet(list(inputs))
         ds = pipeline_fn(ds)
-        ds.write_parquet(tmp_dir)
+        if write_partition_cols:
+            ds.write_parquet(
+                tmp_dir, partition_cols=list(write_partition_cols)
+            )
+        else:
+            ds.write_parquet(tmp_dir)
         import pyarrow.dataset as pads
 
         dset = pads.dataset(tmp_dir)
@@ -167,6 +200,98 @@ def run_resumable(
             for f in futures:
                 total_rows += f.result()
     return {"partitions": len(groups), "skipped": skipped, "rows": total_rows}
+
+
+def run_resumable_by_key(
+    input_files: Sequence[str],
+    out_dir: str,
+    pipeline_fn: Callable,
+    *,
+    key_col: str = "conv_id",
+    num_buckets: int = 16,
+    file_partitions: Optional[int] = None,
+    max_concurrent: int = 4,
+    counter_cols: Sequence[str] = (),
+) -> Dict:
+    """Two-phase resumable run for input layouts that do NOT co-locate
+    ``key_col`` with file boundaries (SCALE.md "Ordering exchange": when
+    conversations are scattered across files, grouping by file can never
+    give a partition whole conversations).
+
+    Phase A (resumable per input-file group): read the group, attach
+    ``bucket = hash(key) % num_buckets`` (the vectorized FNV string hash,
+    core/strhash.py), and write a hive-partitioned re-shard under
+    ``out_dir/bucketed/part=NNNNN/bucket=B/``. Phase B (resumable per
+    BUCKET, pid == bucket id): run ``pipeline_fn`` over every phase-A
+    file of that bucket — the pipeline therefore sees EVERY turn of each
+    of its conversations, whatever the input layout. Both phases use the
+    same manifest/atomic-rename contract, so a kill at any point resumes
+    precisely: completed A groups and completed buckets are skipped.
+
+    This is the 100-TB shape: one extra full read+write (the re-shard)
+    buys per-bucket whole-key locality without any per-partition
+    full-input scan; the alternative (each of P partitions filtering the
+    whole input for its hash range) reads the corpus P times.
+    """
+    import ray.data
+
+    _settle_optional_imports()
+
+    from ..core.strhash import utf8_hash64
+
+    try:
+        import numpy as np
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        raise
+
+    def add_bucket(ds):
+        def tag(batch: pa.Table) -> pa.Table:
+            key = batch[key_col]
+            if not pa.types.is_string(key.type):
+                import pyarrow.compute as pc
+
+                key = pc.cast(key, pa.string())
+            b = (utf8_hash64(key) % np.uint64(num_buckets)).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    bucketed_dir = os.path.join(out_dir, "bucketed")
+    a_stats = run_resumable(
+        list(input_files),
+        bucketed_dir,
+        add_bucket,
+        num_partitions=file_partitions or max(1, len(list(input_files))),
+        max_concurrent=max_concurrent,
+        write_partition_cols=["bucket"],
+    )
+
+    import glob as _glob
+
+    groups = [
+        sorted(
+            _glob.glob(
+                os.path.join(bucketed_dir, "part=*[0-9]", "bucket=%d" % b, "*.parquet")
+            )
+        )
+        for b in range(num_buckets)
+    ]
+    b_stats = run_resumable(
+        [f for g in groups for f in g],
+        out_dir,
+        pipeline_fn,
+        input_groups=groups,
+        max_concurrent=max_concurrent,
+        counter_cols=counter_cols,
+    )
+    return {
+        "partitions": b_stats["partitions"],
+        "skipped": b_stats["skipped"],
+        "rows": b_stats["rows"],
+        "reshard_partitions": a_stats["partitions"],
+        "reshard_skipped": a_stats["skipped"],
+    }
 
 
 def collect_metrics(out_dir: str) -> Dict:
