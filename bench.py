@@ -444,6 +444,59 @@ def main_scaling() -> dict:
     }
 
 
+HYBRID_PAIRS = [
+    # (driver-local-path query, forced-distributed variant) — the hybrid
+    # operators take the local branch under their row thresholds at
+    # bench scale; the _dist variants pin a measured number on the
+    # branch that matters at 100 TB (r4 verdict #5). Oracles are shared
+    # (results identical by the path-equivalence contract).
+    ("kcore6", "kcore6_dist"),
+    ("bpe_merges", "bpe_merges_dist"),
+    ("mst_chain", "mst_chain_dist"),
+    ("textrank_keywords", "textrank_dist"),
+]
+
+
+def run_hybrid() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in [n for pair in HYBRID_PAIRS for n in pair]:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_hybrid_once() -> dict:
+    ray = _ray_session()
+    out = run_hybrid()
+    ray.shutdown()
+    return out
+
+
+def main_hybrid() -> dict:
+    """Local vs forced-distributed branch times for the hybrid operators
+    (min of 2 fresh-session trials per query, same estimator as the
+    query suite). Record the table in BASELINE.md."""
+    trials = [_spawn("--hybrid-once") for _ in range(2)]
+    merged = {
+        k: min(t[k] for t in trials) for k in trials[0]
+    }
+    return {
+        "metric": "hybrid operator local vs distributed branch",
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "pairs": [
+            {"op": a, "local_sec": merged[a], "distributed_sec": merged[b]}
+            for a, b in HYBRID_PAIRS
+        ],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
@@ -451,5 +504,9 @@ if __name__ == "__main__":
         print(json.dumps(main_headline_once()))
     elif "--queries-once" in sys.argv:
         print(json.dumps(main_queries_once()))
+    elif "--hybrid-once" in sys.argv:
+        print(json.dumps(main_hybrid_once()))
+    elif "--hybrid" in sys.argv:
+        print(json.dumps(main_hybrid()))
     else:
         print(json.dumps(main_bench()))
