@@ -780,10 +780,33 @@ def minhash_dedup(
 
         @_norm(_EDGE_SCHEMA)
         def check_exact(b: pa.Table) -> pa.Table:
-            keep = [
-                jaccard_ngrams(s or "", d or "") >= threshold
-                for s, d in zip(b["_text_src"].to_pylist(), b["_text_dst"].to_pylist())
-            ]
+            # shingle each DISTINCT text once per batch (texts repeat
+            # across candidate pairs — the src side especially); the
+            # per-pair work is then two C-level set ops
+            cache: dict = {}
+
+            def sset(s):
+                s = s or ""
+                v = cache.get(s)
+                if v is None:
+                    v = frozenset(shingles(s, 3).tolist())
+                    cache[s] = v
+                return v
+
+            keep = []
+            for s, d in zip(
+                b["_text_src"].to_pylist(), b["_text_dst"].to_pylist()
+            ):
+                sa, sb = sset(s), sset(d)
+                if not sa and not sb:
+                    keep.append(True)
+                elif not sa or not sb:
+                    keep.append(False)
+                else:
+                    inter = len(sa & sb)
+                    keep.append(
+                        inter / (len(sa) + len(sb) - inter) >= threshold
+                    )
             t = b.filter(pa.array(keep, pa.bool_()))
             return pa.table({"src": t[id_col], "dst": t["bucket_min"]})
 
