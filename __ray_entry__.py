@@ -3051,6 +3051,157 @@ def _q_ner_eval(sf_dir: str):
     )
 
 
+def _q_segmentation_planted(sf_dir: str):
+    """Planted Pk/WindowDiff contract (core/evaluation.py::pk/
+    window_diff/calculate_k, reference SegmentationEvaluation.java:
+    104-196): every documents row becomes a doc of n = 18 + doc_id%7
+    unit-char sentences with reference boundaries every g = 3+doc_id%3
+    and hypothesis boundaries every p = 3+(doc_id+1)%4, flowing through
+    the REAL distributed eval path (struct sentences/sections,
+    _section_lengths -> positions -> k -> Pk/WD). Unlike the golden-
+    residue BEMD oracle, this oracle is INDEPENDENT math: boundary
+    counts in a probe window are floor((t+k)/g) - floor(t/g), so
+    DuckDB recomputes Pk/WD from scratch with generate_series."""
+    from texoo_ray.core.evaluation import (
+        calculate_k,
+        masses_array,
+        pk,
+        positions_array,
+        window_diff,
+    )
+    from texoo_ray.pipelines.evaluate import _section_lengths
+    from texoo_ray.stages import schema as _schema
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        sents, refs, hyps = [], [], []
+        for i in ids:
+            n = 18 + int(i) % 7
+            g = 3 + int(i) % 3
+            p = 3 + (int(i) + 1) % 4
+            sents.append([{"begin": s, "end": s + 1} for s in range(n)])
+            refs.append(
+                [
+                    {
+                        "begin": j * g,
+                        "end": min((j + 1) * g, n),
+                        "label": "",
+                        "heading": "",
+                        "confidence": 1.0,
+                    }
+                    for j in range((n + g - 1) // g)
+                ]
+            )
+            hyps.append(
+                [
+                    {
+                        "begin": j * p,
+                        "end": min((j + 1) * p, n),
+                        "label": "",
+                        "heading": "",
+                        "confidence": 1.0,
+                    }
+                    for j in range((n + p - 1) // p)
+                ]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sentences": pa.array(sents, _schema.SENTENCE_TYPE),
+                "sections_ref": pa.array(refs, _schema.SECTION_TYPE),
+                "sections": pa.array(hyps, _schema.SECTION_TYPE),
+            }
+        )
+
+    def eval_docs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        out_n, out_k, out_pk, out_wd = [], [], [], []
+        for sents, ref, hyp in zip(
+            batch["sentences"].to_pylist(),
+            batch["sections_ref"].to_pylist(),
+            batch["sections"].to_pylist(),
+        ):
+            ref_pos = positions_array(_section_lengths(sents, ref))
+            hyp_pos = positions_array(_section_lengths(sents, hyp))
+            k = calculate_k(masses_array(ref_pos))
+            out_n.append(len(ref_pos))
+            out_k.append(k)
+            out_pk.append(
+                int(np.floor(pk(ref_pos, hyp_pos, k) * 1e6 + 0.5))
+            )
+            out_wd.append(
+                int(np.floor(window_diff(ref_pos, hyp_pos, k) * 1e6 + 0.5))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_sent": pa.array(out_n, pa.int64()),
+                "k": pa.array(out_k, pa.int64()),
+                "pk_micro": pa.array(out_pk, pa.int64()),
+                "wd_micro": pa.array(out_wd, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(plant, batch_format="pyarrow", batch_size=256)
+        .map_batches(eval_docs, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def _q_ner_planted(sf_dir: str):
+    """Planted NER-eval contract (core/evaluation.py::
+    mention_match_counts, Cornolti et al. 2013 strong/weak counting,
+    Annotation.java:143-158): per documents row, gold = 3 mentions at
+    [10j, 10j+4); pred varies by doc_id % 5 — 0: identical (3 strong);
+    1: all shifted +1 (0 strong, 3 weak); 2: two exact + one disjoint
+    FP (2 strong, 2 weak); 3: empty pred; 4: one exact + two disjoint
+    FPs (1 strong, 1 weak). The distributed counting map must
+    reproduce the closed-form counts — CASE arithmetic in SQL."""
+    from texoo_ray.core.evaluation import mention_match_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def m(b, e):
+        return {"begin": b, "end": e}
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        ts, tw, ng, npred = [], [], [], []
+        for i in ids:
+            r = int(i) % 5
+            gold = [m(10 * j, 10 * j + 4) for j in range(3)]
+            if r == 0:
+                pred = [m(10 * j, 10 * j + 4) for j in range(3)]
+            elif r == 1:
+                pred = [m(10 * j + 1, 10 * j + 5) for j in range(3)]
+            elif r == 2:
+                pred = [m(0, 4), m(10, 14), m(100, 104)]
+            elif r == 3:
+                pred = []
+            else:
+                pred = [m(0, 4), m(100, 104), m(200, 204)]
+            s = mention_match_counts(gold, pred, weak=False)
+            w = mention_match_counts(gold, pred, weak=True)
+            ts.append(s[0])
+            tw.append(w[0])
+            ng.append(len(gold))
+            npred.append(len(pred))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tp_strong": pa.array(ts, pa.int64()),
+                "tp_weak": pa.array(tw, pa.int64()),
+                "n_gold": pa.array(ng, pa.int64()),
+                "n_pred": pa.array(npred, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_segmentation_eval(sf_dir: str):
     """Mean Pk/WindowDiff of BEMD segmentation vs the NL reference
     segmentation over multi-paragraph turns (one row)."""
@@ -5022,6 +5173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore6_dist": _q_kcore_dist,
         "bpe_merges_dist": _q_bpe_merges_dist,
         "textrank_dist": _q_textrank_dist,
+        "segmentation_planted": _q_segmentation_planted,
+        "ner_planted": _q_ner_planted,
     }
     # Round-5 window: rounds 1-4 proved 111 distinct queries driver-green
     # (50/50 green in r4).  This window holds 50 of the 83 never-checked:
@@ -5556,6 +5709,52 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "hll_bigrams": _hll_oracle_sql(),
         "bemd_planted": _bemd_planted_oracle_sql(),
+        "segmentation_planted": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     18 + doc_id % 7 AS n,
+                     3 + doc_id % 3 AS g,
+                     3 + (doc_id + 1) % 4 AS p
+              FROM documents
+            ), kk AS (
+              SELECT *,
+                     GREATEST(CAST(floor(
+                       (CAST(n AS DOUBLE) / CEIL(CAST(n AS DOUBLE) / g))
+                       / 2.0 + 0.5) AS BIGINT), 2) AS k
+              FROM d
+            ), agg AS (
+              SELECT doc_id, any_value(n) AS n, any_value(k) AS k,
+                     SUM(CASE WHEN ((t // g) = ((t + k) // g))
+                              != ((t // p) = ((t + k) // p))
+                         THEN 1 ELSE 0 END) AS pk_dis,
+                     SUM(CASE WHEN ((t + k) // g - t // g)
+                              != ((t + k) // p - t // p)
+                         THEN 1 ELSE 0 END) AS wd_dis,
+                     COUNT(*) AS total
+              FROM kk JOIN generate_series(0, 24) AS s(t)
+                ON t <= n - k - 1
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_sent, k,
+                   CAST(floor(CAST(pk_dis AS DOUBLE) / total * 1e6 + 0.5)
+                        AS BIGINT) AS pk_micro,
+                   CAST(floor(CAST(wd_dis AS DOUBLE) / total * 1e6 + 0.5)
+                        AS BIGINT) AS wd_micro
+            FROM agg ORDER BY doc_id
+        """,
+        "ner_planted": r"""
+            SELECT doc_id,
+                   (CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 0
+                        WHEN 2 THEN 2 WHEN 3 THEN 0 ELSE 1 END)::BIGINT
+                     AS tp_strong,
+                   (CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
+                        WHEN 2 THEN 2 WHEN 3 THEN 0 ELSE 1 END)::BIGINT
+                     AS tp_weak,
+                   3::BIGINT AS n_gold,
+                   (CASE doc_id % 5 WHEN 3 THEN 0 ELSE 3 END)::BIGINT
+                     AS n_pred
+            FROM documents ORDER BY doc_id
+        """,
         "linker_planted": r"""
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN ''

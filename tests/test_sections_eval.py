@@ -371,3 +371,70 @@ def test_bemd_planted_residue_table_pinned():
     assert sorted(set(got)) == [1, 2, 3, 4, 5]
     # text depends only on the residue class (the oracle's CASE key)
     assert bemd_planted_text(7) == bemd_planted_text(7 + BEMD_CYCLE * 3)
+
+
+def test_segmentation_planted_closed_form_matches_core():
+    """The generate_series SQL oracle for segmentation_planted rests on
+    the identity: boundaries of the every-g segmentation inside probe
+    window (t, t+k] number floor((t+k)/g) - floor(t/g). Sweep every
+    (n, g, p) residue combination and assert the closed form reproduces
+    core pk/window_diff exactly."""
+    import math
+
+    from texoo_ray.core.evaluation import (
+        calculate_k,
+        masses_array,
+        pk,
+        positions_array,
+        window_diff,
+    )
+
+    for n in range(18, 25):
+        for g in (3, 4, 5):
+            for p in (3, 4, 5, 6):
+                ref = positions_array(
+                    [g] * (n // g) + ([n % g] if n % g else [])
+                )
+                hyp = positions_array(
+                    [p] * (n // p) + ([n % p] if n % p else [])
+                )
+                k = calculate_k(masses_array(ref))
+                # closed form k: n / ceil(n/g) is the mean mass
+                k2 = max(
+                    int(math.floor((n / math.ceil(n / g)) / 2.0 + 0.5)), 2
+                )
+                assert k == k2, (n, g)
+                pk_dis = wd_dis = total = 0
+                for t in range(n - k):
+                    if ((t // g) == ((t + k) // g)) != (
+                        (t // p) == ((t + k) // p)
+                    ):
+                        pk_dis += 1
+                    if ((t + k) // g - t // g) != ((t + k) // p - t // p):
+                        wd_dis += 1
+                    total += 1
+                assert pk(ref, hyp, k) == pk_dis / total, (n, g, p)
+                assert window_diff(ref, hyp, k) == wd_dis / total, (n, g, p)
+
+
+def test_ner_planted_counts_hand_derived():
+    """The ner_planted CASE oracle's counts, hand-derived per residue,
+    must equal the real greedy strong/weak counting."""
+    from texoo_ray.core.evaluation import mention_match_counts
+
+    def m(b, e):
+        return {"begin": b, "end": e}
+
+    gold = [m(10 * j, 10 * j + 4) for j in range(3)]
+    preds = {
+        0: [m(10 * j, 10 * j + 4) for j in range(3)],
+        1: [m(10 * j + 1, 10 * j + 5) for j in range(3)],
+        2: [m(0, 4), m(10, 14), m(100, 104)],
+        3: [],
+        4: [m(0, 4), m(100, 104), m(200, 204)],
+    }
+    want_strong = {0: 3, 1: 0, 2: 2, 3: 0, 4: 1}
+    want_weak = {0: 3, 1: 3, 2: 2, 3: 0, 4: 1}
+    for r, pred in preds.items():
+        assert mention_match_counts(gold, pred, weak=False)[0] == want_strong[r]
+        assert mention_match_counts(gold, pred, weak=True)[0] == want_weak[r]
