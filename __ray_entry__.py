@@ -3202,6 +3202,60 @@ def _q_ner_planted(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_retrieval_metrics_planted(sf_dir: str):
+    """Planted ranking-metrics contract (core/retrieval.py::
+    reciprocal_rank/precision_at_k/recall_at_k/average_precision,
+    reference RetrievalEvaluation.java:154-218): per documents row, an
+    8-result ranked list with m = 1 + doc_id%3 relevant items at
+    positions r1, r1+2, r1+4 (r1 = 1 + doc_id%4, all <= 8). The
+    distributed metric map must reproduce the closed-form values; the
+    SQL oracle recomputes them with the IDENTICAL parse-tree float ops
+    (rational divisions and fixed-order additions only — IEEE-exact
+    across engines; NDCG is excluded because ln() is not bit-specified).
+    Output in micros."""
+    from texoo_ray.core.retrieval import (
+        average_precision,
+        precision_at_k,
+        recall_at_k,
+        reciprocal_rank,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        mrr, p5, r5, ap = [], [], [], []
+        for q in ids:
+            q = int(q)
+            ranked = [q * 10 + 1 + i for i in range(8)]
+            r1 = 1 + q % 4
+            m = 1 + q % 3
+            rel = {ranked[r1 - 1 + 2 * j] for j in range(m)}
+            mrr.append(
+                int(np.floor(reciprocal_rank(ranked, rel) * 1e6 + 0.5))
+            )
+            p5.append(
+                int(np.floor(precision_at_k(ranked, rel, 5) * 1e6 + 0.5))
+            )
+            r5.append(
+                int(np.floor(recall_at_k(ranked, rel, 5) * 1e6 + 0.5))
+            )
+            ap.append(
+                int(np.floor(average_precision(ranked, rel) * 1e6 + 0.5))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mrr_micro": pa.array(mrr, pa.int64()),
+                "p5_micro": pa.array(p5, pa.int64()),
+                "r5_micro": pa.array(r5, pa.int64()),
+                "ap_micro": pa.array(ap, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_segmentation_eval(sf_dir: str):
     """Mean Pk/WindowDiff of BEMD segmentation vs the NL reference
     segmentation over multi-paragraph turns (one row)."""
@@ -5175,6 +5229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_dist": _q_textrank_dist,
         "segmentation_planted": _q_segmentation_planted,
         "ner_planted": _q_ner_planted,
+        "retrieval_metrics_planted": _q_retrieval_metrics_planted,
     }
     # Round-5 window: rounds 1-4 proved 111 distinct queries driver-green
     # (50/50 green in r4).  This window holds 50 of the 83 never-checked:
@@ -5709,6 +5764,34 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "hll_bigrams": _hll_oracle_sql(),
         "bemd_planted": _bemd_planted_oracle_sql(),
+        "retrieval_metrics_planted": r"""
+            WITH d AS (
+              SELECT doc_id, 1 + doc_id % 4 AS r1, 1 + doc_id % 3 AS m
+              FROM documents
+            ), t AS (
+              SELECT doc_id, r1, m,
+                (CASE WHEN r1 <= 5 THEN 1 ELSE 0 END)
+                + (CASE WHEN m >= 2 AND r1 + 2 <= 5 THEN 1 ELSE 0 END)
+                + (CASE WHEN m >= 3 AND r1 + 4 <= 5 THEN 1 ELSE 0 END)
+                  AS hits5,
+                CAST(1 AS DOUBLE) / r1 AS t1,
+                CAST(2 AS DOUBLE) / (r1 + 2) AS t2,
+                CAST(3 AS DOUBLE) / (r1 + 4) AS t3
+              FROM d
+            )
+            SELECT doc_id,
+              CAST(floor(CAST(1 AS DOUBLE) / r1 * 1e6 + 0.5) AS BIGINT)
+                AS mrr_micro,
+              CAST(floor(CAST(hits5 AS DOUBLE) / 5 * 1e6 + 0.5) AS BIGINT)
+                AS p5_micro,
+              CAST(floor(CAST(hits5 AS DOUBLE) / m * 1e6 + 0.5) AS BIGINT)
+                AS r5_micro,
+              CAST(floor((CASE WHEN m = 1 THEN t1
+                               WHEN m = 2 THEN t1 + t2
+                               ELSE (t1 + t2) + t3 END) / m * 1e6 + 0.5)
+                   AS BIGINT) AS ap_micro
+            FROM t ORDER BY doc_id
+        """,
         "segmentation_planted": r"""
             WITH d AS (
               SELECT doc_id,
