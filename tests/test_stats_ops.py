@@ -1302,3 +1302,38 @@ class TestSpearman:
         )
         assert r["n"] == n and r["rho_micro"] == exp
         assert r["rho_micro"] > 900_000  # strongly monotone
+
+
+def test_cluster_top_terms_local_vs_distributed_paths(ray_session):
+    """The driver-local c-TF-IDF tail (under local_threshold) must be
+    bit-identical to the distributed fw-join/top-k tail (threshold=0
+    forces it)."""
+    import ray.data
+
+    from texoo_ray.stages.encoders import cluster_top_terms
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": i, "text": "alpha beta " + ("gamma " * (i % 3)) + ("delta" if i % 2 else "epsilon")}
+            for i in range(60)
+        ]
+    ).repartition(4)
+    labels = ray.data.from_items(
+        [{"vec_id": i, "assigned_label": i % 4} for i in range(60)]
+    ).repartition(3)
+    a = (
+        cluster_top_terms(docs, labels, k=3)
+        .to_pandas()
+        .sort_values(["label", "word"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cluster_top_terms(docs, labels, k=3, local_threshold=0)
+        .to_pandas()
+        .sort_values(["label", "word"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

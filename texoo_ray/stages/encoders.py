@@ -262,6 +262,7 @@ def cluster_top_terms(
     label_id_col: str = "vec_id",
     label_col: str = "assigned_label",
     num_partitions: Optional[int] = None,
+    local_threshold: int = 2_000_000,
 ):
     """c-TF-IDF cluster characterization (Grootendorst 2022, BERTopic's
     class-based TF-IDF): the top-k most DISTINCTIVE terms per document
@@ -328,6 +329,71 @@ def cluster_top_terms(
             )
         )
 
+    # A = total words / n clusters: two tiny driver-side aggregates over
+    # the vocab x clusters table (never the corpus). The blocks are
+    # already being read to the driver here, so when the (label, word)
+    # domain fits under ``local_threshold`` the whole tail (corpus word
+    # totals, scoring, per-label top-k) runs on the same collected
+    # table with the IDENTICAL algebra — the bpe/kcore driver-local
+    # precedent, removing three Ray jobs (fw groupby, ctf x fw join,
+    # top-k exchange); the distributed tail below remains the
+    # over-threshold branch (path-equivalence pinned in
+    # tests/test_stats_ops.py).
+    import ray
+
+    tot = 0
+    lbls = set()
+    parts = []
+    for r in ctf.to_arrow_refs():
+        t = ray.get(r)
+        if t.num_rows:
+            tot += int(np.sum(np.asarray(t["tf"], dtype=np.int64)))
+            lbls.update(np.unique(np.asarray(t["label"], np.int64)).tolist())
+            parts.append(t.select(["label", "word", "tf"]))
+    A = float(tot) / float(len(lbls))
+
+    if ctf.count() <= local_threshold:
+        import ray.data
+
+        lt = pa.concat_tables(parts).combine_chunks()
+        lab = np.asarray(lt["label"], dtype=np.int64)
+        words = np.asarray(lt["word"].to_pylist(), dtype=object)
+        tf = np.asarray(lt["tf"], dtype=np.int64)
+        uw, winv = np.unique(words, return_inverse=True)
+        f = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(f, winv, tf)
+        fvals = f[winv].astype(np.float64)
+        uniq, inv = np.unique(fvals, return_inverse=True)
+        lg = np.array(
+            [math.log(1.0 + A / x) for x in uniq], dtype=np.float64
+        )[inv]
+        micro = np.floor(tf.astype(np.float64) * lg * 1e6 + 0.5).astype(
+            np.int64
+        )
+        order = np.lexsort((words, -micro, lab))
+        lab, words, tf, micro = (
+            lab[order],
+            words[order],
+            tf[order],
+            micro[order],
+        )
+        starts = np.concatenate(
+            [[0], np.flatnonzero(lab[1:] != lab[:-1]) + 1]
+        )
+        sizes = np.diff(np.concatenate([starts, [len(lab)]]))
+        rank = np.arange(len(lab)) - np.repeat(starts, sizes)
+        keep = rank < k
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array(lab[keep], pa.int64()),
+                    "word": pa.array(list(words[keep]), pa.string()),
+                    "tf": pa.array(tf[keep], pa.int64()),
+                    "ctfidf_micro": pa.array(micro[keep], pa.int64()),
+                }
+            )
+        )
+
     def fw_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["word"]).aggregate([("tf", "sum")])
         return pa.table(
@@ -339,19 +405,6 @@ def cluster_top_terms(
         .groupby("w")
         .aggregate(Sum("f", alias_name="f"))
     )
-
-    # A = total words / n clusters: two tiny driver-side aggregates over
-    # the vocab x clusters table (never the corpus)
-    import ray
-
-    tot = 0
-    lbls = set()
-    for r in ctf.to_arrow_refs():
-        t = ray.get(r)
-        if t.num_rows:
-            tot += int(np.sum(np.asarray(t["tf"], dtype=np.int64)))
-            lbls.update(np.unique(np.asarray(t["label"], np.int64)).tolist())
-    A = float(tot) / float(len(lbls))
 
     joined = ctf.join(fw, "inner", P, on=("word",), right_on=("w",))
 
