@@ -573,12 +573,59 @@ def cross_source_overlap(ds, n: int = 8, text_col: str = "text", source_col: str
             }
         )
 
+    # combine: ONE gram-hash bucket exchange + block-local dedupe/OR
+    # (the pair-hash reduceat idiom — two chained multi-key sort
+    # aggregates over the gram domain were the basket-family 8x cliff).
+    # Buckets partition grams, so the in-bucket structured unique IS the
+    # global (gh, gl, bit) dedupe, and with each bit then unique per
+    # gram the segment sum reconstructs the exact source-set mask.
+    n_gram_buckets = 96
+
+    def gram_bucket(batch: pa.Table) -> pa.Table:
+        gh = np.asarray(batch["gh"], dtype=np.int64)
+        gl = np.asarray(batch["gl"], dtype=np.int64)
+        h = gh.view(np.uint64) * P1 ^ gl.view(np.uint64) * P2
+        gb = ((h >> np.uint64(33)) % np.uint64(n_gram_buckets)).astype(
+            np.int64
+        )
+        return batch.append_column("gb", pa.array(gb, pa.int64()))
+
+    def or_masks(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "gh": pa.array([], pa.int64()),
+                    "gl": pa.array([], pa.int64()),
+                    "mask": pa.array([], pa.int64()),
+                }
+            )
+        tr = np.stack(
+            [
+                np.asarray(group["gh"], dtype=np.int64),
+                np.asarray(group["gl"], dtype=np.int64),
+                np.asarray(group["bit"], dtype=np.int64),
+            ],
+            axis=1,
+        )
+        tr = np.unique(tr, axis=0)  # lexsorted: (gh, gl) runs contiguous
+        key_new = np.concatenate(
+            [[True], (tr[1:, 0] != tr[:-1, 0]) | (tr[1:, 1] != tr[:-1, 1])]
+        )
+        idx = np.flatnonzero(key_new)
+        mask = np.add.reduceat(tr[:, 2], idx)
+        return pa.table(
+            {
+                "gh": pa.array(tr[idx, 0], pa.int64()),
+                "gl": pa.array(tr[idx, 1], pa.int64()),
+                "mask": pa.array(mask, pa.int64()),
+            }
+        )
+
     masks = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["gh", "gl", "bit"])
-        .count()
-        .groupby(["gh", "gl"])
-        .aggregate(Sum("bit", alias_name="mask"))
+        .map_batches(gram_bucket, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(or_masks, batch_format="pyarrow")
     )
 
     S = len(srcs)
