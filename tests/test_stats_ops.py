@@ -1337,3 +1337,66 @@ def test_cluster_top_terms_local_vs_distributed_paths(ray_session):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_bucket_sum_matches_groupby(ray_session):
+    """bucket_sum is bit-equivalent to the generic multi-key
+    groupby().aggregate(Sum) on random int64 keys, including negatives
+    and an empty input."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from texoo_ray.stages.combine import bucket_sum
+
+    rng = np.random.RandomState(3)
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.randint(-50, 50, 5000).astype(np.int64)),
+            "b": pa.array(rng.randint(0, 200, 5000).astype(np.int64)),
+            "n": pa.array(rng.randint(1, 9, 5000).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = (
+        bucket_sum(ds, ["a", "b"], "n")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want[["a", "b", "n"]])
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    assert bucket_sum(empty, ["a", "b"], "n").count() == 0
+
+
+def test_bucket_sum_carry_cols(ray_session):
+    import ray.data
+
+    from texoo_ray.stages.combine import bucket_sum
+
+    # carry col = deterministic function of the key
+    tbl = pa.table(
+        {
+            "k": pa.array(np.array([1, 2, 1, 3, 2, 1], np.int64)),
+            "f": pa.array(np.array([10, 20, 10, 30, 20, 10], np.int64)),
+            "n": pa.array(np.ones(6, np.int64)),
+        }
+    )
+    out = (
+        bucket_sum(ray.data.from_arrow(tbl).repartition(3), ["k"], "n",
+                   carry_cols=["f"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 3]
+    assert list(out["n"]) == [3, 2, 1]
+    assert list(out["f"]) == [10, 20, 30]

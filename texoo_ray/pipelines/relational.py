@@ -1882,12 +1882,13 @@ def spearman(ds, x_col: str, y_col: str, domain_max: int = 50_000_000):
             }
         )
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["kind", "v"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    from ..stages.combine import bucket_sum
+
+    hist = bucket_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["kind", "v"],
+        "n",
+    ).to_pandas()
     empty = pa.table(
         {
             k: pa.array([0], pa.int64())

@@ -137,10 +137,14 @@ def _ngram_logprob_broadcast(ds, id_col, text_col, model_max: int):
             }
         )
 
+    from .combine import bucket_sum
+
     counts = _compact(
-        ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["kind", "k0", "k1"])
-        .aggregate(Sum("n", alias_name="n"))
+        bucket_sum(
+            ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["kind", "k0", "k1"],
+            "n",
+        )
     )
     if counts is None:  # corpus has no tokens at all
         def zeros_only(batch: pa.Table) -> pa.Table:
@@ -1008,16 +1012,15 @@ def kn_logprob(
         }
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
+    from .combine import bucket_sum
+
     counts = _compact(
-        ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["kind", "k0", "k1"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            # u/v fps are functions of the bigram key: Min = the value
-            Min("uk0", alias_name="uk0"),
-            Min("uk1", alias_name="uk1"),
-            Min("vk0", alias_name="vk0"),
-            Min("vk1", alias_name="vk1"),
+        bucket_sum(
+            ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["kind", "k0", "k1"],
+            "n",
+            # u/v fps are functions of the bigram key: carried through
+            carry_cols=["uk0", "uk1", "vk0", "vk1"],
         )
     )
     if counts is None:
