@@ -2055,10 +2055,12 @@ def js_divergence(ds, side_col: str = "side", text_col: str = "text"):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["k0", "k1"])
-        .aggregate(Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1"))
+    from .combine import bucket_sum
+
+    agg = bucket_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k0", "k1"],
+        ["c0", "c1"],
     ).materialize()
 
     n0 = int(agg.sum("c0") or 0)
@@ -2212,10 +2214,12 @@ def entropy_rate(ds, text_col: str = "text", model_max: int = 4_000_000):
             ]
         ).combine_chunks()
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["kind", "a0", "a1", "b0", "b1"])
-        .aggregate(Sum("n", alias_name="n"))
+    from .combine import bucket_sum
+
+    agg = bucket_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "a0", "a1", "b0", "b1"],
+        "n",
     ).materialize()
 
     one_row_empty = pa.table(
