@@ -247,6 +247,13 @@ def run_queries() -> dict:
         "fd_check",
         "cusum_shift",
         "spearman_corr",
+        # round-5 additions
+        "pagerank2",
+        "bemd_planted",
+        "linker_planted",
+        "segmentation_planted",
+        "ner_planted",
+        "retrieval_metrics_planted",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}

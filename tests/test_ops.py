@@ -2067,3 +2067,34 @@ def test_ks_drift_matches_bruteforce(ray_session):
         bins[i], co[i], cn[i], diff[i],
     )
     assert (r["n_old_total"], r["n_new_total"]) == (len(old), len(new))
+
+
+def test_pagerank_broadcast_vs_join_paths(ray_session):
+    """The broadcast-state PageRank rounds must be bit-identical to the
+    per-round hash-join rounds (threshold=0 forces the join path)."""
+    import ray.data
+
+    from texoo_ray.pipelines.graph import pagerank
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 300, 3000).astype(np.int64)
+    dst = rng.randint(0, 320, 3000).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    a = (
+        pagerank(edges, iterations=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pagerank(edges, iterations=3, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

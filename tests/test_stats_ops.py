@@ -1400,3 +1400,33 @@ def test_bucket_sum_carry_cols(ray_session):
     assert list(out["k"]) == [1, 2, 3]
     assert list(out["n"]) == [3, 2, 1]
     assert list(out["f"]) == [10, 20, 30]
+
+
+def test_bucket_distinct_matches_groupby(ray_session):
+    import ray.data
+
+    from texoo_ray.stages.combine import bucket_distinct
+
+    rng = np.random.RandomState(7)
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.randint(-20, 20, 4000).astype(np.int64)),
+            "b": pa.array(rng.randint(0, 50, 4000).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = (
+        bucket_distinct(ds, ["a", "b"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        tbl.to_pandas()
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -35,6 +35,7 @@ def pagerank(
     damp_den: int = 100,
     scale: int = 1_000_000,
     num_partitions: int | None = None,
+    broadcast_threshold: int = 2_000_000,
 ):
     """Exact integer PageRank over a directed edge Dataset[(src, dst)]
     (int64 node ids; parallel edges count once each). Returns
@@ -48,9 +49,25 @@ def pagerank(
 
     Dangling nodes (no out-edges) keep receiving the base term and leak
     their rank, as in the plain power-iteration formulation.
+
+    Two executions of the identical integer algebra (path-equivalence
+    pinned in tests/test_ops.py):
+
+    - node table <= ``broadcast_threshold``: BROADCAST-STATE rounds
+      (the dedup_bloom / dsir precedent) — the (id, pr, outdeg) state
+      ships via ``ray.put`` as sorted int64 arrays, each round is ONE
+      map over the materialized edge set (searchsorted lookup +
+      per-batch dst pre-combine) + one node-domain ``bucket_sum``, and
+      the advance is a driver-side array update. Measured 37 s -> ~6 s
+      at sf0.1/32 cpus: the per-round hash joins were paying aggregator
+      pool startup 3x per round and re-executing the lazy edge lineage.
+    - larger node tables: the original per-round edges x state hash
+      join + grouped-sum rounds (the Pregel BSP shape) — state never
+      touches the driver.
     """
     from ray.data.aggregate import Count, Sum
 
+    from ..stages.combine import bucket_sum
     from ..stages.dedup import _compact, _join_partitions, _norm
 
     if num_partitions is None:
@@ -61,6 +78,96 @@ def pagerank(
         num_partitions = max(2, min(_join_partitions(), 1 + n_edges // 50_000))
     P = num_partitions
     base = scale * (damp_den - damp_num) // damp_den
+
+    # ---- broadcast-state fast path --------------------------------------
+    def _deg_all(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["src"], dtype=np.int64)
+        dst = np.asarray(b["dst"], dtype=np.int64)
+        u, c = np.unique(src, return_counts=True)
+        ud = np.unique(dst)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([u, ud]), pa.int64()),
+                "outdeg": pa.array(
+                    np.concatenate(
+                        [c.astype(np.int64), np.zeros(len(ud), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    if broadcast_threshold:
+        import ray
+
+        edges_mat = edges.materialize()
+        node_tbl = bucket_sum(
+            edges_mat.map_batches(_deg_all, batch_format="pyarrow"),
+            ["id"],
+            "outdeg",
+        ).to_pandas()
+        if len(node_tbl) == 0:
+            import ray.data
+
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("id", pa.int64()), ("pr", pa.int64())]
+                ).empty_table()
+            )
+        if len(node_tbl) <= broadcast_threshold:
+            import ray.data
+
+            ids = node_tbl["id"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            outdeg = node_tbl["outdeg"].to_numpy(np.int64)[order]
+            pr = np.full(len(ids), scale, dtype=np.int64)
+            for _ in range(iterations):
+                ref = ray.put((ids, pr, outdeg))
+
+                def contrib_bcast(b: pa.Table) -> pa.Table:
+                    s_ids, s_pr, s_od = ray.get(ref)
+                    src = np.asarray(b["src"], dtype=np.int64)
+                    dst = np.asarray(b["dst"], dtype=np.int64)
+                    pos = np.searchsorted(s_ids, src)
+                    share = (
+                        s_pr[pos]
+                        * damp_num
+                        // (damp_den * np.maximum(s_od[pos], 1))
+                    )
+                    u, inv = np.unique(dst, return_inverse=True)
+                    sums = np.zeros(len(u), np.int64)
+                    np.add.at(sums, inv, share)
+                    return pa.table(
+                        {
+                            "id": pa.array(u, pa.int64()),
+                            "s": pa.array(sums, pa.int64()),
+                        }
+                    )
+
+                st = bucket_sum(
+                    edges_mat.map_batches(
+                        contrib_bcast, batch_format="pyarrow"
+                    ),
+                    ["id"],
+                    "s",
+                ).to_pandas()
+                nxt = np.full(len(ids), base, dtype=np.int64)
+                if len(st):
+                    pos = np.searchsorted(
+                        ids, st["id"].to_numpy(np.int64)
+                    )
+                    nxt[pos] += st["s"].to_numpy(np.int64)
+                pr = nxt
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.int64()),
+                        "pr": pa.array(pr, pa.int64()),
+                    }
+                )
+            )
+        edges = edges_mat  # reuse the materialization in the join rounds
 
     id_schema = pa.schema([("id", pa.int64())])
     deg_schema = pa.schema([("id", pa.int64()), ("outdeg", pa.int64())])
@@ -448,11 +555,12 @@ def triangle_count(edges, num_partitions: int | None = None):
             }
         )
 
+    from ..stages.combine import bucket_distinct, bucket_sum
+
     e = _compact(
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["lo", "hi"])
+        bucket_distinct(
+            edges.map_batches(canon, batch_format="pyarrow"), ["lo", "hi"]
+        )
     )
     if e is None:
         return _empty()
@@ -470,9 +578,9 @@ def triangle_count(edges, num_partitions: int | None = None):
         )
 
     deg = _compact(
-        e.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Sum("d", alias_name="d"))
+        bucket_sum(
+            e.map_batches(deg_partial, batch_format="pyarrow"), ["id"], "d"
+        )
     )
 
     j = e.join(deg, "inner", P, on=("lo",), right_on=("id",))
@@ -595,11 +703,10 @@ def triangle_count(edges, num_partitions: int | None = None):
             }
         )
 
-    return (
-        both.groupby("bkt")
-        .map_groups(close, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Sum("triangles", alias_name="triangles"))
+    return bucket_sum(
+        both.groupby("bkt").map_groups(close, batch_format="pyarrow"),
+        ["id"],
+        "triangles",
     )
 
 

@@ -86,3 +86,49 @@ def bucket_sum(
         .groupby("gb")
         .map_groups(local, batch_format="pyarrow")
     )
+
+
+def bucket_distinct(
+    ds,
+    key_cols: Sequence[str],
+    n_buckets: int = 96,
+):
+    """Exact DISTINCT over int64 key columns: the same hash-bucket
+    exchange with a block-local structured unique (buckets partition
+    keys, so the in-bucket unique is global). Equivalent to
+    ``groupby(key_cols).count().select(key_cols)``."""
+    keys = list(key_cols)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # per-batch pre-distinct bounds the exchange at one row per key
+        # per block
+        m = np.empty((batch.num_rows, len(keys)), np.int64)
+        for j, c in enumerate(keys):
+            m[:, j] = np.asarray(batch[c], dtype=np.int64)
+        m = np.unique(m, axis=0)
+        h = np.zeros(len(m), dtype=np.uint64)
+        for i in range(len(keys)):
+            h ^= m[:, i].view(np.uint64) * np.uint64(_MIX[i % 4] + 2 * i)
+        gb = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        cols = {c: pa.array(m[:, j], pa.int64()) for j, c in enumerate(keys)}
+        cols["gb"] = pa.array(gb, pa.int64())
+        return pa.table(cols)
+
+    empty = pa.table({c: pa.array([], pa.int64()) for c in keys})
+
+    def local(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        m = np.empty((group.num_rows, len(keys)), np.int64)
+        for j, c in enumerate(keys):
+            m[:, j] = np.asarray(group[c], dtype=np.int64)
+        m = np.unique(m, axis=0)
+        return pa.table(
+            {c: pa.array(m[:, j], pa.int64()) for j, c in enumerate(keys)}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(local, batch_format="pyarrow")
+    )
