@@ -764,7 +764,10 @@ def _q_lang_id_multi(sf_dir: str):
     from texoo_ray.sources.fixtures import MULTILINGUAL_SAMPLES
     from texoo_ray.stages.text_stats import language_id
 
-    reps = 20 if "0.001" in sf_dir else 200
+    # reps must be derivable by the SQL oracle too: keyed off the
+    # documents row count (sf0.001 -> 500 docs -> 20; larger sfs -> 200)
+    n_docs_tbl = _read(sf_dir, "documents", ["doc_id"]).count()
+    reps = 20 if n_docs_tbl < 1000 else 200
     langs = sorted(MULTILINGUAL_SAMPLES)
     texts, ids = [], []
     i = 0
@@ -7455,12 +7458,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY conv_id ORDER BY conv_id
         """,
         "lang_id_multi": """
-            SELECT * FROM (VALUES
-              ('ar', 200), ('de', 200), ('el', 200), ('en', 200), ('es', 200),
-              ('fr', 200), ('he', 200), ('hi', 200), ('it', 200), ('ja', 200),
-              ('ko', 200), ('nl', 200), ('pt', 200), ('ru', 200), ('th', 200),
-              ('zh', 200)
-            ) AS t(pred_lang, n_docs) ORDER BY pred_lang
+            WITH r AS (
+              SELECT CASE WHEN (SELECT count(*) FROM documents) < 1000
+                          THEN 20 ELSE 200 END AS reps
+            )
+            SELECT pred_lang, CAST(reps AS INTEGER) AS n_docs
+            FROM r, (VALUES
+              ('ar'), ('de'), ('el'), ('en'), ('es'), ('fr'), ('he'),
+              ('hi'), ('it'), ('ja'), ('ko'), ('nl'), ('pt'), ('ru'),
+              ('th'), ('zh')
+            ) AS t(pred_lang) ORDER BY pred_lang
         """,
         "knn_top10": """
             WITH q AS (
