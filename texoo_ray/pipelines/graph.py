@@ -1023,11 +1023,12 @@ def link_prediction(
             }
         )
 
+    from ..stages.combine import bucket_distinct, bucket_sum
+
     e = _compact(
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["lo", "hi"])
+        bucket_distinct(
+            edges.map_batches(canon, batch_format="pyarrow"), ["lo", "hi"]
+        )
     )
     if e is None:
         return _empty()
@@ -1045,9 +1046,9 @@ def link_prediction(
         )
 
     deg = _compact(
-        e.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Sum("d", alias_name="d"))
+        bucket_sum(
+            e.map_batches(deg_partial, batch_format="pyarrow"), ["id"], "d"
+        )
     )
 
     @_norm(adj_schema)
