@@ -234,3 +234,57 @@ def test_scattered_layout_kill_resume_whole_conversations(tmp_path):
             assert seen_parts.setdefault(conv, part) == part, conv
             assert n == global_counts[conv], conv
     assert len(seen_parts) == len(global_counts)
+
+
+_GEN_SMALL = """
+import sys
+sys.path.insert(0, {repo!r})
+import os
+import pyarrow.parquet as pq
+from texoo_ray.sources.turns import turns_table
+os.makedirs({turns!r}, exist_ok=True)
+for f in range(4):
+    tbl = turns_table(f * 150, (f + 1) * 150, seed=3)
+    pq.write_table(tbl, os.path.join({turns!r}, "part-%02d.parquet" % f))
+print(4)
+"""
+
+_WORKER_PATH = """
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+import ray.data
+ray.data.DataContext.get_current().enable_progress_bars = False
+import glob, json
+from texoo_ray.pipelines.extract import run_extract_resumable
+files = sorted(glob.glob({turns!r} + "/*.parquet"))
+r = run_extract_resumable(
+    files, {out!r}, num_partitions=2, max_concurrent=1,
+    sort_output=True, lean=True, batch_size=512, partition_by_key={bykey},
+)
+print(json.dumps(r))
+ray.shutdown()
+"""
+
+
+def test_by_key_path_equals_by_file_path_on_colocated_layout(tmp_path):
+    """On a layout that already co-locates conversations (whole convs
+    per file), the conv-hash re-shard path and the plain by-file path
+    must produce value-identical extractions — only the partitioning of
+    rows into output parts may differ."""
+    turns = str(tmp_path / "coloc")
+    gen = _spawn(_GEN_SMALL.format(repo=REPO, turns=turns))
+    gen_out, _ = gen.communicate(timeout=300)
+    assert gen.returncode == 0
+
+    out_a = str(tmp_path / "by_file")
+    out_b = str(tmp_path / "by_key")
+    for out, bykey in ((out_a, "False"), (out_b, "True")):
+        w = _spawn(_WORKER_PATH.format(repo=REPO, turns=turns, out=out, bykey=bykey))
+        w_out, _ = w.communicate(timeout=600)
+        assert w.returncode == 0, w_out
+    a = _read_sorted(out_a)
+    b = _read_sorted(out_b)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

@@ -277,10 +277,25 @@ def run_resumable_by_key(
         )
         for b in range(num_buckets)
     ]
+
+    def pipeline_no_hive(ds):
+        # read_parquet infers hive partitioning from the part=NNNNN/
+        # bucket=B path segments even for explicit file lists,
+        # resurrecting them as columns — strip before the pipeline so
+        # the by-key output schema matches the by-file path exactly
+        import pyarrow as _pa
+
+        def drop(batch: _pa.Table) -> _pa.Table:
+            return batch.drop_columns(
+                [c for c in ("part", "bucket") if c in batch.column_names]
+            )
+
+        return pipeline_fn(ds.map_batches(drop, batch_format="pyarrow"))
+
     b_stats = run_resumable(
         [f for g in groups for f in g],
         out_dir,
-        pipeline_fn,
+        pipeline_no_hive,
         input_groups=groups,
         max_concurrent=max_concurrent,
         counter_cols=counter_cols,
