@@ -3054,6 +3054,78 @@ def _q_ner_eval(sf_dir: str):
     )
 
 
+
+def _q_cdv_planted(sf_dir: str):
+    """Planted CDV passage-retrieval contract (stages/cdv.py::
+    CdvRetrievalStage threshold state machine, QueryRunner.java:354-392):
+    every documents row becomes a planted sentence pattern (depends only
+    on doc_id % 12) built from three calibrated sentences — histogram
+    ~0.467 (opens at thres_in 0.35), ~0.290 (extends only, >= thres_out
+    0.25), ~0.097 (closes) — covering open / extend-only / close /
+    EOF-flush / reopen hysteresis. The distributed actor stage must
+    reproduce the pinned single-process passage spans per residue
+    (CDV_RESIDUE_PASSAGES, recomputed from the stage in
+    tests/test_cdv.py); oracle = the pinned spans as a VALUES join on
+    doc_id % 12."""
+    import ray
+
+    from texoo_ray.core.planted import CDV_QUERY, cdv_planted_text
+    from texoo_ray.stages.cdv import CdvRetrievalStage
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    [cdv_planted_text(int(i)) for i in ids], pa.string()
+                ),
+            }
+        )
+
+    ref = ray.put({"queries": [dict(CDV_QUERY)]})
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        CdvRetrievalStage,
+        fn_constructor_kwargs=dict(
+            queries_ref=ref, thres_in=0.35, thres_out=0.25
+        ),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "begin": batch["begin"].cast(pa.int64()),
+                "end": batch["end"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(strip, batch_format="pyarrow").sort(
+        ["doc_id", "begin"]
+    )
+
+
+def _cdv_planted_oracle_sql() -> str:
+    from texoo_ray.core.planted import CDV_RESIDUE_PASSAGES
+
+    vals = ", ".join(
+        "(%d, %d, %d)" % (r, b, e)
+        for r, spans in sorted(CDV_RESIDUE_PASSAGES.items())
+        for b, e in spans
+    )
+    return (
+        "SELECT doc_id, b::BIGINT AS begin, e::BIGINT AS \"end\" "
+        "FROM documents "
+        "JOIN (VALUES " + vals + ") AS t(r, b, e) ON doc_id % 12 = r "
+        "ORDER BY doc_id, begin"
+    )
+
+
 def _q_segmentation_planted(sf_dir: str):
     """Planted Pk/WindowDiff contract (core/evaluation.py::pk/
     window_diff/calculate_k, reference SegmentationEvaluation.java:
@@ -5233,6 +5305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segmentation_planted": _q_segmentation_planted,
         "ner_planted": _q_ner_planted,
         "retrieval_metrics_planted": _q_retrieval_metrics_planted,
+        "cdv_planted": _q_cdv_planted,
     }
     # Round-5 window: rounds 1-4 proved 111 distinct queries driver-green
     # (50/50 green in r4).  This window holds 50 of the 83 never-checked:
@@ -5767,6 +5840,7 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "hll_bigrams": _hll_oracle_sql(),
         "bemd_planted": _bemd_planted_oracle_sql(),
+        "cdv_planted": _cdv_planted_oracle_sql(),
         "retrieval_metrics_planted": r"""
             WITH d AS (
               SELECT doc_id, 1 + doc_id % 4 AS r1, 1 + doc_id % 3 AS m

@@ -211,3 +211,28 @@ class TestCdvRetrieve:
         ]
         with_cands = bm25_doc_candidates(self._docs_ds(), queries, num=1)
         assert with_cands[0]["candidate_docs"] == [2]
+
+
+def test_cdv_planted_residue_table_pinned(ray_session):
+    """CDV_RESIDUE_PASSAGES (the cdv_planted SQL oracle's VALUES
+    literals) must equal what the single-process stage computes for
+    every residue, and the pattern family must exercise the full
+    threshold-machine behavior space: zero-passage docs, EOF flushes,
+    extend-only hysteresis (EXT never opens) and reopened two-passage
+    docs."""
+    from texoo_ray.core.planted import (
+        CDV_CYCLE,
+        CDV_RESIDUE_PASSAGES,
+        cdv_passages_for_residue,
+        cdv_planted_text,
+    )
+
+    got = {r: cdv_passages_for_residue(r) for r in range(CDV_CYCLE)}
+    assert got == CDV_RESIDUE_PASSAGES
+    counts = sorted(len(v) for v in got.values())
+    assert counts[0] == 0 and counts[-1] == 2  # variety: 0..2 passages
+    # hysteresis: residue 3 starts with the extend-only sentence and
+    # must NOT open a passage
+    assert got[3] == [] and cdv_planted_text(3).startswith("Zephyr.")
+    # text depends only on the residue class
+    assert cdv_planted_text(5) == cdv_planted_text(5 + CDV_CYCLE * 7)

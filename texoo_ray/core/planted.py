@@ -119,3 +119,79 @@ def linker_planted_mention(doc_id: int) -> tuple:
     pos = doc_id % 12
     sub = chr(ord("a") + (ord(w[pos]) - ord("a") + 13) % 26)
     return "%s grp%d" % (w[:pos] + sub + w[pos + 1 :], t % 6), t
+
+
+# --- planted CDV passage-retrieval fixture (stages/cdv.py) ---------------
+
+CDV_CYCLE = 12
+_CDV_ON = "Zephyr treatment."          # hist ~0.467: opens (>= 0.35)
+_CDV_EXT = "Zephyr."                   # hist ~0.290: extends only (>= 0.25)
+_CDV_OFF = "Filler garden weather."    # hist ~0.097: closes
+
+_CDV_PATTERNS = {
+    0: ["OFF", "OFF"],
+    1: ["ON", "OFF"],
+    2: ["ON", "EXT", "OFF"],
+    3: ["EXT", "OFF"],                  # never opens: hysteresis
+    4: ["ON", "OFF", "ON"],             # reopen -> two passages
+    5: ["ON", "EXT", "EXT", "OFF", "ON", "OFF"],
+    6: ["OFF", "EXT", "ON", "OFF"],     # EXT before open doesn't open
+    7: ["ON"],                          # EOF flush
+    8: ["ON", "EXT", "ON", "OFF"],      # one continuous passage
+    9: ["OFF", "ON", "EXT"],            # EOF flush of extended passage
+    10: ["EXT", "ON", "EXT", "OFF", "OFF", "ON"],
+    11: ["OFF"],
+}
+_CDV_WORDS = {"ON": _CDV_ON, "EXT": _CDV_EXT, "OFF": _CDV_OFF}
+
+CDV_QUERY = {"query_id": "q0", "entity": "zephyr", "aspect": "treatment"}
+
+
+def cdv_planted_text(doc_id: int) -> str:
+    """Deterministic sentence pattern exercising the CDV threshold state
+    machine's full hysteresis (open / extend-only / close / EOF-flush /
+    reopen); depends only on ``doc_id % CDV_CYCLE``."""
+    return " ".join(
+        _CDV_WORDS[k] for k in _CDV_PATTERNS[doc_id % CDV_CYCLE]
+    )
+
+
+def cdv_passages_for_residue(r: int):
+    """Single-process golden: run the REAL CdvRetrievalStage on the
+    planted text and return [(begin, end)] — used to (re)generate and
+    pin ``CDV_RESIDUE_PASSAGES``."""
+    import ray
+
+    import pyarrow as pa
+
+    from ..stages.cdv import CdvRetrievalStage
+
+    ref = ray.put({"queries": [dict(CDV_QUERY)]})
+    stage = CdvRetrievalStage(ref, thres_in=0.35, thres_out=0.25)
+    out = stage(
+        pa.table(
+            {
+                "doc_id": pa.array([int(r)], pa.int64()),
+                "text": [cdv_planted_text(r)],
+            }
+        )
+    )
+    return list(zip(out["begin"].to_pylist(), out["end"].to_pylist()))
+
+
+# Pinned golden (regenerated from the core stage in
+# tests/test_cdv.py::test_cdv_planted_residue_table_pinned)
+CDV_RESIDUE_PASSAGES = {
+    0: [],
+    1: [(0, 17)],
+    2: [(0, 25)],
+    3: [],
+    4: [(0, 17), (41, 58)],
+    5: [(57, 74), (0, 33)],
+    6: [(31, 48)],
+    7: [(0, 17)],
+    8: [(0, 43)],
+    9: [(23, 48)],
+    10: [(80, 97), (8, 33)],
+    11: [],
+}
