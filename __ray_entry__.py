@@ -3126,6 +3126,97 @@ def _cdv_planted_oracle_sql() -> str:
     )
 
 
+
+def _q_passages_planted(sf_dir: str):
+    """Planted passage-candidate-generation contract
+    (stages/retrieval.py::passage_candidates, PassageIndex.java:103-215):
+    doc d hosts ONE gold passage whose text repeats the class term
+    qt(d%50) tf = 1 + d//50 times — Okapi BM25 is strictly increasing
+    in tf at fixed extra length (margin-pinned in tests/test_postings.py
+    up to tf=1000), so each query's candidate ranking is d descending
+    within its class by construction and the whole output (ranks,
+    doc/passage ids, relevance) is integer/string arithmetic — no float
+    ever reaches the compare. Exercises the real broadcast index build,
+    the top-doc splice and the gold dedup (the gold doc is the LOWEST
+    scorer; at class size 10 it re-enters the hit list and must dedup,
+    at larger sfs it falls outside the top-10)."""
+    from texoo_ray.stages.retrieval import passage_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant_docs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        docs, texts, panns = [], [], []
+        for d in ids:
+            d = int(d)
+            k, tf = d % 50, 1 + d // 50
+            text = ("qt%d " % k) * tf + "pad padd."
+            L = len(text)
+            docs.append("D%d" % d)
+            texts.append(text)
+            panns.append(
+                [{"id": "D%d:0-%d" % (d, L), "label": "", "begin": 0,
+                  "end": L}]
+            )
+        ptype = pa.list_(
+            pa.struct(
+                [("id", pa.string()), ("label", pa.string()),
+                 ("begin", pa.int32()), ("end", pa.int32())]
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "gold_passages": pa.array(panns, ptype),
+            }
+        )
+
+    def plant_queries(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = ids < 50
+        ks = ids[keep]
+        qid, ent, asp, gd, gb, ge = [], [], [], [], [], []
+        for k in ks:
+            k = int(k)
+            L = len(("qt%d " % k) * 1 + "pad padd.")
+            qid.append("q%02d" % k)
+            ent.append("qt%d" % k)
+            asp.append("")
+            gd.append("D%d" % k)
+            gb.append(0)
+            ge.append(L)
+        return pa.table(
+            {
+                "query_id": pa.array(qid, pa.string()),
+                "entity": pa.array(ent, pa.string()),
+                "aspect": pa.array(asp, pa.string()),
+                "doc_id": pa.array(gd, pa.string()),
+                "begin": pa.array(gb, pa.int64()),
+                "end": pa.array(ge, pa.int64()),
+            }
+        )
+
+    docs = ds.map_batches(plant_docs, batch_format="pyarrow")
+    queries = ds.map_batches(plant_queries, batch_format="pyarrow")
+    out = passage_candidates(docs, queries, num=10)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "rank": batch["rank"].cast(pa.int64()),
+                "doc_id": batch["doc_id"],
+                "passage_id": batch["passage_id"],
+                "relevance": batch["relevance"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow").sort(
+        ["query_id", "rank"]
+    )
+
+
 def _q_segmentation_planted(sf_dir: str):
     """Planted Pk/WindowDiff contract (core/evaluation.py::pk/
     window_diff/calculate_k, reference SegmentationEvaluation.java:
@@ -5306,6 +5397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_planted": _q_ner_planted,
         "retrieval_metrics_planted": _q_retrieval_metrics_planted,
         "cdv_planted": _q_cdv_planted,
+        "passages_planted": _q_passages_planted,
     }
     # Round-5 window: rounds 1-4 proved 111 distinct queries driver-green
     # (50/50 green in r4).  This window holds 50 of the 83 never-checked:
@@ -5841,6 +5933,26 @@ def oracle_sql() -> dict[str, str]:
         "hll_bigrams": _hll_oracle_sql(),
         "bemd_planted": _bemd_planted_oracle_sql(),
         "cdv_planted": _cdv_planted_oracle_sql(),
+        "passages_planted": r"""
+            WITH stats AS (SELECT count(*)::BIGINT AS D FROM documents),
+            kq AS (SELECT doc_id AS kk FROM documents WHERE doc_id < 50),
+            mm AS (SELECT kk, ((D - kk + 49) // 50)::BIGINT AS M
+                   FROM kq, stats),
+            rows_ AS (
+              SELECT kk, 0::BIGINT AS rank, kk AS d FROM mm
+              UNION ALL
+              SELECT kk, r::BIGINT AS rank, kk + 50 * (M - r) AS d
+              FROM mm JOIN generate_series(1, 9) AS s(r) ON r <= M - 0
+            )
+            SELECT printf('q%02d', kk) AS query_id, rank,
+                   'D' || d AS doc_id,
+                   'D' || d || ':0-' ||
+                     ((1 + d // 50) * (length('qt' || (d % 50)) + 1) + 9)
+                     AS passage_id,
+                   (CASE WHEN rank = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS relevance
+            FROM rows_ ORDER BY query_id, rank
+        """,
         "retrieval_metrics_planted": r"""
             WITH d AS (
               SELECT doc_id, 1 + doc_id % 4 AS r1, 1 + doc_id % 3 AS m

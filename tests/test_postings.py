@@ -188,3 +188,19 @@ def test_incremental_update_equals_full_rebuild(ray_session, tmp_path):
     pb_ = sorted(map(tuple, (r.values() for r in
                              phrase_search(full, ["beta", "gamma"]).take_all())))
     assert pa_ == pb_
+
+
+def test_planted_bm25_tf_monotonicity_margin():
+    """The passages_planted oracle rests on: Okapi BM25 score is
+    STRICTLY increasing in tf for passages 'qtK '*tf + 'pad padd.'
+    (fixed 2 extra tokens). Pin it up to tf=1000 (the sf0.1 class
+    size), against the real Bm25Index."""
+    from texoo_ray.stages.linker import Bm25Index
+
+    docs = [("qt7 " * tf) + "pad padd." for tf in range(1, 1001)]
+    idx = Bm25Index(docs)
+    hits = idx.query("qt7", k=1000)
+    # ranking must be exactly tf descending: doc index 999, 998, ...
+    assert [i for i, _ in hits] == list(range(999, -1, -1))
+    scores = [s for _, s in hits]
+    assert all(a > b for a, b in zip(scores, scores[1:]))
