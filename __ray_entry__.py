@@ -3217,6 +3217,82 @@ def _q_passages_planted(sf_dir: str):
     )
 
 
+
+def _q_w2v_sections_planted(sf_dir: str):
+    """Planted w2v-loaded SECTOR BEMD contract: the deterministic
+    10-word 16-dim vector parquet (core/planted.py::ensure_planted_w2v)
+    loads through the REAL Word2VecEncoder per actor, every documents
+    row becomes a k-block planted document, and the distributed
+    SegmentStage >> SectionStage(method='bemd', w2v_path=...) chain
+    must reproduce the pinned single-process section counts per residue
+    (W2V_RESIDUE_SECTIONS, recomputed in tests/test_sections_eval.py).
+    Completes planted coverage of the sector_w2v_sections family:
+    parquet matrix load + mean-word-vector sentence embedding + the
+    BEMD chain."""
+    from texoo_ray.core.planted import ensure_planted_w2v, w2v_planted_text
+    from texoo_ray.stages.extract import SectionStage, SegmentStage
+
+    w2v_path = ensure_planted_w2v(
+        "/tmp/texoo_planted_w2v/v1/vectors.parquet"
+    )
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(["w%d" % i for i in ids], pa.string()),
+                "turn_idx": pa.array(
+                    np.zeros(len(ids), np.int32), pa.int32()
+                ),
+                "role": pa.array(["user"] * len(ids), pa.string()),
+                "text": pa.array(
+                    [w2v_planted_text(int(i)) for i in ids], pa.string()
+                ),
+                "tool": pa.array([""] * len(ids), pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    class Prep:
+        def __init__(self):
+            self.seg = SegmentStage(newlines="keep", strip=True)
+            self.sec = SectionStage(method="bemd", w2v_path=w2v_path)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self.sec(self.seg(batch))
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        Prep, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_sections": pa.array(
+                    [len(s) for s in batch["sections"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+
+
+def _w2v_sections_oracle_sql() -> str:
+    from texoo_ray.core.planted import W2V_RESIDUE_SECTIONS
+
+    whens = " ".join(
+        "WHEN %d THEN %d" % (r, n)
+        for r, n in enumerate(W2V_RESIDUE_SECTIONS)
+    )
+    return (
+        "SELECT doc_id, (CASE doc_id % 8 " + whens + " END)::BIGINT "
+        "AS n_sections FROM documents ORDER BY doc_id"
+    )
+
+
 def _q_segmentation_planted(sf_dir: str):
     """Planted Pk/WindowDiff contract (core/evaluation.py::pk/
     window_diff/calculate_k, reference SegmentationEvaluation.java:
@@ -5398,6 +5474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics_planted": _q_retrieval_metrics_planted,
         "cdv_planted": _q_cdv_planted,
         "passages_planted": _q_passages_planted,
+        "w2v_sections_planted": _q_w2v_sections_planted,
     }
     # Round-5 window: rounds 1-4 proved 111 distinct queries driver-green
     # (50/50 green in r4).  This window holds 50 of the 83 never-checked:
@@ -5933,6 +6010,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_bigrams": _hll_oracle_sql(),
         "bemd_planted": _bemd_planted_oracle_sql(),
         "cdv_planted": _cdv_planted_oracle_sql(),
+        "w2v_sections_planted": _w2v_sections_oracle_sql(),
         "passages_planted": r"""
             WITH stats AS (SELECT count(*)::BIGINT AS D FROM documents),
             kq AS (SELECT doc_id AS kk FROM documents WHERE doc_id < 50),

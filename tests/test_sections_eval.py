@@ -438,3 +438,22 @@ def test_ner_planted_counts_hand_derived():
     for r, pred in preds.items():
         assert mention_match_counts(gold, pred, weak=False)[0] == want_strong[r]
         assert mention_match_counts(gold, pred, weak=True)[0] == want_weak[r]
+
+
+def test_w2v_planted_residue_table_pinned():
+    """W2V_RESIDUE_SECTIONS (the w2v_sections_planted oracle literals)
+    must equal the single-process SegmentStage+SectionStage(w2v) chain
+    for every residue, through the REAL Word2VecEncoder parquet load."""
+    from texoo_ray.core.planted import (
+        W2V_CYCLE,
+        W2V_RESIDUE_SECTIONS,
+        ensure_planted_w2v,
+        w2v_planted_text,
+        w2v_sections_for_residue,
+    )
+
+    p = ensure_planted_w2v("/tmp/texoo_planted_w2v/v1/vectors.parquet")
+    got = [w2v_sections_for_residue(r, p) for r in range(W2V_CYCLE)]
+    assert got == W2V_RESIDUE_SECTIONS
+    assert len(set(got)) >= 4
+    assert w2v_planted_text(2) == w2v_planted_text(2 + W2V_CYCLE * 5)

@@ -195,3 +195,81 @@ CDV_RESIDUE_PASSAGES = {
     10: [(80, 97), (8, 33)],
     11: [],
 }
+
+
+# --- planted w2v-loaded SECTOR fixture (stages/extract.py::SectionStage
+#     with w2v_path; stages/word2vec.py::Word2VecEncoder load contract) ---
+
+W2V_CYCLE = 8
+
+
+def ensure_planted_w2v(path: str) -> str:
+    """Write (once) a deterministic 10-word, 16-dim (word, vector)
+    parquet: v_j = e(j%16) + 0.25 * e((7j+3)%16). Exercises the real
+    Word2VecEncoder parquet-load path with vectors the goldens control."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    words, vecs = [], []
+    for j in range(10):
+        v = np.zeros(16, dtype=np.float32)
+        v[j % 16] = 1.0
+        v[(7 * j + 3) % 16] += 0.25
+        words.append("w%d" % j)
+        vecs.append(v.tolist())
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "vector": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        tmp,
+    )
+    os.rename(tmp, path)
+    return path
+
+
+def w2v_planted_text(doc_id: int) -> str:
+    """k = r%4 + 2 blocks of six sentences, block j built from vocab
+    word w((j+r) % 10); depends only on doc_id % W2V_CYCLE."""
+    r = doc_id % W2V_CYCLE
+    k = r % 4 + 2
+    parts = []
+    for j in range(k):
+        w = "w%d" % ((j + r) % 10)
+        parts += ["%s %s %s." % (w.capitalize(), w, w)] * 6
+    return " ".join(parts)
+
+
+def w2v_sections_for_residue(r: int, w2v_path: str) -> int:
+    """Single-process golden via the REAL SegmentStage + SectionStage
+    (method='bemd', w2v loaded from parquet)."""
+    import pyarrow as pa
+
+    from ..stages.extract import SectionStage, SegmentStage
+
+    seg = SegmentStage(newlines="keep", strip=True)
+    sec = SectionStage(method="bemd", w2v_path=w2v_path)
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array([w2v_planted_text(r)], pa.string()),
+            "tool": pa.array([""], pa.string()),
+        }
+    )
+    out = sec(seg(batch))
+    return len(out["sections"].to_pylist()[0])
+
+
+# Pinned golden (regenerated in tests/test_sections_eval.py)
+W2V_RESIDUE_SECTIONS = [3, 1, 4, 5, 2, 1, 4, 5]
