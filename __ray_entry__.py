@@ -5492,16 +5492,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_detect", "corr_matrix", "cat_mi", "benford", "mst_chain",
         "trimmed_stats", "verbosity_trend", "repeated_answers", "fd_check",
         "cusum_shift", "spearman_corr",
-        # displaced siblings from the r4 window
-        "order_rollup", "weighted_sample", "rolling_value_sum",
-        "kmeans_assign", "quantile_trim", "pivot_orders", "price_tiers",
-        "domain_block",
+        # displaced siblings from the r4 window (the rest of that
+        # family — order_rollup/weighted_sample/pivot_orders/
+        # price_tiers/domain_block — have driver-green algebra siblings
+        # from r4 and yield their final-round slots to the planted
+        # contract queries below, which check distributed==local for
+        # the non-SQL chains where a subtle distributed bug could
+        # actually hide)
+        "rolling_value_sum", "kmeans_assign", "quantile_trim",
         # highest-risk remaining never-checked
         "bm25_topk", "profile_table", "c4_clean", "late_events",
         "pii_redact", "doc_repetition", "cross_source_overlap",
-        # planted-codeword conversions of the rows-only residue
-        # (r4 verdict #6): BEMD segmentation and entity linking
-        "bemd_planted", "linker_planted",
+        # planted-codeword conversions of the rows-only residue:
+        # BEMD segmentation, entity linking, Pk/WindowDiff, NER
+        # counting, ranking metrics, CDV passages, BM25 passage
+        # candidate generation
+        "bemd_planted", "linker_planted", "segmentation_planted",
+        "ner_planted", "retrieval_metrics_planted", "cdv_planted",
+        "passages_planted",
     ]
     assert len(_WINDOW) == 50 and all(k in q for k in _WINDOW)
     ordered = {k: q[k] for k in _WINDOW}
