@@ -254,6 +254,9 @@ def run_queries() -> dict:
         "segmentation_planted",
         "ner_planted",
         "retrieval_metrics_planted",
+        "cdv_planted",
+        "passages_planted",
+        "w2v_sections_planted",
     ]
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     out = {}
